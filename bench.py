@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed as a full pipeline (plan + execute + drain
+results via count on a cheap projection) — what a cluster would pay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at 100 TB (joins, wide aggs, windows, dedup, similarity, graph).
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "scan_projection_pushdown",
+    "join_left_outer_counts",
+    "join_range_theta",
+    "window_topk_orders",
+    "window_running_sum",
+    "sessionize_events",
+    "collect_set_sorted",
+    "explode_tokens",
+    "rollup_region_nation",
+    # Filled as the families land:
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "simsearch_topk_cosine",
+    "text_quality_scores",
+    "graph_degrees",
+    "graph_rmetrics",
+    "graph_connected_components",
+    "hgn_communities",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from hgn_spark.session import get_spark
+    from hgn_spark.registry import load_all
+
+    specs = load_all()
+    spark = get_spark(app_name="hgn_spark_bench")
+
+    # Warm up JVM / codegen / parquet footer caches once, untimed.
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        # Warm the JVM/codegen path once at plan level only.
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,742 @@
+"""Relational operator surface (SURVEY.md §2.2-§2.7).
+
+Covers every projection/filter/join/aggregation/set-op/scalar-function
+class the reference executes, re-expressed as declarative DataFrame
+plans so Catalyst does pushdown, pruning, join selection and AQE.
+
+Reference parity notes (file:line into /root/reference):
+- selects/filters:    graph_tools/graph_tools.py:343-367, main.py:136-137
+- joins (inner/right/full/semi/anti): graph_tools/graph_tools.py:51-61,
+  360, 465-483, 533-538; main.py:201-205
+- aggregations incl. conditional ratio: graph_tools/graph_tools.py:270-286,
+  354-357, 512-516, 531-532
+- unions: graph_tools/graph_tools.py:126,349-350; spark_manager.py:370-409
+- explode/collect_set/coalesce: graph_tools/graph_tools.py:142-145,355,363
+The window/sort/set-op/json/date operators beyond the reference are the
+engine-extension surface (SURVEY.md §2.5/§2.7 "not present" rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hgn_spark.catalog import load_table
+from hgn_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# M0 flagship: join + filter + conditional agg across 4 tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(avg(l.l_quantity), 4) AS avg_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderstatus <> 'X'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer nation: 3 fact/dim joins + grouped aggregates.
+
+    nation (25 rows) and customer dims are broadcast by AQE; the
+    orders⋈lineitem join shuffles on orderkey only.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "X")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
+    """,
+    tags=("scan", "filter"),
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate that must reach the parquet scan.
+
+    `.explain` shows PushedFilters: [LessThan(l_shipdate,...),
+    GreaterThan(l_quantity,45)] and a 4-column ReadSchema.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "filter_compound_predicate",
+    oracle="""
+    SELECT event_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE (value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')
+    """,
+    tags=("filter",),
+)
+def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string compound predicate (reference main.py:136-137 pattern)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter("(value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')")
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("dedup",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a projection (reference dropDuplicates, spark_manager.py:207)."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style wide aggregate — partial aggregation map-side, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "conditional_ratio_agg",
+    oracle="""
+    SELECT l_orderkey,
+           round(count(CASE WHEN l_discount > 0.05 THEN 1 END) * 1.0 / count(*), 4)
+             AS high_disc_ratio
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("agg",),
+)
+def conditional_ratio_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(when)/count ratio — the reference's edge-weight aggregate shape
+    (graph_tools/graph_tools.py:512-516)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("l_discount") > 0.05, 1)) / F.count(F.lit(1)), 4
+            ).alias("high_disc_ratio")
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("agg",),
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand + two-phase agg under the hood)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+           round(avg(c_acctbal), 4) AS mean_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles; at 100 TB swap to percentile_approx
+    (t-digest) — same API shape, bounded memory."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+            F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+        )
+    )
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a fixed value list (no extra pass to discover values)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + null-aware aggregation (customers with zero orders kept)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey),
+         supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                  FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join — the reference's isolated-vertex pattern
+    (graph_tools/graph_tools.py:360: neighbors FULL JOIN vertices)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation n
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (reference component filter, graph_tools.py:533-538)."""
+    n = load_table(spark, sf_dir, "nation")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return n.join(rich, n.n_nationkey == rich.c_nationkey, "left_semi").select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (reference edge-deletion, main.py:201-205)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT p.p_partkey, count(*) AS n_cheaper_same_size
+    FROM part p
+    JOIN part q ON q.p_size = p.p_size AND q.p_retailprice < p.p_retailprice
+    GROUP BY p.p_partkey
+    """,
+    tags=("join", "extension"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range hybrid join (theta joins are a reference gap, SURVEY §2.3).
+
+    The equi part (p_size) keys the shuffle; the range predicate is
+    evaluated post-shuffle — the scalable shape for mixed conditions.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    q = p.select(
+        F.col("p_size").alias("q_size"), F.col("p_retailprice").alias("q_price")
+    )
+    return (
+        p.join(q, (p.p_size == q.q_size) & (q.q_price < p.p_retailprice))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_cheaper_same_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (a reference gap — its only intersection ran on Python sets
+    inside a UDF, graph_tools/graph_tools.py:397)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT(distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type FROM events WHERE value < 50
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE value >= 50
+    )
+    SELECT event_type, count(*) AS n FROM u GROUP BY event_type
+    """,
+    tags=("setop",),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across frames with different column order
+    (reference graph_tools/graph_tools.py:349-350)."""
+    e = load_table(spark, sf_dir, "events")
+    lo = e.filter(F.col("value") < 50).select("event_id", "event_type")
+    hi = e.filter(F.col("value") >= 50).select("event_type", "event_id")  # swapped order
+    return (
+        lo.unionByName(hi)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: arrays, structs, json, dates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("array",),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode → agg (reference F1/F2 explode patterns)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "collect_set_sorted",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           count(DISTINCT l.l_suppkey) AS degree,
+           array_to_string(list_sort(list(DISTINCT l.l_suppkey)), ',') AS suppliers
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+    tags=("array", "agg"),
+)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set neighbor aggregation (reference A2,
+    graph_tools/graph_tools.py:354-357); serialized sorted for comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("degree"),
+            F.array_join(F.sort_array(F.collect_set("l_suppkey")), ",").alias("suppliers"),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("json",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (events.props)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+@register(
+    "struct_nested_access",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust_id,
+           upper(o_orderstatus) AS status
+    FROM orders WHERE o_totalprice > 100000
+    """,
+    tags=("struct",),
+)
+def struct_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a struct column, then access nested fields (reference F8:
+    m.a.id-style struct access, graph_tools/graph_tools.py:207)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"), F.col("o_orderstatus").alias("status")
+        ).alias("meta"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("meta.cust").alias("cust_id"),
+        F.upper(F.col("meta.status")).alias("status"),
+    )
+
+
+@register(
+    "date_trunc_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("date", "agg"),
+)
+def date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling aggregation (batch twin of the streaming window)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions, sort, limit (reference gaps — SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number with a total tie-break order."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice)
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_rev
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per supplier over a unique (shipdate, orderkey, line) order."""
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_rev"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic — per-user change in value between consecutive events."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@register(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N — Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 4) AS session_value,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("window", "session"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch twin of streaming session_window."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800, 0
+        ).otherwise(1),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+    )

@@ -1,0 +1,68 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every implemented operator registers a named query (a callable
+``(spark, sf_dir) -> DataFrame``) and, when SQL-expressible, a DuckDB
+oracle SQL string computing the same result. ``__spark_entry__.py``
+exposes this registry to the driver.
+
+Determinism rules (both sides must follow them so the driver's
+order-insensitive value-hash matches):
+
+- Alias every computed column identically in Spark and SQL.
+- Round every floating-point aggregate to a fixed number of decimals —
+  Spark and DuckDB sum doubles in different orders, so raw sums differ
+  in the last ulps.
+- Arrays are compared as joined strings (sorted first) — engines
+  disagree on array hashing.
+- Any top-k / limit query needs a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with an optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every module that registers queries, then return the registry."""
+    # Imports are side-effecting (decorators fill REGISTRY).
+    from hgn_spark.operators import relational  # noqa: F401
+    from hgn_spark.operators import dedup  # noqa: F401
+    from hgn_spark.operators import similarity  # noqa: F401
+    from hgn_spark.operators import text  # noqa: F401
+    from hgn_spark.graph import queries as graph_queries  # noqa: F401
+    from hgn_spark.streaming import queries as streaming_queries  # noqa: F401
+
+    return REGISTRY

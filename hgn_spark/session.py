@@ -1,0 +1,82 @@
+"""SparkSession factory.
+
+The reference hand-builds a SparkConf from YAML and then fights Catalyst
+with manual repartition(4)/sortWithinPartitions and disabled broadcast
+joins (reference confs/quakers.yml:24-27, spark_manager/spark_manager.py:61-89).
+We do the opposite: enable AQE and let the optimizer choose physical
+strategy; the only knobs we pin are the ones that matter for
+reproducibility (UTC session timezone) and local-mode throughput
+(shuffle partitions ~ cores, Arrow for any pandas exchange).
+
+At cluster scale the same factory applies — the settings below are
+size-relative (AQE coalesces/splits partitions at runtime), not tuned to
+the local test box.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime partition coalescing, skew-join splitting, dynamic
+    # broadcast decisions. This replaces every manual repartition the
+    # reference scattered through its pipeline.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamps vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every pandas_udf / toPandas hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Iterative graph algorithms need cheap lineage truncation.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+    # Quiet non-interactive runs.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "hgn_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes the cluster master / lets spark-submit set it.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.default.parallelism", str(shuffle_partitions))
+    # local mode = driver-only JVM; give it headroom if we create the JVM.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # Connected components & the HGN loop checkpoint each iteration.
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CKPT", "/tmp/hgn_spark_ckpt")
+        )
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,76 @@
+"""Mirror of the driver's correctness gate: every registered query with an
+oracle must match DuckDB on row count, column names, and (order-insensitive)
+values at the test scale factor."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hgn_spark.registry import load_all
+from tests.conftest import SF_ORACLE
+
+SPECS = load_all()
+ORACLE_SPECS = [s for s in SPECS.values() if s.oracle is not None]
+
+
+def _normalize(df):
+    """pandas frame → sorted-by-name columns, canonical row ordering, rounded."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == "float64" or df[c].dtype == "float32":
+            df[c] = df[c].astype("float64").round(6)
+        # duckdb can return int32 where spark gives int64 etc.
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_parity(spark, duck, spec):
+    got = _normalize(spec.fn(spark, SF_ORACLE).toPandas())
+    want = _normalize(duck.execute(spec.oracle).fetchdf())
+
+    assert list(got.columns) == list(want.columns), (
+        f"{spec.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{spec.name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype == "float64":
+            bad = ~(
+                (g.isna() & w.isna())
+                | (g.combine(w, lambda a, b: _close(a, b)))
+            )
+        else:
+            bad = ~((g.isna() & w.isna()) | (g == w))
+        assert not bad.any(), (
+            f"{spec.name}: column {c} differs at rows "
+            f"{got[bad].head(5).to_dict()} vs {want[bad].head(5).to_dict()}"
+        )
+
+
+def _close(a, b):
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+        return (a is None or math.isnan(a)) and (b is None or math.isnan(b))
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["nation", "revenue", "n_orders", "avg_qty"]
+
+
+def test_all_queries_have_fn():
+    for name, spec in SPECS.items():
+        assert callable(spec.fn), name
