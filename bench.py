@@ -3,8 +3,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed as a full pipeline (plan + execute + drain
-results via count on a cheap projection) — what a cluster would pay.
+Each query is executed as a full pipeline and drained with a noop
+write — `count()` lets Catalyst prune unreferenced window/agg
+expressions, so it under-measures real work (VERDICT r1 #3); the noop
+sink evaluates every output column without collecting to the driver.
 """
 
 from __future__ import annotations
@@ -58,29 +60,39 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
     timings: dict[str, float] = {}
+    missing: list[str] = []
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
+            missing.append(name)
+            print(f"# MISSING headline query: {name}", file=sys.stderr)
             continue
-        # Warm the JVM/codegen path once at plan level only.
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = spec.fn(spark, sf_dir)
+            # Full-evaluation drain: every column computed, nothing collected.
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if missing:
+        out["missing"] = missing
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -32,10 +32,34 @@ def _normalize(df):
     return df
 
 
+def _dtype_family(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime"):
+        return "datetime"
+    return s
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
 def test_oracle_parity(spark, duck, spec):
-    got = _normalize(spec.fn(spark, SF_ORACLE).toPandas())
-    want = _normalize(duck.execute(spec.oracle).fetchdf())
+    raw_got = spec.fn(spark, SF_ORACLE).toPandas()
+    raw_want = duck.execute(spec.oracle).fetchdf()
+
+    # The driver's value-hash is dtype-sensitive (ADVICE r1: DuckDB HUGEINT
+    # → float64 silently passed the coerced check). Fail on family drift
+    # BEFORE any normalization coerces it away.
+    got_fams = {c: _dtype_family(raw_got[c].dtype) for c in sorted(raw_got.columns)}
+    want_fams = {c: _dtype_family(raw_want[c].dtype) for c in sorted(raw_want.columns)}
+    assert got_fams == want_fams, (
+        f"{spec.name}: dtype-family drift (driver hash would diverge): "
+        f"spark={got_fams} duckdb={want_fams}"
+    )
+
+    got = _normalize(raw_got)
+    want = _normalize(raw_want)
 
     assert list(got.columns) == list(want.columns), (
         f"{spec.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
@@ -67,7 +91,7 @@ def test_entry_smoke(spark):
 
     df = mod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # driver requires rows > 0 (ADVICE r1)
     assert df.columns == ["nation", "revenue", "n_orders", "avg_qty"]
 
 
