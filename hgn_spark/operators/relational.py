@@ -722,6 +722,291 @@ def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gap-fill surface (VERDICT r1 §missing #7): null predicates, na handling,
+# struct casts, positional union, map explode, struct-key joins, right outer,
+# multi-key self-join, agg+HAVING.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_null_predicates",
+    oracle="""
+    SELECT user_id, count(*) AS n_follow, round(avg(value), 4) AS avg_value
+    FROM (SELECT user_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events)
+    WHERE prev_ts IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("filter", "null"),
+)
+def filter_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NOT NULL filter on a window-produced null (reference P5,
+    graph_tools/graph_tools.py:496-502 null-filtering subqueries)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "fillna_defaults",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_rows,
+           round(sum(coalesce(o.o_totalprice, 0.0)), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("null",),
+)
+def fillna_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna on join-produced nulls (reference P6 fillna,
+    graph_tools/graph_tools.py:362)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .na.fill({"o_totalprice": 0.0})
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "dropna_rows",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(delta), 2) AS total_delta
+    FROM (SELECT o_orderpriority,
+                 o_totalprice - lag(o_totalprice)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS delta
+          FROM orders)
+    WHERE delta IS NOT NULL
+    GROUP BY o_orderpriority
+    """,
+    tags=("null",),
+)
+def dropna_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropna(subset) on a computed column (reference P6 dropna,
+    graph_tools/graph_tools.py:284)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("delta", F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .na.drop(subset=["delta"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("delta"), 2).alias("total_delta"))
+    )
+
+
+@register(
+    "struct_cast_fields",
+    oracle="""
+    SELECT CAST(l_suppkey AS INT) AS src, count(*) AS n_edges,
+           round(max(l_quantity), 2) AS max_w
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("struct", "cast"),
+)
+def struct_cast_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-struct cast to a named narrower StructType (reference P8,
+    spark_manager/spark_manager.py:449-451)."""
+    edge = F.struct(
+        F.col("l_suppkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    ).cast("struct<src:int,dst:int,weight:double>")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(edge.alias("edge"))
+        .groupBy(F.col("edge.src").alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.max("edge.weight"), 2).alias("max_w"),
+        )
+    )
+
+
+@register(
+    "union_positional_symmetrize",
+    oracle="""
+    WITH sym AS (
+      SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
+      UNION
+      SELECT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT src, count(*) AS degree FROM sym GROUP BY src
+    """,
+    tags=("setop", "graph"),
+)
+def union_positional_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional union of reversed edges — the reference's undirected-graph
+    emulation (U1, graph_tools/graph_tools.py:125-126)."""
+    e = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        e.union(e.select("dst", "src"))  # positional: values swap columns
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+@register(
+    "explode_map_entries",
+    oracle="""
+    SELECT linenumber, count(*) AS n_lines, round(sum(qty), 2) AS total_qty
+    FROM (SELECT l_orderkey, l_linenumber AS linenumber, sum(l_quantity) AS qty
+          FROM lineitem GROUP BY 1, 2)
+    GROUP BY linenumber
+    """,
+    tags=("map", "array"),
+)
+def explode_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map build → explode(map) round-trip (reference F1, the distances-map
+    explode at graph_tools/graph_tools.py:142-145).
+
+    Map keys must be unique, so quantities are pre-summed per
+    (order, linenumber) — testdata reuses line numbers within an order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    m = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "qty")))
+        ).alias("qty_by_line")
+    )
+    exploded = m.select("l_orderkey", F.explode("qty_by_line").alias("linenumber", "qty"))
+    return exploded.groupBy("linenumber").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("qty"), 2).alias("total_qty"),
+    )
+
+
+@register(
+    "join_struct_key",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "struct"),
+)
+def join_struct_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join condition reaching into a struct field (reference J6:
+    m.a.id = l.dst, graph_tools/graph_tools.py:206-207)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.struct(
+            F.col("l_orderkey").alias("id"), F.col("l_linenumber").alias("ln")
+        ).alias("a"),
+        "l_extendedprice",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["a.id"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_nationkey, count(o.o_orderkey) AS n_orders,
+           count(DISTINCT c.c_custkey) AS n_cust
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer join (reference J7/J8, graph_tools/graph_tools.py:465-483)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+        )
+    )
+
+
+@register(
+    "join_multikey_self",
+    oracle="""
+    SELECT a.l_partkey, count(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+     AND a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
+     AND a.l_quantity = b.l_quantity AND a.l_orderkey < b.l_orderkey
+    GROUP BY a.l_partkey
+    """,
+    tags=("join",),
+)
+def join_multikey_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-key conjunction self-join (reference J9, graph_tools.py:493-508).
+
+    Keys are stored columns (no computed floats), so equality is exact on
+    both engines — the reference's float-equality hazard (SURVEY §8.5)
+    doesn't apply. The equi keys drive one shuffle; the `<` inequality
+    evaluates post-shuffle.
+    """
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus", "l_quantity"]
+    a = load_table(spark, sf_dir, "lineitem").select(cols)
+    b = a.select([F.col(c).alias(f"r_{c}") for c in cols])
+    cond = (
+        (a.l_partkey == b.r_l_partkey)
+        & (a.l_suppkey == b.r_l_suppkey)
+        & (a.l_returnflag == b.r_l_returnflag)
+        & (a.l_linestatus == b.r_l_linestatus)
+        & (a.l_quantity == b.r_l_quantity)
+        & (a.l_orderkey < b.r_l_orderkey)
+    )
+    return a.join(b, cond).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "agg_having_filter",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+    tags=("agg", "having"),
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter after aggregation (reference A4 component-size HAVING,
+    graph_tools/graph_tools.py:531-532)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
 @register(
     "sessionize_events",
     oracle="""
