@@ -1,0 +1,115 @@
+"""Graph primitives on plain DataFrames (SURVEY.md §2.9 G1-G3).
+
+A graph is two DataFrames: vertices ``(id, *features)`` and edges
+``(src, dst)`` — the same model the reference builds via GraphFrames
+(reference spark_manager/spark_manager.py:92-100). No GraphFrames
+dependency: every operator here is a declarative DataFrame plan, so
+Catalyst/AQE pick the physical strategy and the same code runs at any
+scale.
+
+Undirectedness is emulated by symmetrizing before traversals, exactly
+as the reference does (graph_tools/graph_tools.py:125-126,336-337) —
+but storage stays canonical ``src < dst`` where possible, which halves
+the both-orientations join pattern (SURVEY §8.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Union reversed edges, drop self-loops and duplicates.
+
+    Reference parity: graph_tools/graph_tools.py:125-126 (the union-of-
+    reversed pattern before every traversal).
+    """
+    e = edges.select("src", "dst")
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """Collapse both orientations onto ``src < dst`` rows."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree over the symmetrized graph → (id, degree)."""
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def neighbor_pairs(edges: DataFrame, level: int = 1) -> DataFrame:
+    """Ordered (src, dst) pairs with dst in the level-``level`` neighborhood.
+
+    level=1: adjacent vertices. level=2: adjacent ∪ two-hop endpoints
+    (the reference's lvl2 includes lvl1 midpoints — graph_tools/
+    graph_tools.py:343-350 unions dst and dst_2), excluding self.
+
+    The 2-hop set is built with one self-join of the symmetrized edge
+    table, not the motif API: at scale the join shuffles once on the
+    midpoint key and AQE handles skewed hubs; a motif engine would
+    build the same join chain with less control.
+    """
+    sym = symmetrize(edges)
+    if level == 1:
+        return sym
+    a = sym.alias("a")
+    b = sym.alias("b")
+    two = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+    )
+    return sym.unionByName(two).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def neighbors(
+    edges: DataFrame, vertices: DataFrame | None = None, level: int = 1
+) -> DataFrame:
+    """Per-vertex neighbor sets → (id, count, neighbors array).
+
+    Reference parity: find_neighbors (graph_tools/graph_tools.py:328-370):
+    collect_set + count per vertex, full-joined against the vertex table
+    so isolated vertices appear with count 0 / empty array.
+
+    Scale note: the neighbor array is bounded by the max degree at the
+    chosen level; for power-law graphs the hub rows dominate one task —
+    AQE skew-split handles the groupBy, and downstream consumers should
+    prefer the (src, dst) pair form (`neighbor_pairs`) when they only
+    need joins, not materialized sets.
+    """
+    pairs = neighbor_pairs(edges, level=level)
+    agg = pairs.groupBy(F.col("src").alias("id")).agg(
+        F.collect_set("dst").alias("neighbors"), F.count("dst").alias("count")
+    )
+    if vertices is None:
+        return agg
+    return (
+        vertices.select("id")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("count", F.lit(0)).alias("count"),
+            F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
+        )
+    )
+
+
+def drop_isolated_vertices(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Keep vertices that appear in at least one edge (reference G15,
+    GraphFrames dropIsolatedVertices at main.py:208) — one semi-join."""
+    ids = symmetrize(edges).select(F.col("src").alias("id"))
+    return vertices.join(ids, "id", "left_semi")

@@ -1,1 +1,279 @@
-"""Filled in later this round."""
+"""Registered graph queries over a testdata-derived graph.
+
+The testdata has no edge table, so a deterministic co-supplier graph is
+derived from `lineitem`: two suppliers are connected when they supply
+the same part in large quantity (>= 49), restricted to suppliers in the
+same mod-5 bucket so the graph fragments into several components
+(otherwise the 100-supplier projection is one giant blob). Both the
+Spark queries and the DuckDB oracles derive the graph from the same
+parquet with the same expression, so every operator below gets a full
+hash-checked correctness row — including connected components and
+truncated betweenness, which the round-1 verdict only asked for as
+rows-only.
+
+At sf0.01 the graph is 98 nodes / 235 edges / 5 components with an
+average of 1.85 common neighbors per edge — small, but the Spark plans
+are the same shape at any scale (the derivation itself is a lineitem
+self-join on the part key, which AQE handles like any other equi-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hgn_spark.catalog import load_table
+from hgn_spark.graph.betweenness import edge_betweenness
+from hgn_spark.graph.components import component_sizes, connected_components
+from hgn_spark.graph.core import degrees, neighbors
+from hgn_spark.graph.hgn import HGNParams, hgn_communities
+from hgn_spark.graph.rmetrics import r_metrics_edges
+from hgn_spark.registry import register
+
+R1_THRES = 0.25
+R2_THRES = 0.25
+MIN_COMP_SIZE = 3
+
+# Shared oracle prologue: the derived graph + its symmetrized form.
+GRAPH_CTE = """
+gedges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+  WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
+    AND a.l_suppkey < b.l_suppkey
+    AND a.l_suppkey % 5 = b.l_suppkey % 5
+),
+sym AS (SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges)
+"""
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same graph in Spark: one lineitem self-join on the part key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_suppkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .filter(
+            (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("a.l_suppkey") % 5 == F.col("b.l_suppkey") % 5)
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_degrees",
+    oracle=f"""
+    WITH {GRAPH_CTE}
+    SELECT src AS id, count(*) AS degree FROM sym GROUP BY src
+    """,
+    tags=("graph",),
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree (G3's count half; graph_tools.py:354-357)."""
+    return degrees(derived_edges(spark, sf_dir))
+
+
+@register(
+    "graph_neighbors_lvl2",
+    oracle=f"""
+    WITH {GRAPH_CTE},
+    lvl2 AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM sym
+        UNION ALL
+        SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src
+        WHERE a.src <> b.dst
+      )
+    )
+    SELECT u AS id, count(*) AS count,
+           array_to_string(list_sort(list(v)), ',') AS neighbors
+    FROM lvl2 GROUP BY u
+    """,
+    tags=("graph",),
+)
+def graph_neighbors_lvl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 neighborhoods: 1-hop ∪ 2-hop endpoints, self excluded
+    (G3, graph_tools/graph_tools.py:328-370). Arrays serialized sorted
+    for the order-insensitive hash."""
+    nb = neighbors(derived_edges(spark, sf_dir), level=2)
+    return nb.select(
+        "id",
+        "count",
+        F.array_join(F.sort_array("neighbors"), ",").alias("neighbors"),
+    )
+
+
+@register(
+    "graph_rmetrics",
+    oracle=f"""
+    WITH {GRAPH_CTE},
+    lvl2 AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM sym
+        UNION ALL
+        SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src
+        WHERE a.src <> b.dst
+      )
+    ),
+    deg1 AS (SELECT src AS id, count(*) AS cnt FROM sym GROUP BY src),
+    deg2 AS (SELECT u AS id, count(*) AS cnt FROM lvl2 GROUP BY u),
+    cn1 AS (
+      SELECT e.src, e.dst, count(*) AS c
+      FROM gedges e
+      JOIN sym n1 ON n1.src = e.src
+      JOIN sym n2 ON n2.src = e.dst AND n2.dst = n1.dst
+      GROUP BY e.src, e.dst
+    ),
+    cn2 AS (
+      SELECT e.src, e.dst, count(*) AS c
+      FROM gedges e
+      JOIN lvl2 n1 ON n1.u = e.src
+      JOIN lvl2 n2 ON n2.u = e.dst AND n2.v = n1.v
+      WHERE n1.v <> e.src AND n1.v <> e.dst
+      GROUP BY e.src, e.dst
+    )
+    SELECT e.src, e.dst,
+           round(coalesce(cn1.c, 0) * 1.0 / d1s.cnt, 4) AS r11,
+           round(coalesce(cn1.c, 0) * 1.0 / d1d.cnt, 4) AS r12,
+           round(coalesce(cn2.c, 0) * 1.0 / d2s.cnt, 4) AS r21,
+           round(coalesce(cn2.c, 0) * 1.0 / d2d.cnt, 4) AS r22,
+           (coalesce(cn1.c, 0) * 1.0 / d1s.cnt > {R1_THRES}
+            OR coalesce(cn1.c, 0) * 1.0 / d1d.cnt > {R1_THRES}
+            OR coalesce(cn2.c, 0) * 1.0 / d2s.cnt > {R2_THRES}
+            OR coalesce(cn2.c, 0) * 1.0 / d2d.cnt > {R2_THRES}) AS keepit
+    FROM gedges e
+    JOIN deg1 d1s ON d1s.id = e.src
+    JOIN deg1 d1d ON d1d.id = e.dst
+    JOIN deg2 d2s ON d2s.id = e.src
+    JOIN deg2 d2d ON d2d.id = e.dst
+    LEFT JOIN cn1 ON cn1.src = e.src AND cn1.dst = e.dst
+    LEFT JOIN cn2 ON cn2.src = e.src AND cn2.dst = e.dst
+    """,
+    tags=("graph",),
+)
+def graph_rmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11/r12/r21/r22 + keepit per edge (G4 with UD2-UD5 as native
+    expressions, graph_tools/graph_tools.py:372-435)."""
+    scored = r_metrics_edges(derived_edges(spark, sf_dir), R1_THRES, R2_THRES)
+    return scored.select(
+        "src",
+        "dst",
+        F.round("r11", 4).alias("r11"),
+        F.round("r12", 4).alias("r12"),
+        F.round("r21", 4).alias("r21"),
+        F.round("r22", 4).alias("r22"),
+        "keepit",
+    )
+
+
+@register(
+    "graph_betweenness_k2",
+    oracle=f"""
+    WITH {GRAPH_CTE},
+    p2 AS (
+      SELECT a.src AS src, a.dst AS mid, b.dst AS dst
+      FROM sym a JOIN sym b ON a.dst = b.src
+      WHERE a.src <> b.dst
+        AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = a.src AND s.dst = b.dst)
+    ),
+    sigma AS (SELECT src, dst, count(*) AS m FROM p2 GROUP BY src, dst),
+    contrib AS (
+      SELECT least(p.src, p.mid) AS e_src, greatest(p.src, p.mid) AS e_dst,
+             1.0 / s.m AS w
+      FROM p2 p JOIN sigma s ON s.src = p.src AND s.dst = p.dst
+      UNION ALL
+      SELECT least(p.mid, p.dst), greatest(p.mid, p.dst), 1.0 / s.m
+      FROM p2 p JOIN sigma s ON s.src = p.src AND s.dst = p.dst
+      UNION ALL
+      SELECT least(src, dst), greatest(src, dst), 1.0 FROM sym
+    )
+    SELECT e_src AS src, e_dst AS dst, round(sum(w), 4) AS betweenness
+    FROM contrib GROUP BY 1, 2
+    """,
+    tags=("graph",),
+)
+def graph_betweenness_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated GN edge betweenness, k=2, correct fractional counting
+    (G5-G8 collapsed into two self-joins; see betweenness.py header)."""
+    b = edge_betweenness(derived_edges(spark, sf_dir), max_sp_length=2)
+    return b.select("src", "dst", F.round("betweenness", 4).alias("betweenness"))
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {GRAPH_CTE},
+    walk(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    )
+    SELECT node AS id, min(comp) AS component FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star (G13).
+
+    Hash-checked against a DuckDB recursive min-label closure — both
+    converge to component = min member id.
+    """
+    return connected_components(derived_edges(spark, sf_dir))
+
+
+@register(
+    "graph_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE {GRAPH_CTE},
+    walk(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    )
+    SELECT component, count(*) AS n_members FROM (
+      SELECT node, min(comp) AS component FROM walk GROUP BY node
+    ) GROUP BY component HAVING count(*) >= {MIN_COMP_SIZE}
+    """,
+    tags=("graph",),
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component sizes with the small-community HAVING filter (G14 —
+    defined in the reference but never wired; wired here)."""
+    comps = connected_components(derived_edges(spark, sf_dir))
+    return component_sizes(comps, min_size=MIN_COMP_SIZE)
+
+
+@register("hgn_communities", oracle=None, tags=("graph", "iterative", "flagship"))
+def hgn_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HGN loop on the derived graph (G11-G12 + G13): r-metrics →
+    hybrid weights → deletion rule → convergence → components.
+
+    Vertices come from `supplier` with s_nationkey as the single
+    categorical feature (cosine ∈ {0,1}, like the reference's Quakers
+    Gender-only run — SURVEY §8.8). Iterative and non-SQL-expressible →
+    rows-only correctness; algorithmic checks live in
+    tests/test_graph.py on hand-computed fixtures.
+    """
+    edges = derived_edges(spark, sf_dir)
+    vertices = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_nationkey").alias("nationkey")
+    )
+    params = HGNParams(
+        r_lvl1_thres=R1_THRES,
+        r_lvl2_thres=R2_THRES,
+        max_edge_weight=0.5,
+        betweenness_thres=3.0,
+        feature_min_avg=0.5,
+        max_steps=3,
+        max_sp_length=2,
+    )
+    return hgn_communities(vertices, edges, ["nationkey"], params)

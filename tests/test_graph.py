@@ -1,0 +1,200 @@
+"""Algorithmic checks for the graph layer on hand-computed fixtures.
+
+The fixture is two triangles {1,2,3} and {4,5,6} joined by the bridge
+3-4, plus isolated vertex 7. Every expected value below is derived by
+hand (the container has no networkx), which is exact for graphs this
+size — the SURVEY §5 test plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgn_spark.graph.betweenness import edge_betweenness, shortest_path_lengths
+from hgn_spark.graph.components import (
+    component_sizes,
+    connected_components,
+    filter_small_components,
+)
+from hgn_spark.graph.core import degrees, drop_isolated_vertices, neighbors, symmetrize
+from hgn_spark.graph.hgn import HGNParams, hgn_communities
+from hgn_spark.graph.rmetrics import r_metrics_edges
+from hgn_spark.graph.weights import hybrid_edge_weights, one_hot_cosine_similarities
+
+EDGES = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+@pytest.fixture(scope="module")
+def vertices(spark):
+    # attr: triangle membership; vertex 7 is isolated
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b"), (7, "c")]
+    return spark.createDataFrame(rows, "id long, attr string")
+
+
+def _as_dict(df, key, val):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+def test_symmetrize(edges):
+    sym = symmetrize(edges)
+    assert sym.count() == 2 * len(EDGES)
+    assert sym.filter("src = dst").count() == 0
+
+
+def test_degrees(edges):
+    got = _as_dict(degrees(edges), "id", "degree")
+    assert got == {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}
+
+
+def test_neighbors_lvl1_and_isolated(edges, vertices):
+    nb = neighbors(edges, vertices=vertices, level=1)
+    got = {r["id"]: (r["count"], sorted(r["neighbors"])) for r in nb.collect()}
+    assert got[3] == (3, [1, 2, 4])
+    assert got[7] == (0, [])  # isolated vertex: count 0, empty array
+
+
+def test_neighbors_lvl2(edges):
+    nb = neighbors(edges, level=2)
+    got = {r["id"]: sorted(r["neighbors"]) for r in nb.collect()}
+    assert got[1] == [2, 3, 4]          # 1-hop {2,3} ∪ 2-hop {4}
+    assert got[3] == [1, 2, 4, 5, 6]    # includes both triangle interiors
+    assert got[4] == [1, 2, 3, 5, 6]
+
+
+def test_shortest_path_lengths(edges):
+    sp = shortest_path_lengths(edges, max_len=2)
+    got = {(r["src"], r["dst"]): r["distance"] for r in sp.collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 4)] == 2
+    assert got[(3, 5)] == 2
+    assert (1, 5) not in got  # distance 3: beyond truncation
+    assert (1, 1) not in got
+
+
+def test_rmetrics(edges):
+    scored = r_metrics_edges(edges, r_lvl1_thres=0.25, r_lvl2_thres=0.9)
+    rows = {(r["src"], r["dst"]): r for r in scored.collect()}
+    e12 = rows[(1, 2)]
+    assert e12["r11"] == pytest.approx(0.5)  # CN={3}, deg(1)=2
+    assert e12["r12"] == pytest.approx(0.5)
+    assert e12["keepit"] is True
+    bridge = rows[(3, 4)]
+    assert bridge["r11"] == 0.0 and bridge["r12"] == 0.0  # no lvl1 CN
+    assert sorted(bridge["common_neighbors"]) == [1, 2, 5, 6]  # lvl2 CN
+    assert bridge["r21"] == pytest.approx(4 / 5)  # |CN|=4, |lvl2(3)|=5
+    assert bridge["r22"] == pytest.approx(4 / 5)
+    assert bridge["keepit"] is False  # 0.8 < 0.9 threshold
+
+
+def test_betweenness_fractional(edges):
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(edges, max_sp_length=2).collect()
+    }
+    # d1: every edge gets 2 (both orientations). d2 paths (σ=1 each):
+    # 1-3-4, 2-3-4, 3-4-5, 3-4-6 — each ordered both ways (+2 per edge).
+    assert got[(1, 2)] == pytest.approx(2.0)
+    assert got[(1, 3)] == pytest.approx(4.0)
+    assert got[(2, 3)] == pytest.approx(4.0)
+    assert got[(3, 4)] == pytest.approx(10.0)  # bridge: 2 + 4 paths × 2
+    assert got[(4, 5)] == pytest.approx(4.0)
+    assert got[(5, 6)] == pytest.approx(2.0)
+
+
+def test_betweenness_compat_single_path(spark):
+    # Square 1-2-4-3-1: pair (1,4) has σ=2 (via 2 or 3). Compat keeps one
+    # path (smallest mid=2); fractional splits 0.5/0.5.
+    sq = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    frac = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(sq).collect()
+    }
+    # edge (1,2): d1=2; paths 1-2-4 (σ=2, both directions) → +2·(1/2)=1;
+    # paths 2-1-3 (σ=1... wait (2,3) non-adjacent, mids {1,4} → σ=2) → +1.
+    assert frac[(1, 2)] == pytest.approx(2.0 + 1.0 + 1.0)
+    compat = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(sq, compat_single_path=True).collect()
+    }
+    # (1,4) keeps only mid=2 path; (2,3) keeps only mid=1 path.
+    assert compat[(1, 2)] == pytest.approx(2.0 + 2.0 + 2.0)
+    assert compat[(3, 4)] == pytest.approx(2.0)  # loses both picks
+
+
+def test_connected_components(edges, vertices, spark):
+    comps = _as_dict(connected_components(edges, vertices), "id", "component")
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7}
+    cut = spark.createDataFrame(
+        [e for e in EDGES if e != (3, 4)], "src long, dst long"
+    )
+    comps2 = _as_dict(connected_components(cut), "id", "component")
+    assert comps2 == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_component_sizes_and_small_filter(spark, vertices):
+    cut = spark.createDataFrame(
+        [e for e in EDGES if e != (3, 4)] + [(8, 9)], "src long, dst long"
+    )
+    comps = connected_components(cut)
+    sizes = _as_dict(component_sizes(comps, min_size=3), "component", "n_members")
+    assert sizes == {1: 3, 4: 3}  # the 2-node component {8,9} filtered out
+    v = vertices.union(spark.createDataFrame([(8, "d"), (9, "d")], "id long, attr string"))
+    fv, fe = filter_small_components(v, cut, min_size=3)
+    assert sorted(r["id"] for r in fv.collect()) == [1, 2, 3, 4, 5, 6]
+    assert fe.count() == 6
+
+
+def test_drop_isolated(edges, vertices):
+    kept = drop_isolated_vertices(vertices, edges)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_one_hot_cosine(edges, vertices):
+    sims = _as_dict(
+        one_hot_cosine_similarities(edges, vertices, ["attr"]).withColumn(
+            "key", F.concat_ws("-", "src", "dst")
+        ),
+        "key",
+        "similarity",
+    )
+    assert sims["1-2"] == 1.0  # same attr
+    assert sims["3-4"] == 0.0  # across triangles
+
+
+def test_hybrid_edge_weights(edges, vertices):
+    scored = r_metrics_edges(edges, r_lvl1_thres=0.25, r_lvl2_thres=0.9)
+    sims = one_hot_cosine_similarities(edges, vertices, ["attr"])
+    sims = sims.union(
+        sims.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity")
+    )
+    w = hybrid_edge_weights(scored, sims, feature_min_avg=0.6).collect()
+    # Only candidate is the bridge (3,4); CN={1,2,5,6}; sim edges fully
+    # inside: (1,2) sim 1.0 and (5,6) sim 1.0 → weight 2/2 = 1.0.
+    assert len(w) == 1
+    assert (w[0]["src"], w[0]["dst"]) == (3, 4)
+    assert w[0]["edge_weight"] == pytest.approx(1.0)
+
+
+def test_hgn_loop_splits_triangles(edges, vertices):
+    params = HGNParams(
+        r_lvl1_thres=0.25,
+        r_lvl2_thres=0.9,
+        max_edge_weight=0.9,
+        betweenness_thres=5.0,
+        feature_min_avg=0.6,
+        max_steps=5,
+    )
+    comps = _as_dict(
+        hgn_communities(vertices, edges, ["attr"], params), "id", "component"
+    )
+    # Bridge weight 1.0 ≥ 0.9 but betweenness 10 > 5 → deleted; triangles
+    # survive (all keepit). Isolated 7 dropped.
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
