@@ -1,1 +1,156 @@
-"""Filled in later this round."""
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+Engine extension family (no reference counterpart — the reference's
+similarity is per-edge cosine on one-hot attributes, SURVEY §2.9 G9):
+
+- `simsearch_topk_cosine`: exact brute-force top-k — each query scans
+  the corpus once. This is the correctness baseline and the right
+  answer when queries ≪ corpus: the corpus-side scan parallelizes
+  perfectly and the per-query state is a k-row heap (here a window
+  top-k). Hash-checked against DuckDB computing the identical
+  left-fold double cosine.
+- `simsearch_ivf_topk`: the scale path — IVF-style bucketing. Vectors
+  are assigned to their nearest centroid once (inverted lists); a query
+  probes only the nearest `nprobe` lists and re-ranks exactly. Probed
+  fraction ≈ nprobe/n_centroids of the corpus instead of all of it.
+  Centroids here are a deterministic subsample (vec_id % stride == 0) —
+  a production run would k-means them, but the plan shape (broadcast
+  centroids → argmax assign → equi-join on list id → exact re-rank) is
+  the same.
+
+Cosines are computed with native higher-order functions (zip_with +
+aggregate over double), never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hgn_spark.catalog import load_table
+from hgn_spark.registry import register
+
+QUERY_STRIDE = 50     # vec_id % 50 == 0 → the standing query set
+CENTROID_STRIDE = 25  # deterministic IVF centroid subsample
+TOP_K = 5
+NPROBE = 3
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product — same accumulation order as
+    DuckDB's list_sum over list_transform, so results are bit-stable
+    across both engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = as_double(a), as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+_DUCK_COS = """
+    list_sum(list_transform(range(1, len(qe) + 1),
+             i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x)))
+       * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x))))
+"""
+
+
+@register(
+    "simsearch_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id % {QUERY_STRIDE} = 0),
+    pairs AS (
+      SELECT q.q_id, e.vec_id, {_DUCK_COS} AS cos
+      FROM q JOIN (SELECT vec_id, embedding AS ce FROM embeddings) e
+        ON e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, round(cos, 6) AS cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(cos, 6) DESC, vec_id) AS rnk
+      FROM pairs)
+    SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity",),
+)
+def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine per standing query (brute-force baseline).
+
+    The query set is broadcast; the corpus scan shuffles once for the
+    per-query window. Deterministic tie-break on (rounded cosine desc,
+    vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        emb.select("vec_id", F.col("embedding").alias("ce"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
+@register("simsearch_ivf_topk", oracle=None, tags=("similarity", "ann"))
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: assign → probe → exact re-rank.
+
+    Approximate (a true neighbor can live in an unprobed list) →
+    rows-only correctness; recall vs the exact baseline is asserted in
+    tests/test_llm_ops.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e")
+    )
+    # Inverted lists: nearest centroid per vector (one broadcast join).
+    scored = emb.join(F.broadcast(cents), how="cross").withColumn(
+        "cos_c", cosine(F.col("embedding"), F.col("cent_e"))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "embedding")
+    )
+    # Queries probe their NPROBE nearest lists.
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    qprobe = q.join(F.broadcast(cents), how="cross").withColumn(
+        "cos_c", cosine(F.col("qe"), F.col("cent_e"))
+    )
+    w_probe = W.partitionBy("q_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("q_id", "qe", "cent_id")
+    )
+    # Candidates = vectors in probed lists; exact re-rank.
+    cands = probes.join(assign, "cent_id").filter(F.col("vec_id") != F.col("q_id"))
+    rescored = cands.withColumn(
+        "cosine", F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )

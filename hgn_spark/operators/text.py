@@ -1,1 +1,183 @@
-"""Filled in later this round."""
+"""Text-analysis operators over the `documents` table.
+
+Engine extension family (no reference counterpart — the reference's
+only string handling happens in config space): language-ID heuristics,
+quality scoring, token statistics, shingling and fingerprinting for a
+training-data pipeline. Everything is native `pyspark.sql.functions`
+(higher-order array functions) — no Python UDFs, so the hot path stays
+in whole-stage codegen and scales with the scan.
+
+Fingerprints use md5 (not xxhash64) because md5 is identical across
+engines — the DuckDB oracles hash-check the exact fingerprint bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hgn_spark.catalog import load_table
+from hgn_spark.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# Marker tokens for the n-gram/keyword language-ID heuristic. The
+# synthetic corpus shares one vocabulary across its `lang` labels, so
+# markers are engine-vocabulary words: the point is the *mechanism*
+# (score per language, argmax with deterministic tie-break), verified
+# exactly against the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "es": ("table", "row"),
+    "de": ("data", "batch"),
+    "fr": ("value", "key"),
+    "zh": ("spark", "query"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Lower-cased whitespace tokens with empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda t: t != F.lit(""))
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Positional word n-grams (distinct), empty array below n tokens."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(tok) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB twin of `shingles` (1-based list indexing, exclusive range end).
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(l) - 1, 1)), "
+    "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))"
+)
+DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           len(list_distinct(l)) AS n_distinct,
+           round(list_sum(list_transform(l, t -> len(t))) * 1.0 / len(l), 4)
+             AS avg_token_len,
+           round(len(list_filter(l, t -> t IN {STOPWORDS})) * 1.0 / len(l), 4)
+             AS stopword_ratio,
+           (len(l) BETWEEN 20 AND 2000
+            AND len(list_filter(l, t -> t IN {STOPWORDS})) * 1.0 / len(l) < 0.3)
+             AS is_quality
+    FROM tok WHERE len(l) > 0
+    """,
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token counts, average token length,
+    stopword ratio, and a quality gate — the standard pre-training
+    corpus filters, computed scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    d = docs.select("doc_id", tok.alias("l")).filter(F.size("l") > 0)
+    n = F.size("l")
+    stop_hits = F.size(F.filter(F.col("l"), lambda t: t.isin(*STOPWORDS)))
+    total_len = F.aggregate(
+        F.col("l"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("l")).alias("n_distinct"),
+        F.round(total_len * 1.0 / n, 4).alias("avg_token_len"),
+        F.round(stop_hits * 1.0 / n, 4).alias("stopword_ratio"),
+        (n.between(20, 2000) & (stop_hits * 1.0 / n < 0.3)).alias("is_quality"),
+    )
+
+
+def _duck_lang_score(markers: tuple[str, ...]) -> str:
+    return f"len(list_filter(l, t -> t IN {markers}))"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
+    scored AS (
+      SELECT doc_id,
+             list_reverse_sort([
+               {", ".join(
+                   "{'score': " + _duck_lang_score(m) + ", 'lang': '" + lang + "'}"
+                   for lang, m in sorted(LANG_MARKERS.items())
+               )}
+             ])[1] AS best
+      FROM tok)
+    SELECT doc_id, best.lang AS pred_lang, best.score AS score FROM scored
+    """,
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-profile language ID: score each language by marker-token
+    hits, pick the argmax (ties break toward the lexicographically
+    larger language tag — struct comparison semantics, identical in
+    both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("l"))
+    candidates = [
+        F.struct(
+            F.size(F.filter(F.col("l"), lambda t: t.isin(*m))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*candidates))
+    return d.select(
+        "doc_id",
+        best.getField("lang").alias("pred_lang"),
+        best.getField("score").alias("score"),
+    )
+
+
+@register(
+    "text_shingle_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
+    SELECT doc_id, len({DUCK_SHINGLES}) AS n_shingles
+    FROM tok
+    """,
+    tags=("text", "dedup"),
+)
+def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram shingle count per document — the dedup feature."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(shingles(tokens("text"))).alias("n_shingles")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(l, ' ')) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp_bag
+    FROM tok
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized exact fingerprint + order-insensitive
+    bag-of-words fingerprint (md5: byte-identical across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(t, " ")).alias("fp_exact"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(t)), " ")).alias("fp_bag"),
+    )

@@ -1,0 +1,86 @@
+"""Sinks + persistence ops (SURVEY §2.1 S3/S5/S6/S7, §2.11 C5).
+
+Reference parity with deliberate scale fixes:
+
+- S3 save_to_parquet (spark_manager.py:233-263) defaulted to
+  repartition(1) — a single-writer bottleneck. Here the writer keeps
+  Spark's natural output partitioning unless the caller asks otherwise.
+- S5 reload_df (parquet write+read+persist per step) existed to
+  truncate lineage; `checkpoint_df` does the same with localCheckpoint
+  (in-memory, no IO) or an optional durable parquet round-trip for the
+  reference's cached_init_step semantics (main.py:243-245).
+- S6 clean_and_reload_df = append ∪ dedupe ∪ overwrite
+  (spark_manager.py:192-213).
+- S7 per-community CSVs were built on the DRIVER via NetworkX +
+  toPandas (spark_manager.py:335-368); `write_communities_csv` is the
+  distributed form — one partitionBy write, no collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """S3 without the repartition(1) default."""
+    if num_partitions and partition_cols:
+        df = df.repartition(num_partitions, *partition_cols)
+    elif num_partitions:
+        df = df.repartition(num_partitions)
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4."""
+    return spark.read.parquet(path)
+
+
+def checkpoint_df(df: DataFrame, durable_path: str | None = None) -> DataFrame:
+    """S5: truncate lineage. localCheckpoint by default; pass a path for
+    the durable parquet round-trip (resume-after-restart semantics)."""
+    if durable_path is None:
+        return df.localCheckpoint(eager=True)
+    write_parquet(df, durable_path, mode="overwrite")
+    return read_parquet(df.sparkSession, durable_path)
+
+
+def append_dedupe_reload(
+    df: DataFrame, path: str, subset: list[str] | None = None
+) -> DataFrame:
+    """S6: append to a parquet accumulator, dedupe the union, overwrite
+    the final copy, reload. The reference used this to accumulate
+    shortest-path batches (graph_tools.py:148-152)."""
+    spark = df.sparkSession
+    pre = os.path.join(path, "pre")
+    final = os.path.join(path, "final")
+    write_parquet(df, pre, mode="append")
+    merged = read_parquet(spark, pre).dropDuplicates(subset)
+    write_parquet(merged, final, mode="overwrite")
+    return read_parquet(spark, final)
+
+
+def write_communities_csv(
+    components: DataFrame,
+    vertices: DataFrame,
+    path: str,
+    fill: str = "UNKNOWN",
+) -> None:
+    """S7 distributed: one CSV directory per community via partitionBy —
+    no driver collect, no NetworkX. Null features take the reference's
+    UNKNOWN fill (spark_manager.py:356)."""
+    out = vertices.join(components, "id", "inner")
+    str_cols = [c for c, t in out.dtypes if t == "string"]
+    out = out.fillna(fill, subset=str_cols)
+    out.write.mode("overwrite").partitionBy("component").option("header", True).csv(path)

@@ -1,1 +1,134 @@
-"""Filled in later this round."""
+"""Structured Streaming slice over `events` (SURVEY §2.10 — a reference
+gap; the reference has no streaming at all).
+
+Each query reads the events parquet as a file stream, runs a windowed /
+stateful transformation with an availableNow trigger into a memory
+sink, and returns the materialized result as a batch DataFrame — so
+the driver contract (callable → DataFrame) holds. Batch twins
+(`date_trunc_daily`, `sessionize_events`) exist for parity testing;
+streaming queries are rows-only in the oracle gate (non-SQL surface).
+
+Semantics notes:
+- tumbling window uses complete output mode (every window emitted at
+  the final trigger);
+- session windows use append mode + watermark, which is the honest
+  streaming semantics: sessions not closed by the final watermark
+  (those within the last hour of data) are withheld — the parity test
+  asserts the emitted subset matches the batch sessionizer;
+- the custom stateful operator (applyInPandasWithState) keeps a
+  per-user running count in explicit state — the pattern any custom
+  sessionizer/accumulator uses at scale.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hgn_spark.registry import register
+
+_SINK_COUNTER = itertools.count()
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file stream; same TIMESTAMP(NANOS) workaround as the
+    batch catalog (hgn_spark/catalog.py:_load_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file-stream source wants a directory: stream the sf dir with a
+    # glob that selects just the events file.
+    s = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Drain a streaming frame into a uniquely-named memory sink and
+    return the materialized table."""
+    name = f"hgn_stream_sink_{next(_SINK_COUNTER)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register("streaming_tumbling_daily", oracle=None, tags=("streaming",))
+def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window counts/sums with a 1-day watermark — the
+    streaming twin of `date_trunc_daily` (exact parity asserted in
+    tests/test_streaming.py)."""
+    s = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = s.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    out = agg.select(
+        F.col("w.start").alias("day"), "event_type", "n", "total_value"
+    )
+    return _run_to_memory(out, "complete")
+
+
+@register("streaming_session_windows", oracle=None, tags=("streaming",))
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user with a 1-hour watermark,
+    append mode — the streaming twin of `sessionize_events`."""
+    s = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+    return _run_to_memory(out, "append")
+
+
+@register("streaming_stateful_user_counts", oracle=None, tags=("streaming", "stateful"))
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    event counter held in explicit GroupState. Update mode appends one
+    row per (user, batch); the final per-user value is the max —
+    asserted equal to the batch groupBy count in tests."""
+
+    def _count(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    s = _stream_events(spark, sf_dir).select("user_id", "event_id")
+    counted = s.groupBy("user_id").applyInPandasWithState(
+        _count,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_to_memory(counted, "update")
+    return table.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

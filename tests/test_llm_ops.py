@@ -1,0 +1,142 @@
+"""Algorithmic checks for the dedup / similarity families that the
+DuckDB oracle cannot express (approximate, hash-dependent operators).
+
+Run at sf0.001 (500 docs / 500 vectors); the measured ground truth:
+28 planted near-dup pairs at jaccard ≥ 0.8 (actual values ≥ 0.889)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hgn_spark.registry import load_all
+from tests.conftest import SF_SMOKE
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    df = SPECS["dedup_ngram_jaccard_pairs"].fn(spark, SF_SMOKE)
+    return {(r["d1"], r["d2"]) for r in df.collect()}
+
+
+def test_exact_jaccard_finds_planted_dups(exact_pairs):
+    assert len(exact_pairs) == 28
+
+
+def test_minhash_lsh_subset_and_recall(spark, exact_pairs):
+    got = {
+        (r["d1"], r["d2"])
+        for r in SPECS["dedup_minhash_lsh_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    # Verified pairs can only be a subset of the exact-jaccard pairs...
+    assert got <= exact_pairs
+    # ...and the 4x4 sketch should catch nearly all of them (p≈0.99 at
+    # j=0.89; 26/28 observed).
+    assert len(got) / len(exact_pairs) >= 0.8
+
+
+def test_minhash_candidates_much_smaller_than_n_squared(spark):
+    """The LSH property that matters at 100 TB: candidate pairs ≪ n²."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators import dedup
+
+    n_docs = 500
+    sh = dedup._shingle_index(spark, SF_SMOKE)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"mh{p}")
+            for p in range(dedup.NUM_PERM)
+        ]
+    )
+    rows = dedup.NUM_PERM // dedup.BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(dedup.BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    left = bands.select(F.col("doc_id").alias("d1"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("d2"), F.col("band").alias("b2"), F.col("bh").alias("bh2"))
+    n_cands = (
+        left.join(
+            right,
+            (F.col("band") == F.col("b2"))
+            & (F.col("bh") == F.col("bh2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2")
+        .distinct()
+        .count()
+    )
+    assert n_cands < n_docs * (n_docs - 1) / 2 * 0.01  # <1% of all pairs
+
+
+def test_simhash_no_false_positives(spark, exact_pairs):
+    got = {
+        (r["d1"], r["d2"])
+        for r in SPECS["dedup_simhash_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    # hamming ≤ 3 on shingle-simhash is strictly tighter than jaccard 0.8:
+    # everything it finds is a real near-dup (17/28 observed).
+    assert got <= exact_pairs
+    assert len(got) >= 10
+
+
+def test_exact_dedup_groups(spark):
+    rows = SPECS["dedup_exact_groups"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_docs"] > 1
+        assert r["keep_doc"] >= 0
+
+
+def test_embedding_neardup_subset_of_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from hgn_spark.operators.dedup import EMB_COS_THRES
+    from hgn_spark.operators.similarity import cosine
+
+    got = {
+        (r["v1"], r["v2"])
+        for r in SPECS["dedup_embedding_neardup_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    brute = {
+        (r["v1"], r["v2"])
+        for r in a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cos", cosine(F.col("e1"), F.col("e2")))
+        .filter(F.col("cos") >= EMB_COS_THRES)
+        .select("v1", "v2")
+        .collect()
+    }
+    assert got <= brute
+    assert len(got) > 0  # SRP recall at cosine≈0.4 is low by design, not zero
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    bf = {
+        (r["q_id"], r["vec_id"])
+        for r in SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r["q_id"], r["vec_id"])
+        for r in SPECS["simsearch_ivf_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(bf) == 50  # 10 queries × top-5
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.8  # 0.96 observed with 20 lists / 3 probes

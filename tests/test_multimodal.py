@@ -1,0 +1,59 @@
+"""Multimodal plumbing checks: schema, mapInPandas features, stubs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hgn_spark.multimodal.ops import (
+    binary_documents,
+    byte_histogram_features,
+    decode_image,
+    fake_decode,
+    sample_frames,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_binary_schema(spark):
+    b = binary_documents(spark, SF_SMOKE)
+    assert dict(b.dtypes) == {
+        "doc_id": "bigint",
+        "payload": "binary",
+        "modality": "string",
+    }
+
+
+def test_byte_histogram_matches_numpy(spark):
+    b = binary_documents(spark, SF_SMOKE).filter(F.col("doc_id") < 5)
+    got = {r["doc_id"]: r for r in byte_histogram_features(b).collect()}
+    src = {r["doc_id"]: r["payload"] for r in b.collect()}
+    assert len(got) == len(src)
+    for doc_id, payload in src.items():
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr // 16, minlength=16)[:16]
+        r = got[doc_id]
+        assert r["n_bytes"] == arr.size
+        assert r["n_distinct_bytes"] == np.unique(arr).size
+        assert list(r["hist"]) == [int(x) for x in hist]
+
+
+def test_decode_stub_raises_and_fake_is_deterministic():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    a = fake_decode(b"abc", 4, 4)
+    assert a == fake_decode(b"abc", 4, 4)
+    assert len(a) == 16
+    assert a[:4] == [ord("a"), ord("b"), ord("c"), ord("a")]
+    assert fake_decode(b"", 2, 2) == [0, 0, 0, 0]
+
+
+def test_sample_frames(spark):
+    b = binary_documents(spark, SF_SMOKE).filter(F.col("doc_id") == 0)
+    payload = b.collect()[0]["payload"]
+    frames = sample_frames(b, every_nth=4, frame_bytes=16).collect()
+    n_frames_total = (len(payload) + 15) // 16
+    expect_kept = len(range(0, n_frames_total, 4))
+    assert len(frames) == expect_kept
+    assert bytes(frames[0]["frame"]) == payload[:16]

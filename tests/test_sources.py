@@ -1,0 +1,109 @@
+"""CSV source + sink round-trips on Quakers-shaped fixtures."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hgn_spark.sources.csv import load_edges_csv, load_nodes_csv
+from hgn_spark.sources.sinks import (
+    append_dedupe_reload,
+    checkpoint_df,
+    read_parquet,
+    write_communities_csv,
+    write_parquet,
+)
+
+# Mirrors the Quakers raw layout: header row, renamed via declared
+# schema (reference confs/quakers.yml:42-48).
+NODES_CSV = """Name,Historical Significance,Gender,ID
+0,religious writer,male,10013191
+1,local politician,male,10011149
+2,,female,10007554
+"""
+EDGES_CSV = """Source,Target
+0,1
+1,2
+0,1
+"""
+
+
+def test_load_nodes_declared_schema(spark, tmp_path):
+    p = tmp_path / "nodes.csv"
+    p.write_text(NODES_CSV)
+    df = load_nodes_csv(
+        spark,
+        str(p),
+        feature_names=["id", "significance", "gender", "internal_id"],
+        has_header=True,
+    )
+    assert df.dtypes == [
+        ("id", "bigint"),
+        ("significance", "string"),
+        ("gender", "string"),
+        ("internal_id", "string"),
+    ]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[0]["significance"] == "religious writer"
+    assert rows[2]["significance"] is None  # empty field → null
+
+
+def test_load_edges_with_and_without_weights(spark, tmp_path):
+    p = tmp_path / "edges.csv"
+    p.write_text(EDGES_CSV)
+    df = load_edges_csv(spark, str(p), has_header=True)
+    assert df.dtypes == [("src", "bigint"), ("dst", "bigint")]
+    assert df.count() == 3  # loader does not dedupe; that's P7's job
+    pw = tmp_path / "wedges.csv"
+    pw.write_text("0|1|0.5\n1|2|1.5\n")
+    dfw = load_edges_csv(spark, str(pw), delimiter="|", has_weights=True)
+    assert dfw.dtypes == [("src", "bigint"), ("dst", "bigint"), ("weight", "float")]
+    assert dfw.filter("src = 1").collect()[0]["weight"] == 1.5
+
+
+def test_parquet_roundtrip_and_partitioned_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, grp string"
+    )
+    path = str(tmp_path / "out")
+    write_parquet(df, path, partition_cols=["grp"])
+    back = read_parquet(spark, path)
+    assert back.count() == 3
+    assert any(d.startswith("grp=") for d in os.listdir(path))
+
+
+def test_checkpoint_truncates_lineage(spark):
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    for _ in range(3):
+        df = df.withColumn("x", F.col("x") + 1)
+    ck = checkpoint_df(df)
+    assert ck.count() == 10
+    # Checkpointed plan is a scan of materialized rows — the original
+    # Range + projection chain is gone from the logical plan.
+    plan = ck._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan
+
+
+def test_append_dedupe_reload(spark, tmp_path):
+    base = str(tmp_path / "acc")
+    a = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    b = spark.createDataFrame([(2, 3), (3, 4)], "src long, dst long")
+    append_dedupe_reload(a, base)
+    merged = append_dedupe_reload(b, base)
+    assert merged.count() == 3  # (2,3) deduped across appends
+
+
+def test_write_communities_csv(spark, tmp_path):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, component long"
+    )
+    verts = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "z")], "id long, attr string"
+    )
+    path = str(tmp_path / "communities")
+    write_communities_csv(comps, verts, path)
+    dirs = [d for d in os.listdir(path) if d.startswith("component=")]
+    assert sorted(dirs) == ["component=1", "component=3"]
+    back = spark.read.option("header", True).csv(path)
+    assert back.filter("attr = 'UNKNOWN'").count() == 1
