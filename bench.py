@@ -34,15 +34,18 @@ HEADLINE = [
     "collect_set_sorted",
     "explode_tokens",
     "rollup_region_nation",
-    # Filled as the families land:
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "simsearch_topk_cosine",
+    "simsearch_ivf_topk",
     "text_quality_scores",
+    "multimodal_byte_histogram",
     "graph_degrees",
     "graph_rmetrics",
+    "graph_betweenness_k2",
     "graph_connected_components",
     "hgn_communities",
+    "streaming_tumbling_daily",
 ]
 
 

@@ -70,6 +70,51 @@ def shortest_path_lengths(edges: DataFrame, max_len: int = 2) -> DataFrame:
     return known
 
 
+def shortest_paths(edges: DataFrame, max_len: int = 2) -> DataFrame:
+    """All shortest paths ≤ max_len as (src, dst, distance, path) with
+    path: array<struct<src,dst>> — one VARIABLE-LENGTH array column
+    instead of the reference's ragged e_0..e_k columns padded with
+    dummy structs (G6/G7; spark_manager.py:411-453 P9 padding made
+    obsolete by the array representation).
+    """
+    if max_len > 2:
+        raise NotImplementedError("path enumeration implemented for max_len<=2")
+    sym = symmetrize(edges)
+    edge_struct = lambda s, d: F.struct(  # noqa: E731
+        F.col(s).alias("src"), F.col(d).alias("dst")
+    )
+    p1 = sym.select(
+        "src",
+        "dst",
+        F.lit(1).alias("distance"),
+        F.array(edge_struct("src", "dst")).alias("path"),
+    )
+    if max_len < 2:
+        return p1
+    a = sym.alias("a")
+    b = sym.alias("b")
+    p2 = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("a.dst").alias("mid"),
+            F.col("b.dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .join(sym.select("src", "dst"), ["src", "dst"], "left_anti")
+        .select(
+            "src",
+            "dst",
+            F.lit(2).alias("distance"),
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("mid").alias("dst")),
+                F.struct(F.col("mid").alias("src"), F.col("dst").alias("dst")),
+            ).alias("path"),
+        )
+    )
+    return p1.unionByName(p2)
+
+
 def edge_betweenness(
     edges: DataFrame, max_sp_length: int = 2, compat_single_path: bool = False
 ) -> DataFrame:

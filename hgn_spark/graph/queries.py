@@ -252,6 +252,59 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_sizes(comps, min_size=MIN_COMP_SIZE)
 
 
+@register(
+    "graph_sp_lengths",
+    oracle=f"""
+    WITH {GRAPH_CTE},
+    p2 AS (
+      SELECT DISTINCT a.src AS src, b.dst AS dst
+      FROM sym a JOIN sym b ON a.dst = b.src
+      WHERE a.src <> b.dst
+        AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = a.src AND s.dst = b.dst)
+    )
+    SELECT src, dst, 1 AS distance FROM sym
+    UNION ALL
+    SELECT src, dst, 2 AS distance FROM p2
+    """,
+    tags=("graph",),
+)
+def graph_sp_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated BFS distances ≤ 2 (G5 without the Pregel landmark
+    batching or the all-vertex driver collect — SURVEY §4)."""
+    from hgn_spark.graph.betweenness import shortest_path_lengths
+
+    return shortest_path_lengths(derived_edges(spark, sf_dir), max_len=2)
+
+
+@register(
+    "graph_shortest_paths_k2",
+    oracle=f"""
+    WITH {GRAPH_CTE},
+    p2 AS (
+      SELECT a.src AS src, a.dst AS mid, b.dst AS dst
+      FROM sym a JOIN sym b ON a.dst = b.src
+      WHERE a.src <> b.dst
+        AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = a.src AND s.dst = b.dst)
+    )
+    SELECT src, dst, 1 AS distance, 1 AS n_paths FROM sym
+    UNION ALL
+    SELECT src, dst, 2 AS distance, count(*) AS n_paths
+    FROM p2 GROUP BY src, dst
+    """,
+    tags=("graph",),
+)
+def graph_shortest_paths_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path enumeration (G6/G7) projected to a hash-checkable
+    shape: per ordered pair, distance + number of shortest paths. The
+    array<struct> path column itself is exercised in tests/test_graph.py."""
+    from hgn_spark.graph.betweenness import shortest_paths
+
+    sp = shortest_paths(derived_edges(spark, sf_dir), max_len=2)
+    return sp.groupBy("src", "dst", "distance").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+
+
 @register("hgn_communities", oracle=None, tags=("graph", "iterative", "flagship"))
 def hgn_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full HGN loop on the derived graph (G11-G12 + G13): r-metrics →

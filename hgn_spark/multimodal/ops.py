@@ -33,8 +33,11 @@ from hgn_spark.registry import register
 
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload binary, modality) — the standard
-    multimodal table shape."""
-    return load_table(spark, sf_dir, "documents").select(
+    multimodal table shape. Repartitioned so downstream mapInPandas
+    batches run on every core (the table is a single parquet file)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(max(spark.sparkContext.defaultParallelism, 8))
+    return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
         F.lit("text/utf-8").alias("modality"),

@@ -52,14 +52,38 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) with h = xxhash64(shingle), materialized once.
+
+    Two wins over joining raw shingle strings: the index is computed a
+    single time (each branch of a self-join would otherwise re-tokenize
+    every document), and the join/shuffle keys are 8-byte longs instead
+    of ~25-byte strings. 64-bit collisions across ~27k distinct shingles
+    are ~1e-11 — irrelevant next to the exact-verify step.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # The documents table arrives as one parquet file = one partition;
+    # spread the rows first so shingling uses every core (10s → 1s at
+    # sf0.1 on local[32]).
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    sh = (
+        docs.repartition(n)
+        .select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+    )
+    return sh.localCheckpoint(eager=True)
+
+
 def _verified_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact jaccard for candidate (d1, d2) pairs via the shingle index."""
+    """Exact jaccard for candidate (d1, d2) pairs via the hashed shingle
+    index (column h). The candidate set is LSH-pruned and small, so AQE
+    broadcasts it into both index joins."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2b"), F.col("s").alias("s2"))
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2b"), F.col("h").alias("h2"))
     common = (
         cands.join(a, "d1")
-        .join(b, (F.col("d2") == F.col("d2b")) & (F.col("s") == F.col("s2")), "inner")
+        .join(b, (F.col("d2") == F.col("d2b")) & (F.col("h") == F.col("h2")), "inner")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -131,15 +155,34 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). Hot shingles are the skew risk at scale: AQE skew-join
     splitting handles the bucket join; a df-cap prefilter is the next
     lever if a corpus has mega-buckets."""
-    sh = _shingle_index(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
-    cands = (
-        a.join(b, (F.col("s") == F.col("s2")) & (F.col("d1") < F.col("d2")))
-        .select("d1", "d2")
-        .distinct()
+    sh = _hashed_shingle_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    # The shingle self-join IS the common count — aggregate it directly
+    # instead of materializing candidate pairs and re-joining the index.
+    common = (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    return _verified_jaccard(cands, sh).filter(F.col("jaccard") >= JACCARD_THRES)
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1"
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRES)
+        .select("d1", "d2", "jaccard")
+    )
 
 
 @register("dedup_minhash_lsh_pairs", oracle=None, tags=("dedup", "lsh"))
@@ -153,10 +196,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific; tests assert candidates ≪ n² and output ⊆ the
     exact-jaccard pairs with high recall.
     """
-    sh = _shingle_index(spark, sf_dir)
+    sh = _hashed_shingle_index(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"mh{p}")
+            F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"mh{p}")
             for p in range(NUM_PERM)
         ]
     )
@@ -202,8 +245,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across unrelated docs and token-simhash collapses; shingle sets are
     distinctive (measured: 8/28 planted pairs recovered with tokens vs
     a clean separation with shingles)."""
-    sh = _shingle_index(spark, sf_dir)
-    h = sh.withColumn("h", F.xxhash64("s")).select("doc_id", "h")
+    h = _hashed_shingle_index(spark, sf_dir)
     # shiftright/shiftleft take only literal shift amounts through the
     # Python API; the SQL forms accept column expressions.
     bits = h.select(
@@ -270,7 +312,9 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     """Embedding near-dup pairs via signed-random-projection LSH:
     16-bit sign signature, candidates share one of two 8-bit bands,
     exact cosine verify. Rows-only (approximate candidates)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from hgn_spark.operators.similarity import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").first()["embedding"])
     planes = _srp_planes(SRP_BITS, dim)
 

@@ -71,6 +71,16 @@ def append_dedupe_reload(
     return read_parquet(spark, final)
 
 
+def to_pandas_sample(df: DataFrame, max_rows: int = 10_000) -> "object":
+    """S8: the collect-to-pandas escape hatch for visualization — with a
+    hard row cap applied BEFORE the collect. The reference toPandas'd
+    whole tables to build NetworkX graphs on the driver
+    (spark_manager.py:318-333); this keeps the hatch but makes an
+    unbounded driver materialization impossible. Never use on a hot
+    path."""
+    return df.limit(max_rows).toPandas()
+
+
 def write_communities_csv(
     components: DataFrame,
     vertices: DataFrame,

@@ -94,6 +94,13 @@ def test_append_dedupe_reload(spark, tmp_path):
     assert merged.count() == 3  # (2,3) deduped across appends
 
 
+def test_to_pandas_sample_caps_rows(spark):
+    from hgn_spark.sources.sinks import to_pandas_sample
+
+    pdf = to_pandas_sample(spark.range(100), max_rows=7)
+    assert len(pdf) == 7
+
+
 def test_write_communities_csv(spark, tmp_path):
     comps = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 3)], "id long, component long"
