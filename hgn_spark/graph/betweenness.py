@@ -76,109 +76,89 @@ def shortest_paths(edges: DataFrame, max_len: int = 2) -> DataFrame:
     instead of the reference's ragged e_0..e_k columns padded with
     dummy structs (G6/G7; spark_manager.py:411-453 P9 padding made
     obsolete by the array representation).
+
+    General k by induction: every shortest d-path is a shortest
+    (d-1)-path extended by one edge into a pair not reachable in < d,
+    so each round is one join on the frontier endpoint + one anti-join
+    against known pairs, checkpointed. (The reference enumerates ALL
+    walks per length with motifs and intersects with Pregel distances —
+    graph_tools.py:162-218 — which revisits every length from scratch.)
     """
-    if max_len > 2:
-        raise NotImplementedError("path enumeration implemented for max_len<=2")
     sym = symmetrize(edges)
-    edge_struct = lambda s, d: F.struct(  # noqa: E731
-        F.col(s).alias("src"), F.col(d).alias("dst")
-    )
     p1 = sym.select(
         "src",
         "dst",
         F.lit(1).alias("distance"),
-        F.array(edge_struct("src", "dst")).alias("path"),
+        F.array(
+            F.struct(F.col("src").alias("src"), F.col("dst").alias("dst"))
+        ).alias("path"),
     )
-    if max_len < 2:
-        return p1
-    a = sym.alias("a")
-    b = sym.alias("b")
-    p2 = (
-        a.join(b, F.col("a.dst") == F.col("b.src"))
-        .select(
-            F.col("a.src").alias("src"),
-            F.col("a.dst").alias("mid"),
-            F.col("b.dst").alias("dst"),
+    known = sym.select("src", "dst")
+    frontier = p1
+    out = p1
+    for d in range(2, max_len + 1):
+        a = frontier.alias("a")
+        b = sym.alias("b")
+        ext = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                F.lit(d).alias("distance"),
+                F.concat(
+                    F.col("a.path"),
+                    F.array(
+                        F.struct(
+                            F.col("b.src").alias("src"), F.col("b.dst").alias("dst")
+                        )
+                    ),
+                ).alias("path"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .join(known, ["src", "dst"], "left_anti")
         )
-        .filter(F.col("src") != F.col("dst"))
-        .join(sym.select("src", "dst"), ["src", "dst"], "left_anti")
-        .select(
-            "src",
-            "dst",
-            F.lit(2).alias("distance"),
-            F.array(
-                F.struct(F.col("src").alias("src"), F.col("mid").alias("dst")),
-                F.struct(F.col("mid").alias("src"), F.col("dst").alias("dst")),
-            ).alias("path"),
-        )
-    )
-    return p1.unionByName(p2)
+        if max_len > 2:
+            ext = ext.localCheckpoint(eager=True)
+        out = out.unionByName(ext)
+        known = known.union(ext.select("src", "dst").distinct())
+        frontier = ext
+    return out
 
 
 def edge_betweenness(
     edges: DataFrame, max_sp_length: int = 2, compat_single_path: bool = False
 ) -> DataFrame:
-    """→ (src, dst, betweenness) on canonical src < dst edges.
-
-    Only max_sp_length ≤ 2 is supported for path enumeration (both
-    reference configs use 2); `shortest_path_lengths` generalizes the
-    distance computation for larger k.
+    """→ (src, dst, betweenness) on canonical src < dst edges, for any
+    truncation depth: enumerate shortest paths, credit each ordered
+    pair's unit across its σ paths (or a single deterministic path in
+    compat mode — quirk §8.2), explode the path arrays, sum per
+    canonical edge.
     """
-    if max_sp_length > 2:
-        raise NotImplementedError(
-            "path enumeration implemented for max_sp_length<=2 "
-            "(both reference configs use 2)"
-        )
-    sym = symmetrize(edges)
-
-    # Distance-1: every ordered adjacent pair credits its own edge once.
-    d1 = sym.select(
-        F.least("src", "dst").alias("e_src"),
-        F.greatest("src", "dst").alias("e_dst"),
-        F.lit(1.0).alias("w"),
-    )
-    if max_sp_length < 2:
-        return d1.groupBy(F.col("e_src").alias("src"), F.col("e_dst").alias("dst")).agg(
-            F.sum("w").alias("betweenness")
-        )
-
-    # Distance-2 ordered pairs: 2-paths whose endpoints are not adjacent.
-    a = sym.alias("a")
-    b = sym.alias("b")
-    p2 = (
-        a.join(b, F.col("a.dst") == F.col("b.src"))
-        .select(
-            F.col("a.src").alias("src"),
-            F.col("a.dst").alias("mid"),
-            F.col("b.dst").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .join(sym.select("src", "dst"), ["src", "dst"], "left_anti")
-    )
+    sp = shortest_paths(edges, max_len=max_sp_length)
 
     if compat_single_path:
-        # Reference quirk §8.2: one surviving path per ordered pair.
-        w_pick = W.partitionBy("src", "dst").orderBy("mid")
-        p2 = p2.withColumn("rn", F.row_number().over(w_pick)).filter(
-            F.col("rn") == 1
-        ).withColumn("w", F.lit(1.0))
+        # One surviving path per ordered pair, picked deterministically
+        # by the vertex sequence (the reference keeps whichever row
+        # dropDuplicates(["a","z"]) lands on).
+        w_pick = W.partitionBy("src", "dst").orderBy(
+            F.expr("transform(path, x -> x.dst)")
+        )
+        sp = (
+            sp.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .withColumn("w", F.lit(1.0))
+        )
     else:
         w_sig = W.partitionBy("src", "dst")
-        p2 = p2.withColumn("w", F.lit(1.0) / F.count(F.lit(1)).over(w_sig))
+        sp = sp.withColumn("w", F.lit(1.0) / F.count(F.lit(1)).over(w_sig))
 
-    first_leg = p2.select(
-        F.least("src", "mid").alias("e_src"),
-        F.greatest("src", "mid").alias("e_dst"),
-        "w",
-    )
-    second_leg = p2.select(
-        F.least("mid", "dst").alias("e_src"),
-        F.greatest("mid", "dst").alias("e_dst"),
-        "w",
-    )
+    legs = sp.select("w", F.explode("path").alias("e"))
     return (
-        d1.unionByName(first_leg)
-        .unionByName(second_leg)
-        .groupBy(F.col("e_src").alias("src"), F.col("e_dst").alias("dst"))
+        legs.select(
+            F.least("e.src", "e.dst").alias("src"),
+            F.greatest("e.src", "e.dst").alias("dst"),
+            "w",
+        )
+        .groupBy("src", "dst")
         .agg(F.sum("w").alias("betweenness"))
     )

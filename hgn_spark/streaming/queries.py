@@ -106,6 +106,47 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "append")
 
 
+@register("streaming_dedup_events", oracle=None, tags=("streaming", "stateful"))
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on event_id with a
+    watermark bounding the dedup state (late duplicates beyond 1 hour
+    age out of the state store — the only way dedup state stays finite
+    on an unbounded stream). Result re-aggregated batch-side."""
+    s = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = s.dropDuplicates(["event_id"]).select("event_id", "event_type")
+    table = _run_to_memory(deduped, "append")
+    return table.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("streaming_stream_stream_join", oracle=None, tags=("streaming", "join"))
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks within the preceding 30 minutes. Both sides carry watermarks
+    and the join condition carries the time bound — that pair is what
+    lets Spark expire join state instead of buffering both streams
+    forever. Result re-aggregated batch-side per user."""
+    base = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("p_user", "p_ts", "c_ts")
+    table = _run_to_memory(joined, "append")
+    return table.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_click_purchase_pairs")
+    )
+
+
 @register("streaming_stateful_user_counts", oracle=None, tags=("streaming", "stateful"))
 def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user

@@ -11,7 +11,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from hgn_spark.graph.betweenness import edge_betweenness, shortest_path_lengths
+from hgn_spark.graph.betweenness import (
+    edge_betweenness,
+    shortest_path_lengths,
+    shortest_paths,
+)
 from hgn_spark.graph.components import (
     component_sizes,
     connected_components,
@@ -127,6 +131,35 @@ def test_betweenness_compat_single_path(spark):
     # (1,4) keeps only mid=2 path; (2,3) keeps only mid=1 path.
     assert compat[(1, 2)] == pytest.approx(2.0 + 2.0 + 2.0)
     assert compat[(3, 4)] == pytest.approx(2.0)  # loses both picks
+
+
+def test_betweenness_k3_path_graph(spark):
+    # Path 1-2-3-4-5 truncated at k=3: every pair ≤3 has σ=1.
+    # Edge {2,3} lies on ordered pairs (1,3),(1,4),(2,3),(2,4),(2,5)
+    # and their reverses → 10; edge {1,2} on (1,2),(1,3),(1,4) → 6.
+    pg = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(pg, max_sp_length=3).collect()
+    }
+    assert got == {
+        (1, 2): pytest.approx(6.0),
+        (2, 3): pytest.approx(10.0),
+        (3, 4): pytest.approx(10.0),
+        (4, 5): pytest.approx(6.0),
+    }
+
+
+def test_shortest_paths_arrays(edges):
+    sp = {
+        (r["src"], r["dst"]): r
+        for r in shortest_paths(edges, max_len=2).collect()
+    }
+    r = sp[(1, 4)]
+    assert r["distance"] == 2
+    assert [(e["src"], e["dst"]) for e in r["path"]] == [(1, 3), (3, 4)]
 
 
 def test_connected_components(edges, vertices, spark):

@@ -1,0 +1,108 @@
+"""End-to-end runs on the reference's own input graphs (read-only at
+/root/reference/data) — the Quakers network loaded through our S1/S2
+source layer, driven through the full HGN loop with the reference's
+quakers.yml run options, and sanity-checked structurally.
+
+The reference publishes no golden community assignment (its own tests
+never touch the Spark code — SURVEY §5), so assertions here pin graph
+facts that are independently checkable (node/edge counts from the raw
+files) plus structural invariants of the algorithm's output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgn_spark.graph.components import connected_components
+from hgn_spark.graph.core import canonicalize, degrees
+from hgn_spark.graph.hgn import HGNParams, hgn_communities
+from hgn_spark.sources.csv import load_edges_csv, load_nodes_csv
+
+QUAKERS = "/root/reference/data/input_graphs/Quakers"
+FEATURES = [
+    "id",
+    "Historical_Significance",
+    "Gender",
+    "Birthdate",
+    "Deathdate",
+    "internal_id",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(QUAKERS), reason="reference data not present"
+)
+
+
+@pytest.fixture(scope="module")
+def quakers(spark):
+    nodes = load_nodes_csv(
+        spark,
+        f"{QUAKERS}/quakers_nodelist.csv2",
+        feature_names=FEATURES,
+        has_header=True,
+        encoding="ISO-8859-1",
+    )
+    edges = load_edges_csv(
+        spark, f"{QUAKERS}/quakers_edgelist.csv2", has_header=True
+    )
+    return nodes, edges
+
+
+def test_quakers_loads_with_declared_schema(quakers):
+    nodes, edges = quakers
+    assert nodes.count() == 119  # 120 file lines minus header
+    assert edges.count() == 174  # 175 lines minus header
+    assert dict(nodes.dtypes)["id"] == "bigint"
+    assert dict(edges.dtypes) == {"src": "bigint", "dst": "bigint"}
+    assert nodes.filter(F.col("Gender").isin("male", "female")).count() == 119
+
+
+def test_quakers_structure(quakers):
+    nodes, edges = quakers
+    deg = degrees(edges)
+    # George Fox (founder) is the highest-degree vertex in this network.
+    top = deg.orderBy(F.col("degree").desc()).first()
+    name_row = nodes.filter(F.col("id") == top["id"]).first()
+    assert top["degree"] > 10
+    assert name_row is not None
+    comps = connected_components(edges, nodes.select("id"))
+    sizes = comps.groupBy("component").count().collect()
+    # Known structure: one giant component (96 of 119 vertices) +
+    # isolated/small satellites.
+    assert max(r["count"] for r in sizes) == 96
+
+
+def test_quakers_hgn_end_to_end(quakers):
+    nodes, edges = quakers
+    params = HGNParams(
+        # quakers.yml run_options (confs/quakers.yml:55-68); max_steps
+        # capped for test wall-clock — deletions converge in few steps
+        # ("merely few iterations", reference README claim).
+        r_lvl1_thres=0.50,
+        r_lvl2_thres=0.85,
+        max_edge_weight=0.50,
+        betweenness_thres=10.0,
+        feature_min_avg=0.33,
+        max_steps=3,
+        max_sp_length=2,
+    )
+    comms = hgn_communities(nodes, edges, ["Gender"], params)
+    rows = comms.collect()
+    assert len(rows) > 0
+    by_comp: dict[int, int] = {}
+    for r in rows:
+        by_comp[r["component"]] = by_comp.get(r["component"], 0) + 1
+    # The loop must have split the giant component into communities.
+    assert len(by_comp) > 1
+    # Every surviving vertex is a real Quakers vertex.
+    ids = {r["id"] for r in rows}
+    all_ids = {r["id"] for r in nodes.select("id").collect()}
+    assert ids <= all_ids
+    # Edge deletion happened: fewer surviving vertices-with-edges or
+    # more components than the initial single giant component.
+    initial = connected_components(canonicalize(edges))
+    n_initial = initial.select("component").distinct().count()
+    assert len(by_comp) >= n_initial

@@ -35,6 +35,57 @@ def test_session_windows_subset_of_batch(spark):
     assert len(emitted) >= 0.9 * len(batch)
 
 
+def test_streaming_dedup_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    got = {
+        r["event_type"]: r["n"]
+        for r in SPECS["streaming_dedup_events"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    got = {
+        r["user_id"]: r["n_click_purchase_pairs"]
+        for r in SPECS["streaming_stream_stream_join"].fn(spark, SF_SMOKE).collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        r["p_user"]: r["n"]
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stateful_counts_match_batch(spark):
     from pyspark.sql import functions as F
 
