@@ -56,14 +56,12 @@ def one_hot_cosine_similarities(
         dst_side, edges["dst"] == dst_side["_did"]
     )
     if compat_drop_last:
-        # Reproduce dropLast=True: the lexicographically-last category of
-        # each feature encodes as the zero vector, so a match on it
-        # contributes nothing and the norms shrink. Kept behind a flag;
-        # the default is the true cosine.
+        # Bit-parity with the reference's ML pipeline belongs to
+        # ml_one_hot_cosine_similarities, which runs the actual
+        # StringIndexer/OneHotEncoder chain (quirks §8.9/§8.10 included)
+        # rather than re-deriving Spark ML internals here.
         raise NotImplementedError(
-            "compat_drop_last is a documented reference artifact "
-            "(SURVEY §8.10); implement if bit-parity with the reference "
-            "run is ever required"
+            "use ml_one_hot_cosine_similarities for reference-pipeline parity"
         )
     matches = sum(
         F.when(F.col(f"_src_{c}") == F.col(f"_dst_{c}"), 1).otherwise(0)
@@ -71,6 +69,67 @@ def one_hot_cosine_similarities(
     )
     return joined.select(
         "src", "dst", (matches / F.lit(float(n))).alias("similarity")
+    )
+
+
+def ml_one_hot_cosine_similarities(
+    edges: DataFrame,
+    vertices: DataFrame,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Per-edge cosine via the reference's ACTUAL ML pipeline
+    (spark_manager.py:151-176): StringIndexer(handleInvalid="keep") →
+    OneHotEncoder (Spark default dropLast=True) → VectorAssembler.
+
+    Measured parity note (pinned in tests/test_graph.py): because the
+    indexer keeps an unseen bucket at the LAST index and the encoder's
+    dropLast drops exactly that slot, every real category keeps a
+    distinct one-hot slot when fitting and transforming the same data —
+    SURVEY §8.9 and §8.10 cancel out and this pipeline's cosine equals
+    `one_hot_cosine_similarities`' closed form. Kept as the
+    reference-shaped path (and the one that generalizes to ML feature
+    chains); the closed form is the fast path.
+
+    The per-row cosine itself is still native (vector_to_array + the
+    fold), not the reference's sklearn UDF; sklearn's
+    cosine_similarity on a zero vector yields 0, reproduced via the
+    nullif guard.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    idx_cols = [f"{c}_idx" for c in feature_cols]
+    vec_cols = [f"{c}_vec" for c in feature_cols]
+    stages = [
+        StringIndexer(inputCol=c, outputCol=i, handleInvalid="keep")
+        for c, i in zip(feature_cols, idx_cols)
+    ]
+    stages.append(OneHotEncoder(inputCols=idx_cols, outputCols=vec_cols))
+    stages.append(VectorAssembler(inputCols=vec_cols, outputCol="features"))
+    model = Pipeline(stages=stages).fit(vertices)
+    feats = model.transform(vertices).select(
+        "id", vector_to_array("features").alias("fv")
+    )
+
+    src_side = feats.select(F.col("id").alias("_sid"), F.col("fv").alias("fv_src"))
+    dst_side = feats.select(F.col("id").alias("_did"), F.col("fv").alias("fv_dst"))
+    joined = edges.join(src_side, edges["src"] == src_side["_sid"]).join(
+        dst_side, edges["dst"] == dst_side["_did"]
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("fv_src"), F.col("fv_dst"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    cos = dot / F.nullif(
+        F.sqrt(norm_sq(F.col("fv_src"))) * F.sqrt(norm_sq(F.col("fv_dst"))), F.lit(0.0)
+    )
+    return joined.select(
+        "src", "dst", F.coalesce(cos, F.lit(0.0)).alias("similarity")
     )
 
 

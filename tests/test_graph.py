@@ -202,6 +202,30 @@ def test_one_hot_cosine(edges, vertices):
     assert sims["3-4"] == 0.0  # across triangles
 
 
+def test_ml_pipeline_cosine_equals_closed_form(spark):
+    """The reference's StringIndexer(keep)→OneHotEncoder(dropLast)→
+    VectorAssembler pipeline yields the SAME cosines as the closed form
+    on fit==transform data: keep's unseen bucket sits at the last index
+    and dropLast removes exactly that slot (SURVEY §8.9+§8.10 cancel)."""
+    from hgn_spark.graph.weights import ml_one_hot_cosine_similarities
+
+    verts = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "p"), (3, "y", "q"), (4, "z", "q"), (5, "x", "r")],
+        "id long, f1 string, f2 string",
+    )
+    es = spark.createDataFrame([(1, 2), (3, 4), (1, 4), (1, 5)], "src long, dst long")
+    ml = {
+        (r["src"], r["dst"]): round(r["similarity"], 9)
+        for r in ml_one_hot_cosine_similarities(es, verts, ["f1", "f2"]).collect()
+    }
+    cf = {
+        (r["src"], r["dst"]): round(r["similarity"], 9)
+        for r in one_hot_cosine_similarities(es, verts, ["f1", "f2"]).collect()
+    }
+    assert ml == cf
+    assert ml[(1, 2)] == 1.0 and ml[(3, 4)] == 0.5 and ml[(1, 4)] == 0.0
+
+
 def test_hybrid_edge_weights(edges, vertices):
     scored = r_metrics_edges(edges, r_lvl1_thres=0.25, r_lvl2_thres=0.9)
     sims = one_hot_cosine_similarities(edges, vertices, ["attr"])

@@ -75,6 +75,36 @@ def test_quakers_structure(quakers):
     assert max(r["count"] for r in sizes) == 96
 
 
+HAMSTER = "/root/reference/data/input_graphs/Hamsterster"
+
+
+@pytest.mark.skipif(not os.path.exists(HAMSTER), reason="reference data absent")
+def test_hamsterster_loads(spark):
+    """The second reference dataset: pipe-delimited quoted nodes,
+    space-delimited edges with a '%'-comment first line consumed as the
+    header (hamsterster.yml:37-58 semantics)."""
+    features = [
+        "id", "name", "joined", "species", "coloring", "gender", "birthday",
+        "age", "hometown", "favorite_toy", "favorite_activity", "favorite_foo",
+    ]
+    nodes = load_nodes_csv(
+        spark,
+        f"{HAMSTER}/nodes",
+        feature_names=features,
+        delimiter="|",
+        has_header=True,
+        encoding="ISO-8859-1",
+    )
+    edges = load_edges_csv(spark, f"{HAMSTER}/edges", delimiter=" ", has_header=True)
+    assert nodes.count() == 1856
+    assert edges.count() == 12534
+    assert nodes.filter(F.col("id").isNull()).count() == 0
+    species = {r["species"] for r in nodes.select("species").distinct().collect()}
+    assert any(s and s.startswith("Hamster") for s in species)
+    deg = degrees(edges)
+    assert deg.count() > 1700  # nearly all vertices participate
+
+
 def test_quakers_hgn_end_to_end(quakers):
     nodes, edges = quakers
     params = HGNParams(
