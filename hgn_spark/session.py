@@ -34,6 +34,11 @@ _DEFAULTS = {
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     # Quiet non-interactive runs.
     "spark.ui.showConsoleProgress": "false",
+    # Managed (bucketed) tables + Derby metastore live outside the repo.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/hgn_spark_warehouse"
+    ),
+    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/hgn_spark_derby",
 }
 
 

@@ -105,6 +105,43 @@ def test_hamsterster_loads(spark):
     assert deg.count() > 1700  # nearly all vertices participate
 
 
+@pytest.mark.skipif(not os.path.exists(HAMSTER), reason="reference data absent")
+def test_hamsterster_hgn_one_iteration(spark):
+    """Scale-ish smoke: one HGN iteration on the larger reference graph
+    (1856 nodes / 12534 edges, hub degree ~270) with the
+    hamsterster.yml thresholds — exercises the 2-hop neighborhoods,
+    betweenness and weight pipelines at four orders of magnitude more
+    2-paths than the unit fixtures."""
+    features = [
+        "id", "name", "joined", "species", "coloring", "gender", "birthday",
+        "age", "hometown", "favorite_toy", "favorite_activity", "favorite_foo",
+    ]
+    nodes = load_nodes_csv(
+        spark, f"{HAMSTER}/nodes", feature_names=features, delimiter="|",
+        has_header=True, encoding="ISO-8859-1",
+    )
+    edges = load_edges_csv(spark, f"{HAMSTER}/edges", delimiter=" ", has_header=True)
+    params = HGNParams(
+        # hamsterster.yml run_options (confs/hamsterster.yml:61-75),
+        # max_steps capped to one iteration for test wall-clock.
+        r_lvl1_thres=0.50,
+        r_lvl2_thres=0.85,
+        max_edge_weight=0.50,
+        betweenness_thres=10.0,
+        feature_min_avg=0.33,
+        max_steps=1,
+        max_sp_length=2,
+    )
+    comms = hgn_communities(
+        nodes, edges, ["species", "coloring", "hometown"], params
+    )
+    sizes = {r["component"]: r["n_members"] for r in
+             comms.groupBy("component").agg(
+                 F.count(F.lit(1)).alias("n_members")).collect()}
+    assert sum(sizes.values()) > 1000  # most vertices survive one round
+    assert len(sizes) > 1  # at least one split happened
+
+
 def test_quakers_hgn_end_to_end(quakers):
     nodes, edges = quakers
     params = HGNParams(

@@ -1,0 +1,73 @@
+"""Scale-utility checks: bucketed joins really skip the exchange;
+salted joins preserve results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgn_spark.operators.scale import read_bucketed, salted_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # Managed tables land in the session warehouse dir; isolate names.
+    return spark
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    import shutil
+
+    # A fresh Derby metastore can't see tables a previous process wrote,
+    # but their warehouse directories survive — clear both layers.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_bucket_a", "t_bucket_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    a = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 10_000).withColumn("w", F.col("id") % 7)
+    write_bucketed(a, "t_bucket_a", ["id"], num_buckets=8, sort_cols=["id"])
+    write_bucketed(b, "t_bucket_b", ["id"], num_buckets=8, sort_cols=["id"])
+    ta = read_bucketed(spark, "t_bucket_a")
+    tb = read_bucketed(spark, "t_bucket_b")
+    # Tables this small get broadcast, which hides the bucketing (and
+    # is the right call!). Pin the threshold down to expose the
+    # co-located sort-merge path a 100 TB fact-fact join would take.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.join(tb, "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Same key, same bucket count: both sides pre-shuffled at write
+        # time — the sort-merge join plans without any shuffle Exchange.
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # Skewed big side: 90% of rows share key 1.
+    big = spark.range(0, 5_000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim")
+    )
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim").alias("s")
+    )
+    salted = salted_join(big, small, "k", salt_factor=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_outer_kind(spark):
+    big = spark.range(0, 100).select((F.col("id") % 5).alias("k"), "id")
+    small = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    out = salted_join(big, small, "k", salt_factor=4, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("tag").isNull()).count() == 40  # keys 3,4 unmatched
