@@ -1,0 +1,99 @@
+"""Property-based validation of the iterative graph algorithms against
+exact driver-side oracles on random small graphs (hypothesis).
+
+Spark round-trips per example are expensive, so examples are few but
+adversarially shrunk by hypothesis; the fixed-fixture tests in
+test_graph.py cover the hand-verified values."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hgn_spark.graph.betweenness import shortest_path_lengths
+from hgn_spark.graph.components import connected_components
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u == v:
+            find(u)
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # Normalize: every node → min id in its component.
+    comp: dict[int, int] = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _bfs_dists(edges: list[tuple[int, int]], max_len: int) -> dict[tuple[int, int], int]:
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    out: dict[tuple[int, int], int] = {}
+    for s in adj:
+        frontier, seen, d = {s}, {s}, 0
+        while frontier and d < max_len:
+            d += 1
+            frontier = {w for u in frontier for w in adj[u]} - seen
+            for w in frontier:
+                out[(s, w)] = d
+            seen |= frontier
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    want = _union_find(real)
+    want = {n: c for n, c in want.items()}
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_sp_lengths_match_bfs(spark, edges):
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): r["distance"]
+        for r in shortest_path_lengths(df, max_len=3).collect()
+    }
+    assert got == _bfs_dists(real, max_len=3)
