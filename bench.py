@@ -59,8 +59,27 @@ def main() -> None:
     specs = load_all()
     spark = get_spark(app_name="hgn_spark_bench")
 
-    # Warm up JVM / codegen / parquet footer caches once, untimed.
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # Warm the ENGINE once, untimed — so per-query timings measure
+    # steady-state throughput (what matters at 100 TB, where session
+    # startup amortizes to zero) rather than billing one-time session
+    # costs to whichever query happens to run first:
+    #   - parquet footer/codec paths + a shuffle (exchange + AQE machinery)
+    #   - whole-stage codegen compiler warm-up
+    #   - the Python worker pool (mapInPandas spawns one worker per core
+    #     on first use — ~10 s on local[32] that would otherwise land on
+    #     the first Arrow-batched query)
+    #   - the noop datasource used as the drain
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.groupBy("n_regionkey").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    import pandas as _pd
+
+    spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: (pdf for pdf in it), schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     missing: list[str] = []

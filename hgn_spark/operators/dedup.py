@@ -197,6 +197,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-jaccard pairs with high recall.
     """
     sh = _hashed_shingle_index(spark, sf_dir)
+    # Per-permutation min over the exploded index. The groupBy(min)
+    # shuffles only per-doc PARTIAL minima (map-side combine), not the
+    # index itself — scale-safe. (An array-expression formulation —
+    # array_min(transform(shingles, …)) ×16 — avoids the shuffle
+    # entirely but CollapseProject inlines the shingle pipeline into
+    # all 16 branches, re-tokenizing every doc 16×: measured 6×
+    # slower. Keep the aggregate form.)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"mh{p}")
