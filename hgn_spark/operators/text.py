@@ -161,6 +161,48 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_counts",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {DUCK_TOKENS} AS l FROM documents)
+    SELECT doc_id,
+           len(l) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_regex_tokens,
+           CAST(list_sum(list_transform(l, t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
+             AS BIGINT) AS est_bpe_tokens
+    FROM tok WHERE len(l) > 0
+    """,
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets per document, three ways: whitespace tokens, a
+    BPE-ish regex segmentation (letter runs | digit runs | single
+    punctuation — the GPT-2 pre-tokenizer shape, restricted to a
+    pattern with identical Java/RE2 semantics), and the chars/4
+    subword estimate (ceil per word, so short words still cost 1) —
+    the standard LLM-token budget heuristic. All scan-side, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", tokens("text").alias("l")).filter(
+        F.size("l") > 0
+    )
+    return d.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        ).cast("long").alias("n_regex_tokens"),
+        F.aggregate(
+            F.col("l"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
+        ).alias("est_bpe_tokens"),
+    )
+
+
+@register(
     "text_fingerprints",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)

@@ -71,7 +71,20 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
-@register("streaming_tumbling_daily", oracle=None, tags=("streaming",))
+@register(
+    "streaming_tumbling_daily",
+    # Complete output mode + availableNow processes the whole input and
+    # emits every window at the final trigger, so the result is exactly
+    # the batch aggregation — deterministic, hence a real oracle (the
+    # other streaming queries stay rows-only: append-mode emission
+    # depends on watermark progression across micro-batches).
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
 def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window counts/sums with a 1-day watermark — the
     streaming twin of `date_trunc_daily` (exact parity asserted in
