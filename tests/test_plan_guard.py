@@ -1,0 +1,39 @@
+"""Scale guard: no registered query may plan a cartesian product, and
+nested-loop joins are allowed only where a broadcast cross join IS the
+algorithm (brute-force cosine scan; IVF centroid assignment, where the
+broadcast side is the k≪n centroid set).
+
+This is the automated version of the per-operator `.explain` audit —
+a shape that slips a CartesianProduct past review works at sf0.001
+and detonates at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hgn_spark.registry import load_all
+from tests.conftest import SF_SMOKE
+
+SPECS = load_all()
+
+# Queries whose BroadcastNestedLoopJoin is the intended physical shape:
+# the broadcast side is provably small (40 query vectors / ~60 centroids)
+# and the stream side stays partition-parallel.
+BNLJ_ALLOWED = {"simsearch_topk_cosine", "simsearch_ivf_topk"}
+
+BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]
+
+
+@pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
+def test_no_cartesian_or_stray_nested_loop(spark, spec):
+    df = spec.fn(spark, SF_SMOKE)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, f"{spec.name} plans a cartesian product"
+    if spec.name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{spec.name} plans a BroadcastNestedLoopJoin — either add an "
+            f"equi key or justify it in BNLJ_ALLOWED"
+        )
