@@ -125,6 +125,84 @@ def sample_frames(df: DataFrame, every_nth: int = 4, frame_bytes: int = 16) -> D
     )
 
 
+def decode_resize_features(
+    df: DataFrame, height: int = 8, width: int = 8, out_h: int = 4, out_w: int = 4
+) -> DataFrame:
+    """decode → nearest-neighbor resize over mapInPandas — the standard
+    image-preprocessing stage. Decode is `fake_decode` (deterministic
+    byte tiling; a deployment swaps in PIL inside the same batch loop),
+    resize is vectorized numpy fancy-indexing per payload. Output:
+    (doc_id, pixels array<int> of out_h×out_w)."""
+    import numpy as np
+
+    r_idx = np.floor(np.arange(out_h) * height / out_h).astype(int)
+    c_idx = np.floor(np.arange(out_w) * width / out_w).astype(int)
+
+    n_px = height * width
+
+    # Self-contained closure (captures only locals/numpy): cloudpickle
+    # must not reference this module — the driver's workers may not
+    # have hgn_spark on sys.path. `decode` mirrors fake_decode.
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(payload: bytes) -> "np.ndarray":
+            if not payload:
+                return np.zeros(n_px, dtype=np.int64)
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            return b[np.arange(n_px) % len(b)]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                grid = decode(payload).reshape(height, width)
+                small = grid[np.ix_(r_idx, c_idx)]
+                rows.append({"doc_id": doc_id, "pixels": small.ravel().tolist()})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _resize, schema="doc_id long, pixels array<long>"
+    )
+
+
+# Flat positions the 8×8→4×4 nearest-neighbor resize samples from the
+# tiled payload (row r*8+col for r,c in {0,2,4,6}) — the DuckDB twin
+# recomputes fake_decode(payload)[p] as ascii(text[(p % len) + 1])
+# (documents.text is ASCII, so code point == utf-8 byte).
+_RESIZE_POSITIONS = [r * 8 + c for r in (0, 2, 4, 6) for c in (0, 2, 4, 6)]
+
+
+@register(
+    "multimodal_decode_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform({_RESIZE_POSITIONS},
+                            p -> ascii(substr(text, (p % len(text)) + 1, 1))) AS pixels
+      FROM documents WHERE len(text) > 0
+    )
+    SELECT doc_id,
+           CAST(pixels[1] AS BIGINT) AS px0,
+           CAST(list_sum(pixels) AS BIGINT) AS px_sum,
+           round(list_sum(pixels) / 16.0, 4) AS mean_px
+    FROM px
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode→resize pipeline with scalar outputs hash-checked vs
+    DuckDB (fake_decode is deterministic byte tiling, so the oracle can
+    recompute the sampled positions in SQL; the full pixel grid is
+    pinned against numpy in tests/test_multimodal.py)."""
+    b = binary_documents(spark, sf_dir).filter(F.length("payload") > 0)
+    feats = decode_resize_features(b)
+    s = F.aggregate(F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x)
+    return feats.select(
+        "doc_id",
+        F.element_at("pixels", 1).alias("px0"),
+        s.alias("px_sum"),
+        F.round(s / 16.0, 4).alias("mean_px"),
+    )
+
+
 @register(
     "multimodal_binary_meta",
     oracle="""

@@ -57,3 +57,16 @@ def test_sample_frames(spark):
     expect_kept = len(range(0, n_frames_total, 4))
     assert len(frames) == expect_kept
     assert bytes(frames[0]["frame"]) == payload[:16]
+
+
+def test_decode_resize_matches_numpy(spark):
+    from hgn_spark.multimodal.ops import decode_resize_features
+
+    b = binary_documents(spark, SF_SMOKE).filter(F.col("doc_id") < 5)
+    got = {r["doc_id"]: list(r["pixels"]) for r in decode_resize_features(b).collect()}
+    src = {r["doc_id"]: r["payload"] for r in b.collect()}
+    assert len(got) == len(src)
+    for doc_id, payload in src.items():
+        grid = np.asarray(fake_decode(payload, 8, 8), dtype=np.int64).reshape(8, 8)
+        small = grid[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])]
+        assert got[doc_id] == small.ravel().tolist()
