@@ -136,13 +136,66 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simsearch_ivf_topk", oracle=None, tags=("similarity", "ann"))
+@register(
+    "simsearch_ivf_topk",
+    # The whole IVF pipeline is deterministic (stride-sampled
+    # centroids, 6-decimal-rounded cosines before every window, id
+    # tie-breaks), so DuckDB can replay it exactly — an ANN variant
+    # with a hash-checked oracle, not just a recall bound.
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+      FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM base
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+      SELECT vec_id, cent_id, embedding, nrm FROM (
+        SELECT e.vec_id, c.cent_id, e.embedding, e.nrm,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+                          / (e.nrm * c.cn), 6) DESC, c.cent_id) AS rn
+        FROM base e CROSS JOIN cents c)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM base
+          WHERE vec_id % {QUERY_STRIDE} = 0),
+    probes AS (
+      SELECT q_id, qe, qn, cent_id FROM (
+        SELECT q.q_id, q.qe, q.qn, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(q.qe) + 1),
+                            i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+                          / (q.qn * c.cn), 6) DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= {NPROBE}),
+    cands AS (
+      SELECT p.q_id, a.vec_id,
+             round(list_sum(list_transform(range(1, len(p.qe) + 1),
+                      i -> CAST(p.qe[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                   / (p.qn * a.nrm), 6) AS cosine
+      FROM probes p JOIN assign a USING (cent_id)
+      WHERE a.vec_id <> p.q_id),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM cands)
+    SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ann"),
+)
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k: assign → probe → exact re-rank.
 
-    Approximate (a true neighbor can live in an unprobed list) →
-    rows-only correctness; recall vs the exact baseline is asserted in
-    tests/test_llm_ops.py.
+    Approximate relative to the exact baseline (a true neighbor can
+    live in an unprobed list — recall asserted in tests/test_llm_ops),
+    but REPRODUCIBLE: every ranking uses 6-decimal-rounded cosines
+    with id tie-breaks, so the DuckDB oracle replays the exact
+    pipeline and the driver hash-checks it.
     """
     emb = load_embeddings(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
@@ -151,9 +204,17 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cent_n"),
     )
     # Inverted lists: nearest centroid per vector (one broadcast join).
+    # cos_c is rounded to 6 decimals BEFORE the argmax so the
+    # assignment is reproducible across engines (ties at 6 decimals
+    # break on cent_id) — same trick the brute-force ranking uses.
     scored = emb.join(F.broadcast(cents), how="cross").withColumn(
         "cos_c",
-        cosine_prenormed(F.col("embedding"), F.col("cent_e"), F.col("nrm"), F.col("cent_n")),
+        F.round(
+            cosine_prenormed(
+                F.col("embedding"), F.col("cent_e"), F.col("nrm"), F.col("cent_n")
+            ),
+            6,
+        ),
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
     assign = (
@@ -168,7 +229,11 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     qprobe = q.join(F.broadcast(cents), how="cross").withColumn(
-        "cos_c", cosine_prenormed(F.col("qe"), F.col("cent_e"), F.col("qn"), F.col("cent_n"))
+        "cos_c",
+        F.round(
+            cosine_prenormed(F.col("qe"), F.col("cent_e"), F.col("qn"), F.col("cent_n")),
+            6,
+        ),
     )
     w_probe = W.partitionBy("q_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
     probes = (
