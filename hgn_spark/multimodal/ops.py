@@ -76,7 +76,7 @@ def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     import numpy as np
 
     out_schema = (
-        "doc_id long, n_bytes int, n_distinct_bytes int, top_bin int, "
+        "doc_id long, n_bytes long, n_distinct_bytes long, top_bin long, "
         f"hist array<int>"
     )
 
@@ -225,11 +225,39 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_byte_histogram", oracle=None, tags=("multimodal", "pandas-udf"))
+@register(
+    "multimodal_byte_histogram",
+    # The payloads are utf-8 encodings of ASCII text, so the oracle can
+    # recompute every byte as ascii(substr(text, i, 1)) and rebuild the
+    # 16-bin histogram in SQL; top_bin uses the same first-max
+    # tie-break as np.argmax (list_position finds the first match).
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, len(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS bytes
+      FROM documents),
+    h AS (
+      SELECT doc_id, bytes,
+             list_transform(range(0, 16),
+                            bin -> len(list_filter(bytes, x -> x // 16 = bin)))
+               AS hist
+      FROM b)
+    SELECT doc_id,
+           CAST(len(bytes) AS BIGINT) AS n_bytes,
+           CAST(len(list_distinct(bytes)) AS BIGINT) AS n_distinct_bytes,
+           CAST(list_position(hist, list_max(hist)) - 1 AS BIGINT) AS top_bin,
+           array_to_string(hist, ',') AS hist
+    FROM h
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram features via mapInPandas (Arrow batches). Rows-only:
-    the oracle can't run pandas; exact values are pinned in
-    tests/test_multimodal.py. Hist serialized for a stable schema."""
+    """Byte-histogram features via mapInPandas (Arrow batches),
+    hash-checked: the deterministic text→payload derivation lets DuckDB
+    rebuild the histogram in SQL; exact values are also pinned against
+    numpy in tests/test_multimodal.py. Hist serialized for a stable
+    schema."""
     feats = byte_histogram_features(binary_documents(spark, sf_dir))
     return feats.select(
         "doc_id",
