@@ -314,11 +314,63 @@ def _srp_planes(bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
-@register("dedup_embedding_neardup_pairs", oracle=None, tags=("dedup", "ann"))
+def _srp_oracle(dim: int = 64) -> str:
+    """DuckDB replay of the SRP pipeline. The hyperplanes are
+    deterministic md5 literals, so they inline into the SQL; sign bits,
+    band codes, bucket join and cosine verify are all exact replays
+    (testdata embeddings are {dim}-dimensional at every sf)."""
+    planes = _srp_planes(SRP_BITS, dim)
+    plane_lits = [
+        "[" + ",".join("1.0" if v > 0 else "-1.0" for v in row) + "]"
+        for row in planes
+    ]
+
+    def bit(j: int) -> str:
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_lits[j]})[i])) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    half = SRP_BITS // 2
+    lo = " + ".join(f"{bit(j)} * {1 << j}" for j in range(half))
+    hi = " + ".join(f"{bit(j)} * {1 << (j - half)}" for j in range(half, SRP_BITS))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, {lo} AS lo, {hi} AS hi FROM embeddings),
+    banded AS (
+      SELECT vec_id, 0 AS band, lo AS bh FROM sig
+      UNION ALL
+      SELECT vec_id, 1 AS band, hi AS bh FROM sig),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
+    base AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+      FROM embeddings),
+    verified AS (
+      SELECT v1, v2,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+                   / (e1.nrm * e2.nrm), 6) AS cosine
+      FROM cand JOIN base e1 ON e1.vec_id = v1 JOIN base e2 ON e2.vec_id = v2)
+    SELECT v1, v2, cosine FROM verified WHERE cosine >= {EMB_COS_THRES}
+    """
+
+
+@register(
+    "dedup_embedding_neardup_pairs", oracle=_srp_oracle(), tags=("dedup", "ann")
+)
 def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH:
     16-bit sign signature, candidates share one of two 8-bit bands,
-    exact cosine verify. Rows-only (approximate candidates)."""
+    exact cosine verify. Hash-checked: the md5-derived planes inline
+    into the DuckDB oracle, which replays the exact pipeline (signs of
+    64-dim double dot products are stable across engines; the verify
+    cosine is rounded to 6 decimals like every similarity ranking)."""
     from hgn_spark.operators.similarity import load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
