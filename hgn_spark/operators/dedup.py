@@ -185,6 +185,40 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs_capped(
+    spark: SparkSession, sf_dir: str, df_cap: int
+) -> DataFrame:
+    """`dedup_ngram_jaccard_pairs` with a document-frequency cap on
+    CANDIDATE generation — the hot-key guard for adversarial corpora
+    (boilerplate headers/footers shared by millions of docs create
+    mega-buckets that no skew-split saves; every production dedup
+    pipeline caps them).
+
+    Shingles appearing in more than ``df_cap`` docs are dropped from
+    the candidate join only; the verify step recomputes exact jaccard
+    over the FULL index, so any pair that still surfaces gets its true
+    score. Recall caveat: a pair whose shared shingles are ALL hotter
+    than the cap is missed — at jaccard ≥ 0.8 a pair shares dozens of
+    shingles, so a sane cap loses nothing (asserted against the
+    uncapped query in tests/test_llm_ops.py)."""
+    sh = _hashed_shingle_index(spark, sf_dir)
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("h")
+    )
+    capped = sh.join(F.broadcast(hot), "h", "left_anti")
+    a = capped.select(F.col("doc_id").alias("d1"), "h")
+    b = capped.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    cands = (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _verified_jaccard(cands, sh).filter(F.col("jaccard") >= JACCARD_THRES)
+
+
 @register("dedup_minhash_lsh_pairs", oracle=None, tags=("dedup", "lsh"))
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: 16 seeded-xxhash64 minima per doc,

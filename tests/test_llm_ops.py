@@ -140,3 +140,21 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(bf) == 50  # 10 queries × top-5
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8  # 0.96 observed with 20 lists / 3 probes
+
+
+def test_df_cap_preserves_high_jaccard_pairs(spark):
+    """The hot-shingle cap must not lose any jaccard>=0.8 pair: planted
+    near-dups share dozens of shingles, so even an aggressive cap keeps
+    at least one rare shared shingle per true pair."""
+    from hgn_spark.operators.dedup import ngram_jaccard_pairs_capped
+
+    base = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in SPECS["dedup_ngram_jaccard_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in ngram_jaccard_pairs_capped(spark, SF_SMOKE, df_cap=20).collect()
+    }
+    assert capped == base
+    assert len(base) > 0
