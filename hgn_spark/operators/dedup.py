@@ -153,8 +153,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle inverted index (pairs only form inside a shingle
     bucket — at sf0.01 that is 11.5k candidates out of 12.5M possible
     pairs). Hot shingles are the skew risk at scale: AQE skew-join
-    splitting handles the bucket join; a df-cap prefilter is the next
-    lever if a corpus has mega-buckets."""
+    splitting handles the bucket join; for corpora with mega-buckets
+    use `ngram_jaccard_pairs_capped` (df-capped candidates, exact
+    verify)."""
     sh = _hashed_shingle_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("d1"), "h")
