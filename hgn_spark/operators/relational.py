@@ -553,12 +553,20 @@ def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_tools/graph_tools.py:354-357); serialized sorted for comparison."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE aggregation: size(collect_set) IS the distinct count. Pairing
+    # countDistinct with collect_set planned a second aggregate pass +
+    # an extra exchange for the same answer (measured 2-4x slower).
+    s = F.sort_array(F.collect_set("l_suppkey"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(
-            F.countDistinct("l_suppkey").alias("degree"),
-            F.array_join(F.sort_array(F.collect_set("l_suppkey")), ",").alias("suppliers"),
+        .agg(s.alias("s"))
+        .select(
+            "custkey",
+            F.size("s").cast("long").alias("degree"),
+            F.array_join(F.transform("s", lambda x: x.cast("string")), ",").alias(
+                "suppliers"
+            ),
         )
     )
 
