@@ -99,6 +99,40 @@ def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "complete")
 
 
+@register(
+    "streaming_sliding_2d",
+    # Complete mode again → deterministic batch equivalence. Each event
+    # belongs to exactly two 2-day/1-day-slide windows (starts at
+    # floor_day(ts) and floor_day(ts) - 1 day), which the oracle
+    # replays with an unnest.
+    oracle="""
+    WITH ev AS (
+      SELECT unnest([date_trunc('day', ts),
+                     date_trunc('day', ts) - INTERVAL 1 DAY]) AS window_start,
+             event_type, value
+      FROM events)
+    SELECT window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM ev GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def streaming_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day (each event counted in two
+    overlapping windows) with a 1-day watermark — the sliding-window
+    member of the streaming family (SURVEY §7 M5)."""
+    s = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = s.groupBy(
+        F.window("ts", "2 days", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    out = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+    return _run_to_memory(out, "complete")
+
+
 @register("streaming_session_windows", oracle=None, tags=("streaming",))
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap session windows per user with a 1-hour watermark,
