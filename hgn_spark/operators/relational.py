@@ -676,7 +676,8 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_extendedprice)
                  OVER (PARTITION BY l_suppkey
-                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                l_extendedprice
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS running_rev
     FROM lineitem
@@ -684,10 +685,17 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per supplier over a unique (shipdate, orderkey, line) order."""
+    """Running total per supplier.
+
+    The testdata's (l_orderkey, l_linenumber) is NOT unique (118k
+    duplicate keys at sf0.1, with differing prices on the same
+    shipdate), so l_extendedprice joins the ORDER BY: rows still tied
+    after it contribute equal amounts, making every prefix sum
+    well-defined regardless of physical tie order — without it the
+    query passed or failed the hash gate by scheduling luck."""
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return load_table(spark, sf_dir, "lineitem").select(
