@@ -148,13 +148,29 @@ def test_df_cap_preserves_high_jaccard_pairs(spark):
     at least one rare shared shingle per true pair."""
     from hgn_spark.operators.dedup import ngram_jaccard_pairs_capped
 
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.dedup import _hashed_shingle_index
+
     base = {
         (r["d1"], r["d2"], r["jaccard"])
         for r in SPECS["dedup_ngram_jaccard_pairs"].fn(spark, SF_SMOKE).collect()
     }
+    # df_cap=4 is above the corpus p99 shingle frequency but below its
+    # max (9), so the cap genuinely fires (candidate pairs shrink) yet
+    # every verified pair survives.
     capped = {
         (r["d1"], r["d2"], r["jaccard"])
-        for r in ngram_jaccard_pairs_capped(spark, SF_SMOKE, df_cap=20).collect()
+        for r in ngram_jaccard_pairs_capped(spark, SF_SMOKE, df_cap=4).collect()
     }
     assert capped == base
     assert len(base) > 0
+
+    sh = _hashed_shingle_index(spark, SF_SMOKE)
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 4)
+        .select("h")
+    )
+    assert hot.count() > 0, "df_cap=4 never fired — raise the bar"
