@@ -27,8 +27,8 @@ HEADLINE = [
     "pricing_summary",
     "scan_projection_pushdown",
     "join_left_outer_counts",
-    "join_range_theta",
-    "window_topk_orders",
+    "join_theta_multikey",
+    "topk_per_group_and_global",
     "window_running_sum",
     "sessionize_events",
     "collect_set_sorted",
@@ -38,7 +38,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "simsearch_topk_cosine",
     "simsearch_ivf_topk",
-    "text_quality_scores",
+    "text_profile",
     "multimodal_byte_histogram",
     "graph_degrees",
     "graph_rmetrics",

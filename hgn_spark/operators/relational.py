@@ -110,20 +110,36 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "filter_compound_predicate",
+    "filter_union_by_name",
     oracle="""
-    SELECT event_id, event_type, round(value, 4) AS value
-    FROM events
-    WHERE (value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')
+    WITH u AS (
+      SELECT event_id, event_type, 'compound' AS branch FROM events
+      WHERE (value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')
+      UNION ALL
+      SELECT event_id, event_type, 'rest' AS branch FROM events
+      WHERE NOT ((value < 10.0) OR (value >= 10.0 AND event_type = 'purchase'))
+    )
+    SELECT event_type, branch, count(*) AS n FROM u GROUP BY event_type, branch
     """,
-    tags=("filter",),
+    tags=("filter", "setop"),
 )
-def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-string compound predicate (reference main.py:136-137 pattern)."""
+def filter_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string compound predicate (reference main.py:136-137 pattern)
+    splitting events into two labeled branches, re-combined with
+    unionByName across frames whose column order differs (reference
+    graph_tools/graph_tools.py:349-350)."""
+    e = load_table(spark, sf_dir, "events")
+    pred = "(value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')"
+    lo = e.filter(pred).select(
+        "event_id", "event_type", F.lit("compound").alias("branch")
+    )
+    hi = e.filter(f"NOT ({pred})").select(
+        F.lit("rest").alias("branch"), "event_type", "event_id"  # swapped order
+    )
     return (
-        load_table(spark, sf_dir, "events")
-        .filter("(value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')")
-        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+        lo.unionByName(hi)
+        .groupBy("event_type", "branch")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -197,27 +213,6 @@ def conditional_ratio_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.count(F.when(F.col("l_discount") > 0.05, 1)) / F.count(F.lit(1)), 4
             ).alias("high_disc_ratio")
-        )
-    )
-
-
-@register(
-    "distinct_agg",
-    oracle="""
-    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
-           count(*) AS n_items
-    FROM lineitem GROUP BY l_suppkey
-    """,
-    tags=("agg",),
-)
-def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregate (expand + two-phase agg under the hood)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_suppkey")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.count(F.lit(1)).alias("n_items"),
         )
     )
 
@@ -360,22 +355,32 @@ def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_full_outer",
+    "join_outer_variants",
     oracle="""
     WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer GROUP BY c_nationkey),
          supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
                   FROM supplier GROUP BY s_nationkey)
-    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
-           coalesce(n_cust, 0) AS n_cust,
-           coalesce(n_supp, 0) AS n_supp
+    SELECT 'full_outer' AS op,
+           CAST(coalesce(cust.nk, supp.nk) AS BIGINT) AS nationkey,
+           coalesce(n_cust, 0) AS m1,
+           coalesce(n_supp, 0) AS m2
     FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    UNION ALL
+    SELECT 'right_outer' AS op,
+           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           count(o.o_orderkey) AS m1,
+           count(DISTINCT c.c_custkey) AS m2
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
     """,
     tags=("join",),
 )
-def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join — the reference's isolated-vertex pattern
-    (graph_tools/graph_tools.py:360: neighbors FULL JOIN vertices)."""
+    (graph_tools/graph_tools.py:360: neighbors FULL JOIN vertices) —
+    unioned with a right-outer join (reference J7/J8,
+    graph_tools/graph_tools.py:465-483), labeled per variant."""
     cust = (
         load_table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -386,71 +391,138 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nk"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
-    return cust.join(supp, "nk", "full").select(
-        F.col("nk").alias("nationkey"),
-        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
-        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    full = cust.join(supp, "nk", "full").select(
+        F.lit("full_outer").alias("op"),
+        F.col("nk").cast("long").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("m1"),
+        F.coalesce("n_supp", F.lit(0)).alias("m2"),
     )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    right = (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("m1"),
+            F.countDistinct("c_custkey").alias("m2"),
+        )
+        .select(
+            F.lit("right_outer").alias("op"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "m1",
+            "m2",
+        )
+    )
+    return full.unionByName(right)
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-    SELECT n_nationkey, n_name FROM nation n
+    SELECT 'semi' AS op, CAST(n_nationkey AS BIGINT) AS key, n_name AS name
+    FROM nation n
     WHERE EXISTS (SELECT 1 FROM customer c
                   WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
-    """,
-    tags=("join",),
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (reference component filter, graph_tools.py:533-538)."""
-    n = load_table(spark, sf_dir, "nation")
-    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
-    return n.join(rich, n.n_nationkey == rich.c_nationkey, "left_semi").select(
-        "n_nationkey", "n_name"
-    )
-
-
-@register(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti' AS op, CAST(c_custkey AS BIGINT) AS key, c_name AS name
+    FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     tags=("join",),
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (reference edge-deletion, main.py:201-205)."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (reference component filter, graph_tools.py:533-538)
+    unioned with a left-anti join (reference edge-deletion,
+    main.py:201-205), labeled per variant."""
+    n = load_table(spark, sf_dir, "nation")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    semi = (
+        n.join(rich, n.n_nationkey == rich.c_nationkey, "left_semi")
+        .select(
+            F.lit("semi").alias("op"),
+            F.col("n_nationkey").cast("long").alias("key"),
+            F.col("n_name").alias("name"),
+        )
+    )
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("op"),
+            F.col("c_custkey").cast("long").alias("key"),
+            F.col("c_name").alias("name"),
+        )
+    )
+    return semi.unionByName(anti)
 
 
 @register(
-    "join_range_theta",
+    "join_theta_multikey",
     oracle="""
-    SELECT p.p_partkey, count(*) AS n_cheaper_same_size
+    SELECT 'range_same_size' AS op, CAST(p.p_partkey AS BIGINT) AS key,
+           count(*) AS n
     FROM part p
     JOIN part q ON q.p_size = p.p_size AND q.p_retailprice < p.p_retailprice
     GROUP BY p.p_partkey
+    UNION ALL
+    SELECT 'multikey_pairs' AS op, CAST(a.l_partkey AS BIGINT) AS key,
+           count(*) AS n
+    FROM lineitem a JOIN lineitem b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+     AND a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
+     AND a.l_quantity = b.l_quantity AND a.l_orderkey < b.l_orderkey
+    GROUP BY a.l_partkey
     """,
     tags=("join", "extension"),
 )
-def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi+range hybrid join (theta joins are a reference gap, SURVEY §2.3).
+def join_theta_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range hybrid join (theta joins are a reference gap, SURVEY
+    §2.3) unioned with a 5-key conjunction self-join (reference J9,
+    graph_tools.py:493-508), labeled per variant.
 
-    The equi part (p_size) keys the shuffle; the range predicate is
-    evaluated post-shuffle — the scalable shape for mixed conditions.
+    In both branches the equi keys drive one shuffle and the inequality
+    evaluates post-shuffle — the scalable shape for mixed conditions.
+    Multikey equality is exact on both engines because every key is a
+    stored column (no computed floats — the reference's float-equality
+    hazard, SURVEY §8.5, doesn't apply).
     """
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
     q = p.select(
         F.col("p_size").alias("q_size"), F.col("p_retailprice").alias("q_price")
     )
-    return (
+    theta = (
         p.join(q, (p.p_size == q.q_size) & (q.q_price < p.p_retailprice))
         .groupBy("p_partkey")
-        .agg(F.count(F.lit(1)).alias("n_cheaper_same_size"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("range_same_size").alias("op"),
+            F.col("p_partkey").cast("long").alias("key"),
+            "n",
+        )
     )
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus", "l_quantity"]
+    a = load_table(spark, sf_dir, "lineitem").select(cols)
+    b = a.select([F.col(col).alias(f"r_{col}") for col in cols])
+    cond = (
+        (a.l_partkey == b.r_l_partkey)
+        & (a.l_suppkey == b.r_l_suppkey)
+        & (a.l_returnflag == b.r_l_returnflag)
+        & (a.l_linestatus == b.r_l_linestatus)
+        & (a.l_quantity == b.r_l_quantity)
+        & (a.l_orderkey < b.r_l_orderkey)
+    )
+    multikey = (
+        a.join(b, cond)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("multikey_pairs").alias("op"),
+            F.col("l_partkey").cast("long").alias("key"),
+            "n",
+        )
+    )
+    return theta.unionByName(multikey)
 
 
 # ---------------------------------------------------------------------------
@@ -459,63 +531,30 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_intersect",
+    "set_intersect_except",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    SELECT 'intersect' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
     tags=("setop",),
 )
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (a reference gap — its only intersection ran on Python sets
-    inside a UDF, graph_tools/graph_tools.py:397)."""
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT(distinct) over the same two inputs, labeled
+    (a reference gap — its only intersection ran on Python sets inside a
+    UDF, graph_tools/graph_tools.py:397)."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return a.intersect(b)
-
-
-@register(
-    "set_except",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-    tags=("setop",),
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT(distinct)."""
-    o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return a.subtract(b)
-
-
-@register(
-    "union_by_name",
-    oracle="""
-    WITH u AS (
-      SELECT event_id, event_type FROM events WHERE value < 50
-      UNION ALL
-      SELECT event_id, event_type FROM events WHERE value >= 50
-    )
-    SELECT event_type, count(*) AS n FROM u GROUP BY event_type
-    """,
-    tags=("setop",),
-)
-def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unionByName across frames with different column order
-    (reference graph_tools/graph_tools.py:349-350)."""
-    e = load_table(spark, sf_dir, "events")
-    lo = e.filter(F.col("value") < 50).select("event_id", "event_type")
-    hi = e.filter(F.col("value") >= 50).select("event_type", "event_id")  # swapped order
-    return (
-        lo.unionByName(hi)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    both = a.intersect(b).select(F.lit("intersect").alias("op"), "custkey")
+    only = a.subtract(b).select(F.lit("except").alias("op"), "custkey")
+    return both.unionByName(only)
 
 
 # ---------------------------------------------------------------------------
@@ -579,66 +618,58 @@ def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "json_extract_props",
+    "json_date_daily",
     oracle="""
-    SELECT event_type,
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value,
            round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-    FROM events GROUP BY event_type
+    FROM events GROUP BY 1, 2
     """,
-    tags=("json",),
+    tags=("json", "date", "agg"),
 )
-def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from a string column (events.props)."""
+def json_date_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling aggregation (batch twin of the streaming window)
+    with JSON path extraction from a string column (events.props) feeding
+    two of the aggregates."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
     )
 
 
 @register(
-    "struct_nested_access",
+    "struct_build_cast_access",
     oracle="""
     SELECT o_orderkey,
-           o_custkey AS cust_id,
-           upper(o_orderstatus) AS status
+           CAST(o_custkey AS INT) AS cust_id,
+           upper(o_orderstatus) AS status,
+           round(o_totalprice, 2) AS price
     FROM orders WHERE o_totalprice > 100000
     """,
-    tags=("struct",),
+    tags=("struct", "cast"),
 )
-def struct_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a struct column, then access nested fields (reference F8:
-    m.a.id-style struct access, graph_tools/graph_tools.py:207)."""
+def struct_build_cast_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a struct column, cast the whole struct to a named narrower
+    StructType (reference P8, spark_manager/spark_manager.py:449-451),
+    then access nested fields (reference F8: m.a.id-style struct access,
+    graph_tools/graph_tools.py:207)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    nested = o.select(
-        "o_orderkey",
-        F.struct(
-            F.col("o_custkey").alias("cust"), F.col("o_orderstatus").alias("status")
-        ).alias("meta"),
-    )
+    meta = F.struct(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    ).cast("struct<cust:int,status:string,price:double>")
+    nested = o.select("o_orderkey", meta.alias("meta"))
     return nested.select(
         "o_orderkey",
         F.col("meta.cust").alias("cust_id"),
         F.upper(F.col("meta.status")).alias("status"),
-    )
-
-
-@register(
-    "date_trunc_daily",
-    oracle="""
-    SELECT date_trunc('day', ts) AS day, event_type,
-           count(*) AS n, round(sum(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    tags=("date", "agg"),
-)
-def date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily tumbling aggregation (batch twin of the streaming window)."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        F.round(F.col("meta.price"), 2).alias("price"),
     )
 
 
@@ -648,26 +679,59 @@ def date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_topk_orders",
+    "topk_per_group_and_global",
     oracle="""
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+    SELECT 'per_cust_top3' AS op, o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price, rn
     FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders)
     WHERE rn <= 3
+    UNION ALL
+    SELECT 'global_top10' AS op, o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 10
     """,
-    tags=("window",),
+    tags=("window", "sort", "limit"),
 )
-def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via row_number with a total tie-break order."""
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        load_table(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+def topk_per_group_and_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number with a total tie-break order, plus
+    the global top-N, labeled.
+
+    The global branch stays orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heaps, no full sort, no
+    single-partition all-rows window); row_number then ranks only the 10
+    surviving rows."""
+    o = load_table(spark, sf_dir, "orders")
+    wg = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    per_group = (
+        o.withColumn("rn", F.row_number().over(wg))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+        .select(
+            F.lit("per_cust_top3").alias("op"),
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
     )
+    top10 = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(10)
+    wglob = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    global_rows = (
+        top10.withColumn("rn", F.row_number().over(wglob))
+        .select(
+            F.lit("global_top10").alias("op"),
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
+    )
+    return per_group.unionByName(global_rows)
 
 
 @register(
@@ -707,41 +771,28 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_lag_delta",
+    "window_lag_null_filter",
     oracle="""
-    SELECT user_id, event_id,
-           round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id), 4) AS delta
-    FROM events
+    SELECT user_id, event_id, round(delta, 4) AS delta
+    FROM (SELECT user_id, event_id,
+                 value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS delta
+          FROM events)
+    WHERE delta IS NOT NULL
     """,
-    tags=("window",),
+    tags=("window", "filter", "null"),
 )
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() analytic — per-user change in value between consecutive events."""
+def window_lag_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic — per-user change in value between consecutive
+    events — with an IS NOT NULL filter on the window-produced null
+    (reference P5, graph_tools/graph_tools.py:496-502 null-filtering
+    subqueries)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     e = load_table(spark, sf_dir, "events")
-    return e.select(
-        "user_id",
-        "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
-    )
-
-
-@register(
-    "sort_limit_topn",
-    oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS price
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-    tags=("sort", "limit"),
-)
-def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-N — Spark plans TakeOrderedAndProject (no full sort)."""
     return (
-        load_table(spark, sf_dir, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        e.withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("delta").isNotNull())
+        .select("user_id", "event_id", F.round("delta", 4).alias("delta"))
     )
 
 
@@ -753,110 +804,44 @@ def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "filter_null_predicates",
+    "na_fill_drop",
     oracle="""
-    SELECT user_id, count(*) AS n_follow, round(avg(value), 4) AS avg_value
-    FROM (SELECT user_id, value,
-                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          FROM events)
-    WHERE prev_ts IS NOT NULL
-    GROUP BY user_id
-    """,
-    tags=("filter", "null"),
-)
-def filter_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IS NOT NULL filter on a window-produced null (reference P5,
-    graph_tools/graph_tools.py:496-502 null-filtering subqueries)."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        load_table(spark, sf_dir, "events")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .filter(F.col("prev_ts").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_follow"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
-    )
-
-
-@register(
-    "fillna_defaults",
-    oracle="""
+    WITH d AS (
+      SELECT o_custkey,
+             o_totalprice - lag(o_totalprice)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS delta
+      FROM orders),
+    kept AS (SELECT o_custkey, delta FROM d WHERE delta IS NOT NULL)
     SELECT c.c_mktsegment, count(*) AS n_rows,
-           round(sum(coalesce(o.o_totalprice, 0.0)), 2) AS total_spend
-    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           round(sum(coalesce(k.delta, 0.0)), 2) AS total_delta
+    FROM customer c LEFT JOIN kept k ON k.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
     tags=("null",),
 )
-def fillna_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fillna on join-produced nulls (reference P6 fillna,
-    graph_tools/graph_tools.py:362)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .na.fill({"o_totalprice": 0.0})
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-        )
-    )
-
-
-@register(
-    "dropna_rows",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n, round(sum(delta), 2) AS total_delta
-    FROM (SELECT o_orderpriority,
-                 o_totalprice - lag(o_totalprice)
-                   OVER (PARTITION BY o_custkey
-                         ORDER BY o_orderdate, o_orderkey) AS delta
-          FROM orders)
-    WHERE delta IS NOT NULL
-    GROUP BY o_orderpriority
-    """,
-    tags=("null",),
-)
-def dropna_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropna(subset) on a computed column (reference P6 dropna,
-    graph_tools/graph_tools.py:284)."""
+def na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both halves of P6 in one pipeline: dropna(subset) on a computed
+    column (reference graph_tools/graph_tools.py:284), then fillna on
+    join-produced nulls after a left join (reference
+    graph_tools/graph_tools.py:362). Also exercises the IS-NOT-NULL
+    predicate on a window-produced null (reference P5,
+    graph_tools/graph_tools.py:496-502)."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
+    deltas = (
         load_table(spark, sf_dir, "orders")
         .withColumn("delta", F.col("o_totalprice") - F.lag("o_totalprice").over(w))
         .na.drop(subset=["delta"])
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("delta"), 2).alias("total_delta"))
+        .select("o_custkey", "delta")
     )
-
-
-@register(
-    "struct_cast_fields",
-    oracle="""
-    SELECT CAST(l_suppkey AS INT) AS src, count(*) AS n_edges,
-           round(max(l_quantity), 2) AS max_w
-    FROM lineitem GROUP BY 1
-    """,
-    tags=("struct", "cast"),
-)
-def struct_cast_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-struct cast to a named narrower StructType (reference P8,
-    spark_manager/spark_manager.py:449-451)."""
-    edge = F.struct(
-        F.col("l_suppkey").alias("src"),
-        F.col("l_partkey").alias("dst"),
-        F.col("l_quantity").alias("weight"),
-    ).cast("struct<src:int,dst:int,weight:double>")
+    c = load_table(spark, sf_dir, "customer")
     return (
-        load_table(spark, sf_dir, "lineitem")
-        .select(edge.alias("edge"))
-        .groupBy(F.col("edge.src").alias("src"))
+        c.join(deltas, c.c_custkey == deltas.o_custkey, "left")
+        .na.fill({"delta": 0.0})
+        .groupBy("c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_edges"),
-            F.round(F.max("edge.weight"), 2).alias("max_w"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("delta"), 2).alias("total_delta"),
         )
     )
 
@@ -951,79 +936,25 @@ def join_struct_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_right_outer",
+    "agg_having_distinct",
     oracle="""
-    SELECT c.c_nationkey, count(o.o_orderkey) AS n_orders,
-           count(DISTINCT c.c_custkey) AS n_cust
-    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_nationkey
-    """,
-    tags=("join",),
-)
-def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-outer join (reference J7/J8, graph_tools/graph_tools.py:465-483)."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey, "right")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.countDistinct("c_custkey").alias("n_cust"),
-        )
-    )
-
-
-@register(
-    "join_multikey_self",
-    oracle="""
-    SELECT a.l_partkey, count(*) AS n_pairs
-    FROM lineitem a JOIN lineitem b
-      ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
-     AND a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
-     AND a.l_quantity = b.l_quantity AND a.l_orderkey < b.l_orderkey
-    GROUP BY a.l_partkey
-    """,
-    tags=("join",),
-)
-def join_multikey_self(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-key conjunction self-join (reference J9, graph_tools.py:493-508).
-
-    Keys are stored columns (no computed floats), so equality is exact on
-    both engines — the reference's float-equality hazard (SURVEY §8.5)
-    doesn't apply. The equi keys drive one shuffle; the `<` inequality
-    evaluates post-shuffle.
-    """
-    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus", "l_quantity"]
-    a = load_table(spark, sf_dir, "lineitem").select(cols)
-    b = a.select([F.col(c).alias(f"r_{c}") for c in cols])
-    cond = (
-        (a.l_partkey == b.r_l_partkey)
-        & (a.l_suppkey == b.r_l_suppkey)
-        & (a.l_returnflag == b.r_l_returnflag)
-        & (a.l_linestatus == b.r_l_linestatus)
-        & (a.l_quantity == b.r_l_quantity)
-        & (a.l_orderkey < b.r_l_orderkey)
-    )
-    return a.join(b, cond).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_pairs"))
-
-
-@register(
-    "agg_having_filter",
-    oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    SELECT o_custkey, count(*) AS n_orders,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           round(sum(o_totalprice), 2) AS spend
     FROM orders GROUP BY o_custkey HAVING count(*) >= 15
     """,
     tags=("agg", "having"),
 )
-def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter after aggregation (reference A4 component-size HAVING,
-    graph_tools/graph_tools.py:531-532)."""
+    graph_tools/graph_tools.py:531-532) plus a distinct aggregate in the
+    same pass (expand + two-phase agg under the hood)."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
             F.round(F.sum("o_totalprice"), 2).alias("spend"),
         )
         .filter(F.col("n_orders") >= 15)

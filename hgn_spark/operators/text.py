@@ -60,10 +60,23 @@ DUCK_SHINGLES = (
 DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
+def _duck_lang_score(markers: tuple[str, ...]) -> str:
+    return f"len(list_filter(l, t -> t IN {markers}))"
+
+
 @register(
-    "text_quality_scores",
+    "text_profile",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
+    WITH tok AS (SELECT doc_id, text, {DUCK_TOKENS} AS l FROM documents),
+    scored AS (
+      SELECT *,
+             list_reverse_sort([
+               {", ".join(
+                   "{'score': " + _duck_lang_score(m) + ", 'lang': '" + lang + "'}"
+                   for lang, m in sorted(LANG_MARKERS.items())
+               )}
+             ])[1] AS best
+      FROM tok WHERE len(l) > 0)
     SELECT doc_id,
            len(l) AS n_tokens,
            len(list_distinct(l)) AS n_distinct,
@@ -73,61 +86,42 @@ DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
              AS stopword_ratio,
            (len(l) BETWEEN 20 AND 2000
             AND len(list_filter(l, t -> t IN {STOPWORDS})) * 1.0 / len(l) < 0.3)
-             AS is_quality
-    FROM tok WHERE len(l) > 0
+             AS is_quality,
+           best.lang AS pred_lang,
+           best.score AS lang_score,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_regex_tokens,
+           CAST(list_sum(list_transform(l, t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
+             AS BIGINT) AS est_bpe_tokens
+    FROM scored
     """,
     tags=("text",),
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality stats: token counts, average token length,
-    stopword ratio, and a quality gate — the standard pre-training
-    corpus filters, computed scan-side."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile, all scan-side in one pass:
+
+    - quality stats (token counts, average token length, stopword
+      ratio, a quality gate) — the standard pre-training corpus filters;
+    - keyword-profile language ID: score each language by marker-token
+      hits, pick the argmax (ties break toward the lexicographically
+      larger language tag — struct comparison semantics, identical in
+      both engines);
+    - token budgets two more ways: a BPE-ish regex segmentation
+      (letter runs | digit runs | single punctuation — the GPT-2
+      pre-tokenizer shape, restricted to a pattern with identical
+      Java/RE2 semantics) and the chars/4 subword estimate (ceil per
+      word, so short words still cost 1) — the standard LLM-token
+      budget heuristic.
+
+    No shuffle: one projection over the scan, everything in
+    whole-stage codegen."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
-    d = docs.select("doc_id", tok.alias("l")).filter(F.size("l") > 0)
+    d = docs.select("doc_id", "text", tokens("text").alias("l")).filter(
+        F.size("l") > 0
+    )
     n = F.size("l")
     stop_hits = F.size(F.filter(F.col("l"), lambda t: t.isin(*STOPWORDS)))
-    total_len = F.aggregate(
-        F.col("l"), F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct("l")).alias("n_distinct"),
-        F.round(total_len * 1.0 / n, 4).alias("avg_token_len"),
-        F.round(stop_hits * 1.0 / n, 4).alias("stopword_ratio"),
-        (n.between(20, 2000) & (stop_hits * 1.0 / n < 0.3)).alias("is_quality"),
-    )
-
-
-def _duck_lang_score(markers: tuple[str, ...]) -> str:
-    return f"len(list_filter(l, t -> t IN {markers}))"
-
-
-@register(
-    "text_language_id",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
-    scored AS (
-      SELECT doc_id,
-             list_reverse_sort([
-               {", ".join(
-                   "{'score': " + _duck_lang_score(m) + ", 'lang': '" + lang + "'}"
-                   for lang, m in sorted(LANG_MARKERS.items())
-               )}
-             ])[1] AS best
-      FROM tok)
-    SELECT doc_id, best.lang AS pred_lang, best.score AS score FROM scored
-    """,
-    tags=("text",),
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword-profile language ID: score each language by marker-token
-    hits, pick the argmax (ties break toward the lexicographically
-    larger language tag — struct comparison semantics, identical in
-    both engines)."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", tokens("text").alias("l"))
+    total_len = F.aggregate(F.col("l"), F.lit(0), lambda acc, t: acc + F.length(t))
     candidates = [
         F.struct(
             F.size(F.filter(F.col("l"), lambda t: t.isin(*m))).alias("score"),
@@ -138,57 +132,13 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = F.array_max(F.array(*candidates))
     return d.select(
         "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("l")).alias("n_distinct"),
+        F.round(total_len * 1.0 / n, 4).alias("avg_token_len"),
+        F.round(stop_hits * 1.0 / n, 4).alias("stopword_ratio"),
+        (n.between(20, 2000) & (stop_hits * 1.0 / n < 0.3)).alias("is_quality"),
         best.getField("lang").alias("pred_lang"),
-        best.getField("score").alias("score"),
-    )
-
-
-@register(
-    "text_shingle_stats",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
-    SELECT doc_id, len({DUCK_SHINGLES}) AS n_shingles
-    FROM tok
-    """,
-    tags=("text", "dedup"),
-)
-def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-gram shingle count per document — the dedup feature."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.size(shingles(tokens("text"))).alias("n_shingles")
-    )
-
-
-@register(
-    "text_token_counts",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, text, {DUCK_TOKENS} AS l FROM documents)
-    SELECT doc_id,
-           len(l) AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-             AS n_regex_tokens,
-           CAST(list_sum(list_transform(l, t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
-             AS BIGINT) AS est_bpe_tokens
-    FROM tok WHERE len(l) > 0
-    """,
-    tags=("text",),
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token budgets per document, three ways: whitespace tokens, a
-    BPE-ish regex segmentation (letter runs | digit runs | single
-    punctuation — the GPT-2 pre-tokenizer shape, restricted to a
-    pattern with identical Java/RE2 semantics), and the chars/4
-    subword estimate (ceil per word, so short words still cost 1) —
-    the standard LLM-token budget heuristic. All scan-side, no
-    shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", "text", tokens("text").alias("l")).filter(
-        F.size("l") > 0
-    )
-    return d.select(
-        "doc_id",
-        F.size("l").cast("long").alias("n_ws_tokens"),
+        best.getField("score").alias("lang_score"),
         F.size(
             F.regexp_extract_all(
                 F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
@@ -203,23 +153,27 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_fingerprints",
+    "text_shingle_fingerprint",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
     SELECT doc_id,
+           len({DUCK_SHINGLES}) AS n_shingles,
            md5(array_to_string(l, ' ')) AS fp_exact,
            md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp_bag
     FROM tok
     """,
     tags=("text", "dedup"),
 )
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace-normalized exact fingerprint + order-insensitive
-    bag-of-words fingerprint (md5: byte-identical across engines)."""
+def text_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram shingle count (the dedup feature) plus the
+    whitespace-normalized exact fingerprint and order-insensitive
+    bag-of-words fingerprint (md5: byte-identical across engines),
+    one scan-side pass per document."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens("text")
     return docs.select(
         "doc_id",
+        F.size(shingles(tokens("text"))).alias("n_shingles"),
         F.md5(F.array_join(t, " ")).alias("fp_exact"),
         F.md5(F.array_join(F.sort_array(F.array_distinct(t)), " ")).alias("fp_bag"),
     )

@@ -5,7 +5,7 @@ Each query reads the events parquet as a file stream, runs a windowed /
 stateful transformation with an availableNow trigger into a memory
 sink, and returns the materialized result as a batch DataFrame — so
 the driver contract (callable → DataFrame) holds. Batch twins
-(`date_trunc_daily`, `sessionize_events`) exist for parity testing;
+(`json_date_daily`, `sessionize_events`) exist for parity testing;
 streaming queries are rows-only in the oracle gate (non-SQL surface).
 
 Semantics notes:
@@ -87,7 +87,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
 )
 def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window counts/sums with a 1-day watermark — the
-    streaming twin of `date_trunc_daily` (exact parity asserted in
+    streaming twin of `json_date_daily` (exact parity asserted in
     tests/test_streaming.py)."""
     s = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
     agg = s.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(

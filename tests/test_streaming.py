@@ -15,7 +15,7 @@ def test_tumbling_matches_batch(spark):
     }
     batch = {
         (r["day"], r["event_type"]): (r["n"], r["total_value"])
-        for r in SPECS["date_trunc_daily"].fn(spark, SF_SMOKE).collect()
+        for r in SPECS["json_date_daily"].fn(spark, SF_SMOKE).collect()
     }
     assert stream == batch
 
