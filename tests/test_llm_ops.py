@@ -83,6 +83,84 @@ def test_minhash_candidates_much_smaller_than_n_squared(spark):
     assert n_cands < n_docs * (n_docs - 1) / 2 * 0.01  # <1% of all pairs
 
 
+def test_minhash_signature_matches_aggregate_form(spark):
+    """The scan-side array-fold signature must equal the groupBy(min)
+    formulation it replaced (same permutation hashes, same minima)."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators import dedup
+
+    sets_ = dedup._doc_shingle_sets(spark, SF_SMOKE)
+    new = {
+        r["doc_id"]: tuple(r[f"mh{p}"] for p in range(dedup.NUM_PERM))
+        for r in sets_.filter(F.col("sz") > 0)
+        .select(
+            "doc_id",
+            *[dedup._perm_min(p).alias(f"mh{p}") for p in range(dedup.NUM_PERM)],
+        )
+        .collect()
+    }
+    sh = dedup._hashed_shingle_index(spark, SF_SMOKE)
+    old = {
+        r["doc_id"]: tuple(r[f"mh{p}"] for p in range(dedup.NUM_PERM))
+        for r in sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"mh{p}")
+                for p in range(dedup.NUM_PERM)
+            ]
+        )
+        .collect()
+    }
+    assert new == old
+
+
+def test_simhash_signature_matches_posexplode_form(spark):
+    """The bit-packed lane-fold signature must equal the posexplode +
+    two-shuffle formulation it replaced, bit for bit."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators import dedup
+
+    sets_ = dedup._doc_shingle_sets(spark, SF_SMOKE)
+    new = {
+        r["doc_id"]: r["sig"]
+        for r in sets_.filter(F.col("sz") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + "
+                "IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > sz, "
+                "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+            ).alias("sig"),
+        )
+        .collect()
+    }
+    h = dedup._hashed_shingle_index(spark, SF_SMOKE)
+    bits = h.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), i -> IF((shiftright(h, i) & 1) = 1, 1, -1))"
+            )
+        ).alias("bit", "pm"),
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("pm").alias("s"))
+    old = {
+        r["doc_id"]: r["sig"]
+        for r in per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sig")
+        )
+        .collect()
+    }
+    assert new == old
+
+
 def test_simhash_no_false_positives(spark, exact_pairs):
     got = {
         (r["d1"], r["d2"])
