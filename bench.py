@@ -73,8 +73,6 @@ def main() -> None:
     nation.groupBy("n_regionkey").count().write.format("noop").mode(
         "overwrite"
     ).save()
-    import pandas as _pd
-
     spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: (pdf for pdf in it), schema="id long").write.format(

@@ -7,10 +7,10 @@ idiomatic, scale-first Spark engine:
 - ``hgn_spark.session``    — SparkSession factory (AQE, Arrow, UTC).
 - ``hgn_spark.catalog``    — testdata table loading / temp-view registry.
 - ``hgn_spark.sources``    — CSV / Parquet / JDBC source & sink layer.
-- ``hgn_spark.functions``  — native column functions (vector math, text
-  analysis, hashing) replacing the reference's row-at-a-time UDFs.
 - ``hgn_spark.operators``  — relational + LLM-data-pipeline operators
-  (dedup, similarity search, top-k, sessionize).
+  (dedup, similarity search, top-k, sessionize) plus the native column
+  functions (vector math, text analysis, hashing) that replace the
+  reference's row-at-a-time UDFs.
 - ``hgn_spark.graph``      — the graph layer: undirected edges, k-hop
   neighborhoods, r-metrics, connected components, truncated betweenness,
   and the full HGN community-detection loop — pure DataFrame, no

@@ -42,6 +42,12 @@ SIMHASH_MAX_HAMMING = 3
 EMB_COS_THRES = 0.4  # testdata has no planted embedding dups (max pair
                      # cosine 0.479); threshold chosen to exercise the path
 SRP_BITS = 16
+# Embedding dimensionality shared by the Spark pipeline and the DuckDB
+# oracle (both inline the same md5-derived hyperplanes). The testdata
+# guarantee is pinned by tests/test_llm_ops.py::test_embedding_dim_matches
+# — if the corpus dim ever changes, that fails loudly instead of the
+# two sides silently hashing different planes.
+EMB_DIM = 64
 
 
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +394,7 @@ def _srp_planes(bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def _srp_oracle(dim: int = 64) -> str:
+def _srp_oracle(dim: int = EMB_DIM) -> str:
     """DuckDB replay of the SRP pipeline. The hyperplanes are
     deterministic md5 literals, so they inline into the SQL; sign bits,
     band codes, bucket join and cosine verify are all exact replays
@@ -400,9 +406,12 @@ def _srp_oracle(dim: int = 64) -> str:
     ]
 
     def bit(j: int) -> str:
+        # round(…, 6) before the sign test, matching the Spark side: a
+        # projection within float noise of zero must fall on the same
+        # side of the hyperplane in both engines (ADVICE r2).
         return (
-            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_lits[j]})[i])) > 0 "
+            f"(CASE WHEN round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_lits[j]})[i])), 6) > 0 "
             f"THEN 1 ELSE 0 END)"
         )
 
@@ -448,8 +457,7 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     from hgn_spark.operators.similarity import load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
-    planes = _srp_planes(SRP_BITS, dim)
+    planes = _srp_planes(SRP_BITS, EMB_DIM)
 
     def _proj(j: int):
         vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -460,8 +468,11 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda acc, v: acc + v,
         )
 
+    # round(…, 6) before the sign test (mirrored in the oracle): the
+    # fold's last-ulp noise must not flip a near-zero projection's bit.
     bit_cols = [
-        F.when(_proj(j) > 0, 1).otherwise(0).alias(f"b{j}") for j in range(SRP_BITS)
+        F.when(F.round(_proj(j), 6) > 0, 1).otherwise(0).alias(f"b{j}")
+        for j in range(SRP_BITS)
     ]
     sig = emb.select("vec_id", "embedding", *bit_cols)
     half = SRP_BITS // 2

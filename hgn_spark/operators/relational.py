@@ -31,14 +31,25 @@ from hgn_spark.registry import register
 
 @register(
     "flagship_revenue_by_nation",
+    # The oracle mirrors the Spark plan's TWO-STAGE summation (per-order
+    # partials, then per-nation totals) instead of one flat sum: double
+    # addition is non-associative, and matching the aggregation shape
+    # keeps both engines' partial sums aligned so the round(…, 2) gate
+    # can't straddle a half-cent boundary (ADVICE r2: association drift).
     oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1 - l_discount)) AS rev,
+             sum(l_quantity) AS qty,
+             count(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey)
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           count(DISTINCT o.o_orderkey) AS n_orders,
-           round(avg(l.l_quantity), 4) AS avg_qty
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           round(sum(p.rev), 2) AS revenue,
+           count(*) AS n_orders,
+           round(sum(p.qty) / sum(p.n_items), 4) AS avg_qty
+    FROM per_order p
+    JOIN orders o   ON o.o_orderkey = p.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n   ON n.n_nationkey = c.c_nationkey
     WHERE o.o_orderstatus <> 'X'
     GROUP BY n.n_name

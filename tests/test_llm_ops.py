@@ -180,6 +180,24 @@ def test_exact_dedup_groups(spark):
         assert r["keep_doc"] >= 0
 
 
+def test_embedding_dim_matches(spark):
+    """EMB_DIM is compiled into both the Spark SRP pipeline and the
+    DuckDB oracle's inlined hyperplanes; a corpus dim change must fail
+    here, loudly, not as a silent plane mismatch."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from hgn_spark.operators.dedup import EMB_DIM
+
+    dims = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r["d"] for r in dims] == [EMB_DIM]
+
+
 def test_embedding_neardup_subset_of_bruteforce(spark):
     from pyspark.sql import functions as F
 

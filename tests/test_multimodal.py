@@ -25,6 +25,27 @@ def test_binary_schema(spark):
     }
 
 
+def test_corpus_is_ascii_as_oracles_assume(spark):
+    """The byte-histogram and decode oracles rebuild payload bytes with
+    DuckDB ascii(substr(text, i, 1)), which equals the utf-8 byte only
+    for pure-ASCII text (ADVICE r2). Pin that corpus property at every
+    shipped scale so a non-ASCII regen fails here, not as a silent
+    hash mismatch."""
+    from hgn_spark.catalog import load_table
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        n_non_ascii = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.octet_length("text") != F.length("text"))
+            .count()
+        )
+        assert n_non_ascii == 0, f"non-ASCII documents in {sf_dir}"
+
+
 def test_byte_histogram_matches_numpy(spark):
     b = binary_documents(spark, SF_SMOKE).filter(F.col("doc_id") < 5)
     got = {r["doc_id"]: r for r in byte_histogram_features(b).collect()}

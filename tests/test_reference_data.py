@@ -16,7 +16,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from hgn_spark.graph.components import connected_components
+from hgn_spark.graph.components import component_sizes, connected_components
 from hgn_spark.graph.core import canonicalize, degrees
 from hgn_spark.graph.hgn import HGNParams, hgn_communities
 from hgn_spark.sources.csv import load_edges_csv, load_nodes_csv
@@ -106,12 +106,16 @@ def test_hamsterster_loads(spark):
 
 
 @pytest.mark.skipif(not os.path.exists(HAMSTER), reason="reference data absent")
-def test_hamsterster_hgn_one_iteration(spark):
-    """Scale-ish smoke: one HGN iteration on the larger reference graph
-    (1856 nodes / 12534 edges, hub degree ~270) with the
-    hamsterster.yml thresholds — exercises the 2-hop neighborhoods,
-    betweenness and weight pipelines at four orders of magnitude more
-    2-paths than the unit fixtures."""
+def test_hamsterster_hgn_full_convergence(spark):
+    """The full HGN loop run to CONVERGENCE (the loop's own
+    no-deletions exit, not a step cap) on the larger reference graph
+    (1856 nodes / 12534 edges, hub degree ~270) with the exact
+    hamsterster.yml run options (confs/hamsterster.yml:61-75,
+    max_steps=5000). The pipeline is deterministic — no RNG, canonical
+    edges, tie-broken rankings — so the resulting community structure
+    is pinned exactly (reproduced across independent sessions).
+    ~2-3 min on local[32]: the cost is the 2-hop betweenness init over
+    ~3.4M 2-paths plus the iterated deletion rounds."""
     features = [
         "id", "name", "joined", "species", "coloring", "gender", "birthday",
         "age", "hometown", "favorite_toy", "favorite_activity", "favorite_foo",
@@ -122,15 +126,14 @@ def test_hamsterster_hgn_one_iteration(spark):
     )
     edges = load_edges_csv(spark, f"{HAMSTER}/edges", delimiter=" ", has_header=True)
     params = HGNParams(
-        # hamsterster.yml run_options (confs/hamsterster.yml:61-75),
-        # max_steps capped to one iteration for test wall-clock.
         r_lvl1_thres=0.50,
         r_lvl2_thres=0.85,
         max_edge_weight=0.50,
         betweenness_thres=10.0,
         feature_min_avg=0.33,
-        max_steps=1,
+        max_steps=5000,
         max_sp_length=2,
+        min_comp_size=100,
     )
     comms = hgn_communities(
         nodes, edges, ["species", "coloring", "hometown"], params
@@ -138,8 +141,119 @@ def test_hamsterster_hgn_one_iteration(spark):
     sizes = {r["component"]: r["n_members"] for r in
              comms.groupBy("component").agg(
                  F.count(F.lit(1)).alias("n_members")).collect()}
-    assert sum(sizes.values()) > 1000  # most vertices survive one round
-    assert len(sizes) > 1  # at least one split happened
+    # Pinned community structure of the converged run.
+    assert sum(sizes.values()) == 1424   # vertices surviving with >= 1 edge
+    assert len(sizes) == 102             # communities
+    top = sorted(sizes.values(), reverse=True)
+    assert top[:4] == [610, 156, 79, 46]
+    # min_comp_size=100 (the conf's value) keeps exactly the two big
+    # communities via the wired G14 filter.
+    big = component_sizes(comms, min_size=params.min_comp_size).collect()
+    assert sorted((r["n_members"] for r in big), reverse=True) == [610, 156]
+
+
+def _nx_graph(edges_df):
+    import networkx as nx
+
+    g = nx.Graph()
+    for r in edges_df.collect():
+        if r["src"] != r["dst"]:
+            g.add_edge(r["src"], r["dst"])
+    return g
+
+
+def _truncated_betweenness_py(g, k: int, single_path: bool) -> dict:
+    """Independent pure-Python truncated-GN betweenness, mirroring the
+    spec in hgn_spark/graph/betweenness.py: every ORDERED pair (a, z)
+    with d(a, z) <= k contributes 1 unit — split across its shortest
+    paths (fractional GN), or all on the deterministic minimum-vertex-
+    sequence path in compat mode (reference graph_tools.py:208 keeps one
+    arbitrary path; the engine picks the smallest midpoint sequence)."""
+    from collections import deque
+
+    credit: dict[tuple, float] = {}
+    for a in g.nodes:
+        # BFS from a, depth <= k, recording shortest-path predecessors.
+        dist = {a: 0}
+        preds: dict = {a: []}
+        q = deque([a])
+        while q:
+            u = q.popleft()
+            if dist[u] >= k:
+                continue
+            for v in g.neighbors(u):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    preds[v] = [u]
+                    q.append(v)
+                elif dist[v] == dist[u] + 1:
+                    preds[v].append(u)
+        for z, d in dist.items():
+            if z == a or d > k:
+                continue
+            # enumerate all shortest a→z paths (vertex lists)
+            paths: list[list] = []
+
+            def walk(node, suffix):
+                if node == a:
+                    paths.append([a] + suffix)
+                    return
+                for p in preds[node]:
+                    walk(p, [node] + suffix)
+
+            walk(z, [])
+            if single_path:
+                paths = [min(paths, key=lambda p: p[1:])]
+            w = 1.0 / len(paths)
+            for p in paths:
+                for u, v in zip(p, p[1:]):
+                    e = (min(u, v), max(u, v))
+                    credit[e] = credit.get(e, 0.0) + w
+    return credit
+
+
+def test_quakers_cc_matches_networkx(quakers):
+    """Exact partition parity: engine large/small-star components vs
+    networkx connected_components over the same edges + isolated
+    vertices from the node table."""
+    import networkx as nx
+
+    nodes, edges = quakers
+    g = _nx_graph(edges)
+    for r in nodes.select("id").collect():
+        g.add_node(r["id"])
+    want = {frozenset(c) for c in nx.connected_components(g)}
+    got_rows = connected_components(edges, nodes.select("id")).collect()
+    by_comp: dict[int, set] = {}
+    for r in got_rows:
+        by_comp.setdefault(r["component"], set()).add(r["id"])
+    got = {frozenset(m) for m in by_comp.values()}
+    assert got == want
+    # engine labels components by their minimum member id
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+
+
+@pytest.mark.parametrize("compat", [False, True], ids=["fractional", "compat"])
+def test_quakers_betweenness_matches_python_reference(quakers, compat):
+    """Truncated-GN betweenness (k=2) vs the independent pure-Python
+    implementation, both fractional (default) and compat single-path
+    (reference graph_tools/graph_tools.py:208 semantics), exact edge
+    set + per-edge values to 1e-9."""
+    from hgn_spark.graph.betweenness import edge_betweenness
+
+    _nodes, edges = quakers
+    g = _nx_graph(edges)
+    want = _truncated_betweenness_py(g, k=2, single_path=compat)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(
+            edges, max_sp_length=2, compat_single_path=compat
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for e, v in want.items():
+        assert abs(got[e] - v) < 1e-9, (e, got[e], v)
 
 
 def test_quakers_hgn_end_to_end(quakers):
