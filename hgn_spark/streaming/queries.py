@@ -2,9 +2,11 @@
 gap; the reference has no streaming at all).
 
 Each query reads the events parquet as a file stream, runs a windowed /
-stateful transformation with an availableNow trigger into a memory
-sink, and returns the materialized result as a batch DataFrame — so
-the driver contract (callable → DataFrame) holds. Batch twins
+stateful transformation with an availableNow trigger into a sink
+(checkpointed parquet for the oracle-gated windowed aggregations — the
+deployable pattern; memory for the rows-only append/update variants),
+and returns the materialized result as a batch DataFrame — so the
+driver contract (callable → DataFrame) holds. Batch twins
 (`json_date_daily`, `sessionize_events`) exist for parity testing;
 streaming queries are rows-only in the oracle gate (non-SQL surface).
 
@@ -58,7 +60,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Drain a streaming frame into a uniquely-named memory sink and
-    return the materialized table."""
+    return the materialized table. Test-harness sink: the memory sink
+    collects to the driver, so only the rows-only append/update queries
+    use it; the oracle-gated queries go through the parquet sink below."""
     name = f"hgn_stream_sink_{next(_SINK_COUNTER)}"
     q = (
         df.writeStream.format("memory")
@@ -69,6 +73,37 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def _run_to_parquet(df: DataFrame, mode: str) -> DataFrame:
+    """Drain a streaming frame through a parquet FILE sink (checkpointed)
+    and read the result back — the deployable sink pattern, not a test
+    harness. The file sink itself is append-only, so:
+
+    - append mode writes directly via the parquet sink;
+    - complete-mode aggregations go through foreachBatch with an
+      overwrite write per trigger — the standard production shape for
+      complete output (each trigger replaces the result table), and with
+      availableNow there is exactly one final trigger.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hgn_stream_parquet_")
+    path = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    if mode == "complete":
+        writer = df.writeStream.foreachBatch(
+            lambda batch, _epoch: batch.write.mode("overwrite").parquet(path)
+        ).outputMode("complete")
+    else:
+        writer = df.writeStream.format("parquet").option("path", path).outputMode(mode)
+    q = (
+        writer.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.read.parquet(path)
 
 
 @register(
@@ -96,7 +131,7 @@ def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         F.col("w.start").alias("day"), "event_type", "n", "total_value"
     )
-    return _run_to_memory(out, "complete")
+    return _run_to_parquet(out, "complete")
 
 
 @register(
@@ -130,7 +165,7 @@ def streaming_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
-    return _run_to_memory(out, "complete")
+    return _run_to_parquet(out, "complete")
 
 
 @register("streaming_session_windows", oracle=None, tags=("streaming",))
