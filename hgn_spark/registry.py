@@ -55,17 +55,23 @@ def register(
     return deco
 
 
+# Among rows-only (no-oracle) queries, the driver's bounded window should
+# spend its remaining slots on the strongest evidence first: the MinHash
+# sketch (the one dedup family member whose output is hash-specific) and
+# the flagship HGN community loop ahead of the SimHash sketch and the
+# rows-only streaming variants — the latter two are batch-parity /
+# recall-tested in pytest, so their driver rows prove the least.
+_ROWS_ONLY_PRIORITY = ["dedup_minhash_lsh_pairs", "hgn_communities"]
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry
     ordered strongest-evidence-first.
 
     The driver verifies a bounded prefix of the returned mapping (50
     queries), so ordering is part of the contract: every oracle-backed
-    query registers ahead of every rows-only query. Within each class,
-    import order is kept — so among rows-only queries the dedup sketches
-    (hash-specific, no SQL oracle by design) and the HGN community loop
-    precede the rows-only streaming variants, whose semantics are
-    batch-parity-tested in pytest instead.
+    query registers ahead of every rows-only query, and rows-only
+    queries order per _ROWS_ONLY_PRIORITY (then import order).
     """
     # Imports are side-effecting (decorators fill REGISTRY).
     from hgn_spark.operators import relational  # noqa: F401
@@ -77,5 +83,9 @@ def load_all() -> dict[str, QuerySpec]:
     from hgn_spark.streaming import queries as streaming_queries  # noqa: F401
 
     ordered = [s for s in REGISTRY.values() if s.oracle is not None]
-    ordered += [s for s in REGISTRY.values() if s.oracle is None]
+    rows_only = [s for s in REGISTRY.values() if s.oracle is None]
+    rank = {n: i for i, n in enumerate(_ROWS_ONLY_PRIORITY)}
+    ordered += sorted(
+        rows_only, key=lambda s: rank.get(s.name, len(_ROWS_ONLY_PRIORITY))
+    )
     return {s.name: s for s in ordered}

@@ -238,6 +238,23 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.8  # 0.96 observed with 20 lists / 3 probes
 
 
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """The Lloyd-trained variant keeps the recall floor. On this
+    isotropic corpus it measures 0.92 (vs 0.96 for stride seeds at the
+    same probed candidate count) — the expected no-cluster-structure
+    outcome, see simsearch_ivf_kmeans_topk's docstring."""
+    bf = {
+        (r["q_id"], r["vec_id"])
+        for r in SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r["q_id"], r["vec_id"])
+        for r in SPECS["simsearch_ivf_kmeans_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.8  # 0.92 observed with 20 lists / 3 probes
+
+
 def test_df_cap_preserves_high_jaccard_pairs(spark):
     """The hot-shingle cap must not lose any jaccard>=0.8 pair: planted
     near-dups share dozens of shingles, so even an aggressive cap keeps

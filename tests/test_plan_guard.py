@@ -20,7 +20,11 @@ SPECS = load_all()
 # Queries whose BroadcastNestedLoopJoin is the intended physical shape:
 # the broadcast side is provably small (40 query vectors / ~60 centroids)
 # and the stream side stays partition-parallel.
-BNLJ_ALLOWED = {"simsearch_topk_cosine", "simsearch_ivf_topk"}
+BNLJ_ALLOWED = {
+    "simsearch_topk_cosine",
+    "simsearch_ivf_topk",
+    "simsearch_ivf_kmeans_topk",
+}
 
 BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]
 
