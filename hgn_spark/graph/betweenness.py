@@ -125,6 +125,114 @@ def shortest_paths(edges: DataFrame, max_len: int = 2) -> DataFrame:
     return out
 
 
+def edge_betweenness_brandes(edges: DataFrame, max_sp_length: int = 2) -> DataFrame:
+    """Fractional-GN edge betweenness via truncated Brandes σ/δ
+    accumulation — identical output to ``edge_betweenness`` (default
+    semantics, pinned in tests) but built for LARGE truncation depths.
+
+    ``edge_betweenness`` materializes every shortest path as an array;
+    its row count is the number of PATHS, which grows multiplicatively
+    with depth on dense graphs. This variant keeps only per-pair state:
+
+    - forward, for d = 1..K: σ(s, v, d) = number of shortest s→v paths
+      of length d, computed per layer as one join of the (d-1) frontier
+      with the edge table + an anti-join against seen pairs + a
+      groupBy-sum over parents (the distributed Brandes forward pass —
+      the reference's batched Pregel shortestPaths,
+      graph_tools/graph_tools.py:115-153, computes distances only and
+      then re-enumerates walks per length with motifs);
+    - backward, for d = K..1: each pair (s, w) at depth d spreads
+      σ(s,u)/σ(s,w) · (1 + δ(s,w)) credit onto every DAG parent edge
+      (u, w), and δ(s, u) accumulates the per-parent credits — one join
+      + one groupBy per level.
+
+    State is O(Σ_s |ball_K(s)|) pair rows (the inherent output size of
+    truncated all-pairs betweenness), every stage shuffles on (s, key)
+    equi-keys, each level localCheckpoints — no path arrays, no driver
+    collect, survives depths where path enumeration detonates.
+    """
+    sym = symmetrize(edges)
+    layers: list[DataFrame] = [
+        sym.select(
+            F.col("src").alias("s"),
+            F.col("dst").alias("v"),
+            F.lit(1.0).alias("sig"),
+        ).localCheckpoint(eager=True)
+    ]
+    known = layers[0].select("s", "v")
+    for _d in range(2, max_sp_length + 1):
+        a = layers[-1].alias("a")
+        b = sym.alias("b")
+        nxt = (
+            a.join(b, F.col("a.v") == F.col("b.src"))
+            .select(
+                F.col("a.s").alias("s"),
+                F.col("b.dst").alias("v"),
+                F.col("a.sig").alias("sig"),
+            )
+            .filter(F.col("s") != F.col("v"))
+            .join(known, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sig").alias("sig"))
+            .localCheckpoint(eager=True)
+        )
+        layers.append(nxt)
+        known = known.union(nxt.select("s", "v"))
+
+    credits: list[DataFrame] = []
+    delta: DataFrame | None = None
+    und = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    for d in range(max_sp_length, 0, -1):
+        cur = layers[d - 1]
+        if delta is None:
+            cur = cur.withColumn("delta", F.lit(0.0))
+        else:
+            cur = cur.join(delta, ["s", "v"], "left").fillna({"delta": 0.0})
+        if d > 1:
+            prev = layers[d - 2].select(
+                "s", F.col("v").alias("u"), F.col("sig").alias("sig_u")
+            )
+            cred = (
+                cur.join(und, "v")
+                .join(prev, ["s", "u"])
+                .withColumn(
+                    "c",
+                    F.col("sig_u") / F.col("sig") * (F.lit(1.0) + F.col("delta")),
+                )
+            )
+            credits.append(
+                cred.select(
+                    F.least("u", "v").alias("src"),
+                    F.greatest("u", "v").alias("dst"),
+                    "c",
+                )
+            )
+            delta = (
+                cred.groupBy("s", "u")
+                .agg(F.sum("c").alias("delta"))
+                .select("s", F.col("u").alias("v"), "delta")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # Depth-1 pairs: the only DAG parent is the source itself
+            # (σ(s,s) = 1), so the edge (s, w) takes the whole unit plus
+            # everything accumulated below w.
+            cred = cur.withColumn(
+                "c", (F.lit(1.0) + F.col("delta")) / F.col("sig")
+            )
+            credits.append(
+                cred.select(
+                    F.least("s", "v").alias("src"),
+                    F.greatest("s", "v").alias("dst"),
+                    "c",
+                )
+            )
+    out = credits[0]
+    for c in credits[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("src", "dst").agg(F.sum("c").alias("betweenness"))
+
+
 def edge_betweenness(
     edges: DataFrame, max_sp_length: int = 2, compat_single_path: bool = False
 ) -> DataFrame:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hgn_spark.graph.betweenness import (
     edge_betweenness,
+    edge_betweenness_brandes,
     shortest_path_lengths,
     shortest_paths,
 )
@@ -150,6 +151,41 @@ def test_betweenness_k3_path_graph(spark):
         (3, 4): pytest.approx(10.0),
         (4, 5): pytest.approx(6.0),
     }
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_brandes_equals_path_enumeration(edges, k):
+    """The σ/δ accumulation variant is output-identical to the
+    path-enumeration default at every truncation depth (same edge set,
+    values to 1e-9) — here on the two-triangle bridge fixture, whose
+    diameter (3) exercises a non-trivial deepest layer at k=3."""
+    a = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(edges, max_sp_length=k).collect()
+    }
+    b = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_brandes(edges, max_sp_length=k).collect()
+    }
+    assert set(a) == set(b)
+    for e, v in a.items():
+        assert abs(b[e] - v) < 1e-9, (e, b[e], v)
+
+
+def test_brandes_multi_path_split(spark):
+    """Square 1-2-4-3-1: pair (1,4) has σ=2, so Brandes must split the
+    credit — the case where single-path shortcuts diverge."""
+    sq = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_brandes(sq, max_sp_length=2).collect()
+    }
+    # Same hand-derived values as test_betweenness_compat_single_path's
+    # fractional half: d1 both orientations (2) + half-credit 2-paths.
+    assert got[(1, 2)] == pytest.approx(4.0)
+    assert got[(3, 4)] == pytest.approx(4.0)
 
 
 def test_shortest_paths_arrays(edges):

@@ -234,6 +234,26 @@ def test_quakers_cc_matches_networkx(quakers):
         assert comp == min(members)
 
 
+@pytest.mark.parametrize("k", [2, 3])
+def test_quakers_brandes_betweenness_matches_python_reference(quakers, k):
+    """The σ/δ-accumulation betweenness (edge_betweenness_brandes — the
+    large-k scale path, no path materialization) vs the independent
+    pure-Python truncated-GN implementation on the real Quakers graph,
+    at the shipped depth (k=2) and one deeper layer (k=3)."""
+    from hgn_spark.graph.betweenness import edge_betweenness_brandes
+
+    _nodes, edges = quakers
+    g = _nx_graph(edges)
+    want = _truncated_betweenness_py(g, k=k, single_path=False)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_brandes(edges, max_sp_length=k).collect()
+    }
+    assert set(got) == set(want)
+    for e, v in want.items():
+        assert abs(got[e] - v) < 1e-9, (e, got[e], v)
+
+
 @pytest.mark.parametrize("compat", [False, True], ids=["fractional", "compat"])
 def test_quakers_betweenness_matches_python_reference(quakers, compat):
     """Truncated-GN betweenness (k=2) vs the independent pure-Python
