@@ -234,14 +234,31 @@ def edge_betweenness_brandes(edges: DataFrame, max_sp_length: int = 2) -> DataFr
 
 
 def edge_betweenness(
-    edges: DataFrame, max_sp_length: int = 2, compat_single_path: bool = False
+    edges: DataFrame,
+    max_sp_length: int = 2,
+    compat_single_path: bool = False,
+    method: str = "auto",
 ) -> DataFrame:
     """→ (src, dst, betweenness) on canonical src < dst edges, for any
     truncation depth: enumerate shortest paths, credit each ordered
     pair's unit across its σ paths (or a single deterministic path in
     compat mode — quirk §8.2), explode the path arrays, sum per
     canonical edge.
+
+    ``method``: "paths" (enumerate; fewer stages, fastest at the
+    shipped k=2/3 depths), "sigma" (edge_betweenness_brandes; per-pair
+    state only, the deep-truncation scale path), or "auto" (sigma for
+    k > 3 fractional, paths otherwise). Compat mode must pick a
+    concrete surviving path, so it always enumerates.
     """
+    if method not in ("auto", "paths", "sigma"):
+        raise ValueError(f"unknown betweenness method: {method!r}")
+    if method == "sigma" and compat_single_path:
+        raise ValueError("compat_single_path needs concrete paths; use method='paths'")
+    if method == "sigma" or (
+        method == "auto" and max_sp_length > 3 and not compat_single_path
+    ):
+        return edge_betweenness_brandes(edges, max_sp_length)
     sp = shortest_paths(edges, max_len=max_sp_length)
 
     if compat_single_path:
