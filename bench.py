@@ -78,6 +78,30 @@ def main() -> None:
     ).mapInPandas(lambda it: (pdf for pdf in it), schema="id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    #   - the higher-order-function evaluator (zip_with/aggregate/
+    #     transform lambdas run interpreted + trigger a one-time ~5 s
+    #     JIT/codegen warm-up that would otherwise bill to the first
+    #     embedding query) and the window-exec path
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _v = spark.range(64).agg(
+        _F.collect_list(_F.col("id").cast("double")).alias("a")
+    )
+    _v.select(
+        _F.aggregate(
+            _F.zip_with("a", "a", lambda x, y: x * y),
+            _F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        _F.transform("a", lambda x: x * 2).alias("t"),
+    ).write.format("noop").mode("overwrite").save()
+    spark.range(256).withColumn(
+        "rn",
+        _F.row_number().over(
+            _W.partitionBy(_F.col("id") % 8).orderBy(_F.col("id").desc())
+        ),
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     missing: list[str] = []
