@@ -29,7 +29,7 @@ HEADLINE = [
     "join_left_outer_counts",
     "join_theta_multikey",
     "topk_per_group_and_global",
-    "window_running_sum",
+    "window_running_lag",
     "sessionize_events",
     "collect_set_sorted",
     "explode_tokens",

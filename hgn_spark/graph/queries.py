@@ -216,40 +216,34 @@ def graph_betweenness_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src, src FROM sym
       UNION
       SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-    )
-    SELECT node AS id, min(comp) AS component FROM walk GROUP BY node
+    ),
+    comps AS (SELECT node AS id, min(comp) AS component FROM walk GROUP BY node),
+    sizes AS (SELECT component, count(*) AS n_members FROM comps GROUP BY component)
+    SELECT c.id, c.component, s.n_members,
+           CAST(s.n_members >= {MIN_COMP_SIZE} AS BIGINT) AS kept
+    FROM comps c JOIN sizes s USING (component)
     """,
     tags=("graph", "iterative"),
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components via alternating large-star/small-star (G13).
+    """Connected components via alternating large-star/small-star (G13),
+    joined with per-component sizes and the small-community filter flag
+    (G14 — defined in the reference, graph_tools/graph_tools.py:519-540,
+    but never wired into main.py; wired here). Two §2 rows in one driver
+    row: (id, component) is the G13 evidence, (n_members, kept) the G14
+    evidence — `kept` marks components the HAVING-style filter retains.
 
     Hash-checked against a DuckDB recursive min-label closure — both
     converge to component = min member id.
     """
-    return connected_components(derived_edges(spark, sf_dir))
-
-
-@register(
-    "graph_component_sizes",
-    oracle=f"""
-    WITH RECURSIVE {GRAPH_CTE},
-    walk(node, comp) AS (
-      SELECT src, src FROM sym
-      UNION
-      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-    )
-    SELECT component, count(*) AS n_members FROM (
-      SELECT node, min(comp) AS component FROM walk GROUP BY node
-    ) GROUP BY component HAVING count(*) >= {MIN_COMP_SIZE}
-    """,
-    tags=("graph",),
-)
-def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Component sizes with the small-community HAVING filter (G14 —
-    defined in the reference but never wired; wired here)."""
     comps = connected_components(derived_edges(spark, sf_dir))
-    return component_sizes(comps, min_size=MIN_COMP_SIZE)
+    sizes = component_sizes(comps, min_size=1)
+    return comps.join(sizes, "component").select(
+        "id",
+        "component",
+        "n_members",
+        (F.col("n_members") >= MIN_COMP_SIZE).cast("long").alias("kept"),
+    )
 
 
 @register(

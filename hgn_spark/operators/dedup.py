@@ -170,22 +170,30 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle CTE block: exact-jaccard near-dup pairs from the
+# shingle inverted index. `jpairs` is the thresholded (d1 < d2) pair
+# list; dedup_canonical_groups builds its duplicate graph on top of it.
+_NGRAM_PAIR_CTES = f"""tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
+    sh AS (SELECT doc_id, unnest({DUCK_SHINGLES}) AS s FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jpairs AS (
+      SELECT d1, d2,
+             round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+      FROM cpairs
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRES})"""
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
-    sh AS (SELECT doc_id, unnest({DUCK_SHINGLES}) AS s FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT d1, d2,
-           round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
-    FROM pairs
-    JOIN sizes s1 ON s1.doc_id = d1
-    JOIN sizes s2 ON s2.doc_id = d2
-    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRES}
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT d1, d2, jaccard FROM jpairs
     """,
     tags=("dedup",),
 )
@@ -261,6 +269,58 @@ def ngram_jaccard_pairs_capped(
         .distinct()
     )
     return _verified_jaccard(cands, sets_).filter(F.col("jaccard") >= JACCARD_THRES)
+
+
+@register(
+    "dedup_canonical_groups",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    e AS (SELECT d1 AS src, d2 AS dst FROM jpairs),
+    symd AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    walk(node, comp) AS (
+      SELECT src, src FROM symd
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN symd s ON s.src = w.node),
+    comps AS (SELECT node AS doc_id, min(comp) AS group_id
+              FROM walk GROUP BY node),
+    gs AS (SELECT group_id, count(*) AS group_size FROM comps GROUP BY group_id)
+    SELECT c.doc_id, c.group_id, g.group_size,
+           CAST(c.doc_id = c.group_id AS BIGINT) AS is_canonical
+    FROM comps c JOIN gs g USING (group_id)
+    """,
+    tags=("dedup", "graph", "llm-pipeline"),
+)
+def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: resolve pairwise near-duplicates into
+    canonical KEEP/DROP groups. Near-dup pairs are transitive in
+    practice (A≈B, B≈C) so pairs alone over-delete; the standard
+    resolution is connected components over the duplicate graph, keep
+    one doc per component.
+
+    Pairs come from the exact-jaccard query (deterministic, itself
+    hash-checked); groups from the same large-star/small-star CC
+    operator the graph layer uses (min-id labels); the min-id member is
+    the canonical survivor — the same keep-first policy as
+    dedup_exact_groups. Output covers docs in ≥1 near-dup pair
+    (singletons are trivially canonical and stay out of the shuffle).
+
+    Scale shape: the duplicate graph is tiny relative to the corpus
+    (near-dup pairs, not all pairs), CC is O(log n) rounds on it, and
+    the final keep-set applies back to the corpus as a broadcast/semi
+    join — this is how a 100 TB dedup actually ships.
+    """
+    from hgn_spark.graph.components import connected_components
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    comps = connected_components(edges)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return comps.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        "group_size",
+        (F.col("id") == F.col("component")).cast("long").alias("is_canonical"),
+    )
 
 
 def _perm_min(p: int):

@@ -121,47 +121,42 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "filter_union_by_name",
+    "filter_union_distinct",
     oracle="""
     WITH u AS (
-      SELECT event_id, event_type, 'compound' AS branch FROM events
+      SELECT user_id, event_type, 'compound' AS branch FROM events
       WHERE (value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')
       UNION ALL
-      SELECT event_id, event_type, 'rest' AS branch FROM events
+      SELECT user_id, event_type, 'rest' AS branch FROM events
       WHERE NOT ((value < 10.0) OR (value >= 10.0 AND event_type = 'purchase'))
-    )
-    SELECT event_type, branch, count(*) AS n FROM u GROUP BY event_type, branch
+    ),
+    d AS (SELECT DISTINCT user_id, event_type, branch FROM u)
+    SELECT event_type, branch, count(*) AS n_user_types
+    FROM d GROUP BY event_type, branch
     """,
-    tags=("filter", "setop"),
+    tags=("filter", "setop", "dedup"),
 )
-def filter_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+def filter_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-string compound predicate (reference main.py:136-137 pattern)
     splitting events into two labeled branches, re-combined with
     unionByName across frames whose column order differs (reference
-    graph_tools/graph_tools.py:349-350)."""
+    graph_tools/graph_tools.py:349-350), then an exact dedup on the
+    projection (reference dropDuplicates, spark_manager.py:207) before
+    the grouped count — P3/P4 + U2 + P7 evidence in one driver row."""
     e = load_table(spark, sf_dir, "events")
     pred = "(value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')"
     lo = e.filter(pred).select(
-        "event_id", "event_type", F.lit("compound").alias("branch")
+        "user_id", "event_type", F.lit("compound").alias("branch")
     )
     hi = e.filter(f"NOT ({pred})").select(
-        F.lit("rest").alias("branch"), "event_type", "event_id"  # swapped order
+        F.lit("rest").alias("branch"), "event_type", "user_id"  # swapped order
     )
     return (
         lo.unionByName(hi)
+        .distinct()
         .groupBy("event_type", "branch")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n_user_types"))
     )
-
-
-@register(
-    "distinct_projection",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-    tags=("dedup",),
-)
-def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on a projection (reference dropDuplicates, spark_manager.py:207)."""
-    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -746,45 +741,20 @@ def topk_per_group_and_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_sum",
+    "window_running_lag",
     oracle="""
-    SELECT l_suppkey, l_orderkey, l_linenumber,
+    SELECT 'running_rev' AS op, l_suppkey AS part_key,
+           l_orderkey AS id_a, CAST(l_linenumber AS BIGINT) AS id_b,
            round(sum(l_extendedprice)
                  OVER (PARTITION BY l_suppkey
                        ORDER BY l_shipdate, l_orderkey, l_linenumber,
                                 l_extendedprice
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_rev
+             AS val
     FROM lineitem
-    """,
-    tags=("window",),
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per supplier.
-
-    The testdata's (l_orderkey, l_linenumber) is NOT unique (118k
-    duplicate keys at sf0.1, with differing prices on the same
-    shipdate), so l_extendedprice joins the ORDER BY: rows still tied
-    after it contribute equal amounts, making every prefix sum
-    well-defined regardless of physical tie order — without it the
-    query passed or failed the hash gate by scheduling luck."""
-    w = (
-        W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_rev"),
-    )
-
-
-@register(
-    "window_lag_null_filter",
-    oracle="""
-    SELECT user_id, event_id, round(delta, 4) AS delta
+    UNION ALL
+    SELECT 'lag_delta' AS op, user_id AS part_key, event_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, round(delta, 4) AS val
     FROM (SELECT user_id, event_id,
                  value - lag(value) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS delta
@@ -793,18 +763,45 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "filter", "null"),
 )
-def window_lag_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() analytic — per-user change in value between consecutive
-    events — with an IS NOT NULL filter on the window-produced null
-    (reference P5, graph_tools/graph_tools.py:496-502 null-filtering
-    subqueries)."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.withColumn("delta", F.col("value") - F.lag("value").over(w))
-        .filter(F.col("delta").isNotNull())
-        .select("user_id", "event_id", F.round("delta", 4).alias("delta"))
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two analytic-window shapes, labeled and unioned into one driver
+    row: a running-sum frame (UNBOUNDED PRECEDING..CURRENT ROW per
+    supplier over lineitem) and a lag() delta per user over events with
+    an IS NOT NULL filter on the window-produced null (reference P5,
+    graph_tools/graph_tools.py:496-502 null-filtering subqueries).
+
+    The testdata's (l_orderkey, l_linenumber) is NOT unique (118k
+    duplicate keys at sf0.1, with differing prices on the same
+    shipdate), so l_extendedprice joins the running-sum ORDER BY: rows
+    still tied after it contribute equal amounts, making every prefix
+    sum well-defined regardless of physical tie order — without it the
+    query passed or failed the hash gate by scheduling luck."""
+    w_run = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    running = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("running_rev").alias("op"),
+        F.col("l_suppkey").alias("part_key"),
+        F.col("l_orderkey").alias("id_a"),
+        F.col("l_linenumber").cast("long").alias("id_b"),
+        F.round(F.sum("l_extendedprice").over(w_run), 2).alias("val"),
+    )
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    lagged = (
+        e.withColumn("delta", F.col("value") - F.lag("value").over(w_lag))
+        .filter(F.col("delta").isNotNull())
+        .select(
+            F.lit("lag_delta").alias("op"),
+            F.col("user_id").alias("part_key"),
+            F.col("event_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.round("delta", 4).alias("val"),
+        )
+    )
+    return running.unionByName(lagged)
 
 
 # ---------------------------------------------------------------------------

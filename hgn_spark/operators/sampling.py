@@ -1,0 +1,96 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Engine extension family (no reference counterpart): a 100 TB corpus
+pipeline needs *reproducible* samples — re-runnable across engines and
+retries, join-stable against other derived tables, and auditable. RNG
+sampling (`df.sample`) gives none of that, so both operators here hash
+instead of rolling dice:
+
+- rate sampling: keep a document iff the first 8 hex chars of
+  md5(doc_id) fall below a per-stratum threshold. Pure scan-side
+  filter — no shuffle, no state, pushes through any plan, and the
+  keep-set is a deterministic function of the id (the standard
+  production trick for stable holdouts / subsampling).
+- fixed-size per-stratum sampling: the K smallest hashes per stratum
+  (a bottom-k order statistic == a uniform K-sample without
+  replacement, and streams/unions compose by re-taking bottom-k).
+
+Scale notes: the rate filter is embarrassingly parallel. The bottom-k
+window shuffles one stratum per partition — fine for O(100) strata
+(languages, sources); for high-cardinality or skewed strata, pre-reduce
+with a per-partition bottom-k before the window so only K rows per
+(partition, stratum) shuffle. md5 is used (not xxhash64) so the DuckDB
+oracle replays the identical bytes → identical sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hgn_spark.catalog import load_table
+from hgn_spark.registry import register
+
+# Per-language keep rates as 8-hex-digit thresholds on u8 = first 32
+# bits of md5(doc_id): '40000000' = 1/4, '80000000' = 1/2, 'c0000000'
+# (default) = 3/4. Hex-string comparison on fixed-width lowercase hex
+# is order-isomorphic to the integer comparison, so no engine needs a
+# hex→int conversion.
+RATE_HEX = {"en": "40000000", "zh": "80000000"}
+DEFAULT_RATE_HEX = "c0000000"
+STRATUM_K = 20
+
+
+def _u8(col: Column) -> Column:
+    """First 8 hex chars of md5 of the id rendered as a decimal string —
+    both engines hash the identical UTF-8 bytes."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, 8)
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+      FROM documents),
+    rate AS (
+      SELECT 'rate_sample' AS op, doc_id, lang, u8 FROM h
+      WHERE u8 < CASE lang WHEN 'en' THEN '{RATE_HEX["en"]}'
+                           WHEN 'zh' THEN '{RATE_HEX["zh"]}'
+                           ELSE '{DEFAULT_RATE_HEX}' END),
+    bk AS (
+      SELECT 'stratum_bottom_k' AS op, doc_id, lang, u8 FROM (
+        SELECT doc_id, lang, u8,
+               row_number() OVER (PARTITION BY lang ORDER BY u8, doc_id) AS rn
+        FROM h)
+      WHERE rn <= {STRATUM_K})
+    SELECT op, doc_id, lang, u8 FROM rate
+    UNION ALL
+    SELECT op, doc_id, lang, u8 FROM bk
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic sampling shapes over documents, labeled and
+    unioned: per-language hash-rate sampling (en 25%, zh 50%, rest 75%)
+    and the bottom-{K} hashes per language (fixed-size uniform sample).
+
+    Fully hash-checked: the sample membership itself is the compared
+    value, not just its size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _u8(F.col("doc_id")).alias("u8")
+    )
+    thres = F.when(F.col("lang") == "en", F.lit(RATE_HEX["en"])).when(
+        F.col("lang") == "zh", F.lit(RATE_HEX["zh"])
+    ).otherwise(F.lit(DEFAULT_RATE_HEX))
+    rate = docs.filter(F.col("u8") < thres).select(
+        F.lit("rate_sample").alias("op"), "doc_id", "lang", "u8"
+    )
+    w = W.partitionBy("lang").orderBy("u8", "doc_id")
+    bottomk = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select(F.lit("stratum_bottom_k").alias("op"), "doc_id", "lang", "u8")
+    )
+    return rate.unionByName(bottomk)

@@ -13,7 +13,7 @@ engines — the DuckDB oracles hash-check the exact fingerprint bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
@@ -176,4 +176,69 @@ def text_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(shingles(tokens("text"))).alias("n_shingles"),
         F.md5(F.array_join(t, " ")).alias("fp_exact"),
         F.md5(F.array_join(F.sort_array(F.array_distinct(t)), " ")).alias("fp_bag"),
+    )
+
+
+CTX_LEN = 512   # tokens per packed training chunk
+N_SHARDS = 8    # parallel packing streams
+
+
+@register(
+    "pack_token_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+             CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_start
+      FROM t)
+    SELECT shard, doc_id, n_tokens, tok_start,
+           CAST(floor(tok_start / {CTX_LEN}.0) AS BIGINT) AS chunk_id,
+           tok_start % {CTX_LEN} AS chunk_offset
+    FROM c
+    """,
+    tags=("text", "packing", "llm-pipeline"),
+)
+def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    step that lays tokenized documents head-to-tail and slices the
+    stream into fixed {CTX_LEN}-token chunks. Per document: its shard,
+    token count, stream offset, owning chunk and offset within it (a
+    doc whose tokens straddle a boundary spans chunks, as in real
+    packing).
+
+    Scale shape: documents are split into {N_SHARDS} deterministic
+    shards (production: hash(doc_id) % shards) packed independently —
+    the running-offset window is per-shard, so the only shuffle is the
+    shard partitioning and no global order exists anywhere. Chunk ids
+    are shard-local; (shard, chunk_id) is the global chunk key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return t.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_start"),
+    ).select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.floor(F.col("tok_start") / CTX_LEN).cast("long").alias("chunk_id"),
+        (F.col("tok_start") % CTX_LEN).alias("chunk_offset"),
     )

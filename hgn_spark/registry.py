@@ -78,6 +78,7 @@ def load_all() -> dict[str, QuerySpec]:
     from hgn_spark.operators import dedup  # noqa: F401
     from hgn_spark.operators import similarity  # noqa: F401
     from hgn_spark.operators import text  # noqa: F401
+    from hgn_spark.operators import sampling  # noqa: F401
     from hgn_spark.graph import queries as graph_queries  # noqa: F401
     from hgn_spark.multimodal import ops as multimodal_ops  # noqa: F401
     from hgn_spark.streaming import queries as streaming_queries  # noqa: F401
