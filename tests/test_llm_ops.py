@@ -287,3 +287,81 @@ def test_df_cap_preserves_high_jaccard_pairs(spark):
         .select("h")
     )
     assert hot.count() > 0, "df_cap=4 never fired — raise the bar"
+
+
+# ---------------------------------------------------------------------------
+# Sampling / packing / canonical-group properties (beyond oracle parity)
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_k(spark):
+    from hgn_spark.operators.sampling import (
+        DEFAULT_RATE_HEX,
+        RATE_HEX,
+        STRATUM_K,
+        sample_stratified_hash,
+    )
+    from hgn_spark.catalog import load_table
+
+    out = sample_stratified_hash(spark, SF_SMOKE).toPandas()
+    totals = (
+        load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    rate = out[out["op"] == "rate_sample"].groupby("lang").size()
+    for lang, n_total in totals.items():
+        expected = int(RATE_HEX.get(lang, DEFAULT_RATE_HEX)[0:2], 16) / 256.0
+        got = rate.get(lang, 0) / n_total
+        # md5 is uniform; with ~50-100 docs per stratum allow a wide but
+        # meaningful band around the configured rate.
+        assert abs(got - expected) < 0.35, (lang, got, expected)
+    bk = out[out["op"] == "stratum_bottom_k"].groupby("lang").size()
+    for lang, n_total in totals.items():
+        assert bk.get(lang, 0) == min(STRATUM_K, n_total), lang
+    # Determinism: the sample is a pure function of the ids.
+    again = sample_stratified_hash(spark, SF_SMOKE).toPandas()
+    key = ["op", "doc_id"]
+    assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
+
+
+def test_pack_token_chunks_contiguous(spark):
+    from hgn_spark.operators.text import CTX_LEN, N_SHARDS, pack_token_chunks
+
+    out = pack_token_chunks(spark, SF_SMOKE).toPandas()
+    assert set(out["shard"]) <= set(range(N_SHARDS))
+    assert (out["chunk_offset"] < CTX_LEN).all()
+    assert (out["chunk_offset"] >= 0).all()
+    for _, grp in out.sort_values(["shard", "doc_id"]).groupby("shard"):
+        starts = grp["tok_start"].tolist()
+        toks = grp["n_tokens"].tolist()
+        # Head-to-tail stream: each doc starts where the previous ended.
+        assert starts[0] == 0
+        for i in range(1, len(starts)):
+            assert starts[i] == starts[i - 1] + toks[i - 1]
+        # chunk bookkeeping is consistent with the stream offset
+        assert (grp["chunk_id"] == grp["tok_start"] // CTX_LEN).all()
+
+
+def test_canonical_groups_partition_the_pairs(spark):
+    from hgn_spark.operators.dedup import (
+        dedup_canonical_groups,
+        dedup_ngram_jaccard_pairs,
+    )
+
+    groups = dedup_canonical_groups(spark, SF_SMOKE).toPandas()
+    pairs = dedup_ngram_jaccard_pairs(spark, SF_SMOKE).toPandas()
+    gid = dict(zip(groups["doc_id"], groups["group_id"]))
+    # Every near-dup pair lands in one group.
+    for d1, d2 in zip(pairs["d1"], pairs["d2"]):
+        assert gid[d1] == gid[d2], (d1, d2)
+    # Exactly one canonical doc per group, and it's the min id.
+    per_group = groups.groupby("group_id")
+    assert (per_group["is_canonical"].sum() == 1).all()
+    assert (per_group["doc_id"].min() == per_group["group_id"].first()).all()
+    # group_size is the member count.
+    assert (per_group.size() == per_group["group_size"].first()).all()
