@@ -36,6 +36,9 @@ HEADLINE = [
     "rollup_region_nation",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_canonical_groups",
+    "sample_stratified_hash",
+    "pack_token_chunks",
     "simsearch_topk_cosine",
     "simsearch_ivf_topk",
     "text_profile",

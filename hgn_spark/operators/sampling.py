@@ -16,11 +16,12 @@ instead of rolling dice:
   replacement, and streams/unions compose by re-taking bottom-k).
 
 Scale notes: the rate filter is embarrassingly parallel. The bottom-k
-window shuffles one stratum per partition — fine for O(100) strata
-(languages, sources); for high-cardinality or skewed strata, pre-reduce
-with a per-partition bottom-k before the window so only K rows per
-(partition, stratum) shuffle. md5 is used (not xxhash64) so the DuckDB
-oracle replays the identical bytes → identical sample.
+window shuffles one stratum per partition — and Spark plans the
+rank<=K filter as WindowGroupLimit BELOW the exchange (verified in the
+formatted plan), so each input partition pre-reduces to its own K rows
+per stratum before anything shuffles: skewed strata ship O(partitions
+× K) rows, not their full size. md5 is used (not xxhash64) so the
+DuckDB oracle replays the identical bytes → identical sample.
 """
 
 from __future__ import annotations
