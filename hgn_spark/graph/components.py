@@ -32,29 +32,34 @@ def _large_star(b: DataFrame) -> DataFrame:
     N(u) is undirected: the map phase of the original formulation emits
     both orientations before grouping, so do the same here.
     """
-    bb = (
-        b.union(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # No distincts here at all: duplicate (src, dst) rows cannot change
+    # a min() window — neither this one nor _small_star's downstream —
+    # and output cardinality stays <= |b| regardless (one row per input
+    # edge with dst > src). _small_star's final distinct is the one
+    # per-round canonicalizer (the convergence signature hashes the
+    # exact row multiset, so the checkpointed state must be distinct).
+    # Each distinct dropped is a full shuffle per round saved.
+    bb = b.union(
+        b.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
     w = W.partitionBy("src")
     return (
         bb.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(b: DataFrame) -> DataFrame:
     """Orient edges high→low, then link each vertex and its smaller
     neighbors to the minimum of the closed neighborhood."""
-    o = (
-        b.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # Same reasoning as _large_star: duplicates are harmless under the
+    # min() window and the moved/anchors distincts dedup the output, so
+    # the pre-window distinct's shuffle is pure overhead.
+    o = b.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
     o = o.withColumn("m", F.min("dst").over(W.partitionBy("src")))
     moved = o.filter(F.col("dst") != F.col("m")).select(
         F.col("dst").alias("src"), F.col("m").alias("dst")
