@@ -26,7 +26,7 @@ HEADLINE = [
     "flagship_revenue_by_nation",
     "pricing_summary",
     "scan_projection_pushdown",
-    "join_left_outer_counts",
+    "join_asof_prev_order",
     "join_theta_multikey",
     "topk_per_group_and_global",
     "window_running_lag",

@@ -335,28 +335,111 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "join_left_outer_counts",
-    oracle="""
-    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS spend
-    FROM customer c
-    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey
-    """,
-    tags=("join",),
-)
-def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer + null-aware aggregation (customers with zero orders kept)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Merge-asof: attach to every left row the LATEST right row of the
+    same key with ``right_ts <= left_ts`` (``<`` when ``strict``); left
+    rows with no earlier right row keep nulls (left-outer semantics).
+
+    Plan: tag both sides, union, and take ``last(payload) ignorenulls``
+    over a per-key window ordered by (ts, tag) — ONE hash shuffle on the
+    key and a partition-local sort, exactly the merge-asof plan kdb/
+    Flink/pandas use. The naive alternative (range join ``r.ts <= l.ts``
+    then per-left-row argmax) materializes |left| x |earlier-right-rows|
+    pairs per key before pruning — quadratic per key, a scale-killer at
+    100 TB. Here the intermediate is |left| + |right| rows, always.
+
+    The equal-ts tie is resolved by the tag's sort position (right rows
+    sort before left rows for inclusive, after for strict), so the
+    window never needs to look ahead. Skewed keys cost what any per-key
+    window costs; AQE cannot split a single window partition, so a hot
+    key is the caller's salting decision. Right rows must be unique per
+    (key, ts) — pre-aggregate the right side — otherwise which same-ts
+    payload wins is tie-ambiguous.
+
+    Returns all left columns plus right's non-key columns (including
+    ``right_ts``). The reference has no as-of operator; this is part of
+    the engine-extension surface (SURVEY.md §2.3 ext)."""
+    ltag, rtag = (0, 1) if strict else (1, 0)
+    rpayload = [c for c in right.columns if c != on]
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(ltag).alias("__tag"),
+        F.struct(*left.columns).alias("__left"),
+    )
+    r2 = (
+        right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+        .select(
+            F.col(on).alias("__k"),
+            F.col(right_ts).alias("__t"),
+            F.lit(rtag).alias("__tag"),
+            F.struct(*rpayload).alias("__right"),
         )
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l2.unionByName(r2, allowMissingColumns=True)
+        .withColumn("__m", F.last("__right", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == ltag)
+        .select(
+            *[F.col("__left")[c].alias(c) for c in left.columns],
+            *[F.col("__m")[c].alias(c) for c in rpayload],
+        )
+    )
+
+
+@register(
+    "join_asof_prev_order",
+    # DuckDB's native ASOF LEFT JOIN is the oracle; strict inequality
+    # (o_orderdate > d) matches strict=True on the Spark side. Nullable
+    # no-match outputs are coalesced to sentinels on BOTH sides so the
+    # dtype families stay (int, double, datetime) instead of drifting
+    # to all-float under pandas null promotion.
+    oracle="""
+    WITH day AS (SELECT o_custkey, o_orderdate AS d,
+                        round(sum(o_totalprice), 2) AS day_spend,
+                        count(*) AS day_orders
+                 FROM orders GROUP BY 1, 2)
+    SELECT o.o_orderkey,
+           coalesce(d.d, TIMESTAMP '1970-01-01') AS prev_date,
+           coalesce(d.day_spend, 0.0) AS prev_day_spend,
+           coalesce(d.day_orders, 0) AS prev_day_orders,
+           coalesce(date_diff('day', d.d, o.o_orderdate), -1) AS gap_days
+    FROM orders o ASOF LEFT JOIN day d
+      ON o.o_custkey = d.o_custkey AND o.o_orderdate > d.d
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order temporal feature: the customer's previous order day
+    (spend, order count, gap in days) via a strict as-of self-join —
+    the 'time since last event' pattern every training-data pipeline
+    needs. First orders keep sentinel values (epoch / 0 / -1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = orders.groupBy("o_custkey", F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_spend"),
+        F.count(F.lit(1)).alias("day_orders"),
+    )
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    j = asof_join(left, day, "o_custkey", "o_orderdate", "d", strict=True)
+    return j.select(
+        "o_orderkey",
+        F.coalesce("d", F.lit("1970-01-01").cast("timestamp")).alias("prev_date"),
+        F.coalesce("day_spend", F.lit(0.0)).alias("prev_day_spend"),
+        F.coalesce("day_orders", F.lit(0).cast("long")).alias("prev_day_orders"),
+        F.coalesce(F.datediff("o_orderdate", "d"), F.lit(-1)).alias("gap_days"),
     )
 
 
@@ -368,25 +451,35 @@ def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
          supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
                   FROM supplier GROUP BY s_nationkey)
     SELECT 'full_outer' AS op,
-           CAST(coalesce(cust.nk, supp.nk) AS BIGINT) AS nationkey,
+           CAST(coalesce(cust.nk, supp.nk) AS BIGINT) AS key,
            coalesce(n_cust, 0) AS m1,
-           coalesce(n_supp, 0) AS m2
+           CAST(coalesce(n_supp, 0) AS DOUBLE) AS m2
     FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
     UNION ALL
     SELECT 'right_outer' AS op,
-           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(c.c_nationkey AS BIGINT) AS key,
            count(o.o_orderkey) AS m1,
-           count(DISTINCT c.c_custkey) AS m2
+           CAST(count(DISTINCT c.c_custkey) AS DOUBLE) AS m2
     FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey
+    UNION ALL
+    SELECT 'left_outer' AS op,
+           CAST(c.c_custkey AS BIGINT) AS key,
+           count(o.o_orderkey) AS m1,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS m2
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
     """,
     tags=("join",),
 )
 def join_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-outer join — the reference's isolated-vertex pattern
-    (graph_tools/graph_tools.py:360: neighbors FULL JOIN vertices) —
-    unioned with a right-outer join (reference J7/J8,
-    graph_tools/graph_tools.py:465-483), labeled per variant."""
+    """Every outer-join orientation, labeled per variant: full-outer —
+    the reference's isolated-vertex pattern (graph_tools/
+    graph_tools.py:360: neighbors FULL JOIN vertices); right-outer
+    (reference J7/J8, graph_tools/graph_tools.py:465-483); left-outer
+    with null-aware aggregation (customers with zero orders kept,
+    spend coalesced to 0). Common schema (op, key, m1, m2)."""
     cust = (
         load_table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -399,9 +492,9 @@ def join_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = cust.join(supp, "nk", "full").select(
         F.lit("full_outer").alias("op"),
-        F.col("nk").cast("long").alias("nationkey"),
+        F.col("nk").cast("long").alias("key"),
         F.coalesce("n_cust", F.lit(0)).alias("m1"),
-        F.coalesce("n_supp", F.lit(0)).alias("m2"),
+        F.coalesce("n_supp", F.lit(0)).cast("double").alias("m2"),
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -410,16 +503,30 @@ def join_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("o_orderkey").alias("m1"),
-            F.countDistinct("c_custkey").alias("m2"),
+            F.countDistinct("c_custkey").cast("double").alias("m2"),
         )
         .select(
             F.lit("right_outer").alias("op"),
-            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_nationkey").cast("long").alias("key"),
             "m1",
             "m2",
         )
     )
-    return full.unionByName(right)
+    left = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("m1"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("m2"),
+        )
+        .select(
+            F.lit("left_outer").alias("op"),
+            F.col("c_custkey").cast("long").alias("key"),
+            "m1",
+            "m2",
+        )
+    )
+    return full.unionByName(right).unionByName(left)
 
 
 @register(
