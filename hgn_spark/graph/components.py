@@ -39,9 +39,20 @@ def _large_star(b: DataFrame) -> DataFrame:
     # per-round canonicalizer (the convergence signature hashes the
     # exact row multiset, so the checkpointed state must be distinct).
     # Each distinct dropped is a full shuffle per round saved.
-    bb = b.union(
-        b.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).filter(F.col("src") != F.col("dst"))
+    # Emit both orientations with one explode pass over the checkpointed
+    # state rather than a two-branch union (one scan stage, not two).
+    bb = (
+        b.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
     w = W.partitionBy("src")
     return (
         bb.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
@@ -61,11 +72,27 @@ def _small_star(b: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     o = o.withColumn("m", F.min("dst").over(W.partitionBy("src")))
-    moved = o.filter(F.col("dst") != F.col("m")).select(
-        F.col("dst").alias("src"), F.col("m").alias("dst")
+    # Both output arms — moved neighbors (dst, m) and anchors (src, m) —
+    # come out of ONE explode over the window output instead of a
+    # union of two scans of it: the moved arm's dst != m condition is
+    # exactly the src != dst filter (when dst == m the emitted row is
+    # (m, m)), so no per-arm filtering is needed, the window sort+min
+    # is computed once instead of per union branch, and the anchors
+    # arm's pre-distinct shuffle disappears (the final distinct's
+    # map-side partial aggregation absorbs the duplicates).
+    return (
+        o.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("s"), F.col("m").alias("d")),
+                    F.struct(F.col("src").alias("s"), F.col("m").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
     )
-    anchors = o.select("src", F.col("m").alias("dst")).distinct()
-    return moved.union(anchors).filter(F.col("src") != F.col("dst")).distinct()
 
 
 def connected_components(
