@@ -35,18 +35,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    """events.ts arrives in whatever parquet timestamp flavor the data
+    generator used; normalize to plain TIMESTAMP so every consumer
+    (unix_micros, withWatermark — both reject TIMESTAMP_NTZ) sees one
+    type.
 
-    Read it as a nanos long (runtime conf, works on any session) and
-    truncate to microseconds — the same floor-truncation DuckDB applies,
-    so oracle comparisons stay exact.
+    - TIMESTAMP(NANOS): read as a nanos long (runtime conf) and truncate
+      to micros — the same floor-truncation DuckDB applies.
+    - TIMESTAMP_NTZ (isAdjustedToUTC=false, Spark ≥3.4 inference): pin
+      the session to UTC and cast, so the instant equals the wall-clock
+      value DuckDB reads natively and oracle hashes stay exact.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -40,8 +40,9 @@ _SINK_COUNTER = itertools.count()
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file stream; same TIMESTAMP(NANOS) workaround as the
-    batch catalog (hgn_spark/catalog.py:_load_events)."""
+    """events as a file stream; same timestamp normalization as the
+    batch catalog (hgn_spark/catalog.py:_load_events) — withWatermark
+    rejects TIMESTAMP_NTZ, so ts must be plain TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -53,8 +54,12 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(s.dtypes).get("ts") == "bigint":
+    dt = dict(s.dtypes).get("ts")
+    if dt == "bigint":
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
 
 
