@@ -121,8 +121,12 @@ def main() -> None:
             # Full-evaluation drain: every column computed, nothing collected.
             df.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — record and keep benching
-            errors[name] = f"{type(exc).__name__}: {exc}"
-            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+            # First line only, capped: the full message (query plans, stack
+            # frames) can run to kilobytes and push the JSON line past the
+            # driver's stdout capture window, making it unparseable.
+            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+            errors[name] = msg
+            print(f"# ERROR {name}: {msg}", file=sys.stderr)
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
