@@ -64,6 +64,9 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of them pays for it once. localCheckpoint keeps the lineage cut and
 # the data executor-local; the dict only holds DataFrame handles.
 _DOC_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Verified near-dup pairs per (session, sf_dir): the jaccard query's
+# output is both a driver query and canonical-groups' edge input.
+_NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,14 +89,26 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the rows first so shingling uses every core (10s → 1s at
     # sf0.1 on local[32]).
     n = max(spark.sparkContext.defaultParallelism, 8)
+    # Hash each 3-gram directly with multi-arg xxhash64 over the token
+    # window — never materializing the joined shingle string. Same
+    # distinct-set semantics as hashing the string form (jaccard only
+    # sees set sizes; collision odds unchanged), measurably cheaper in
+    # the interpreted higher-order-function evaluator.
+    tok = tokens("text")
+    hashed = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - 3),
+        lambda i: F.xxhash64(
+            F.element_at(tok, i + 1),
+            F.element_at(tok, i + 2),
+            F.element_at(tok, i + 3),
+        ),
+    )
+    hs = F.when(
+        F.size(tok) >= 3, F.sort_array(F.array_distinct(hashed))
+    ).otherwise(F.array().cast("array<long>"))
     sets_ = (
         docs.repartition(n)
-        .select(
-            "doc_id",
-            F.sort_array(
-                F.transform(shingles(tokens("text")), lambda s: F.xxhash64(s))
-            ).alias("hs"),
-        )
+        .select("doc_id", hs.alias("hs"))
         .select("doc_id", "hs", F.size("hs").cast("long").alias("sz"))
     )
     out = sets_.localCheckpoint(eager=True)
@@ -205,6 +220,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting handles the bucket join; for corpora with mega-buckets
     use `ngram_jaccard_pairs_capped` (df-capped candidates, exact
     verify)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _NGRAM_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     sets_ = _doc_shingle_sets(spark, sf_dir)
     sizes = sets_.select("doc_id", "sz")
     sh = _hashed_shingle_index(spark, sf_dir)
@@ -217,7 +236,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    out = (
         common.join(
             sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1"
         )
@@ -234,6 +253,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRES)
         .select("d1", "d2", "jaccard")
     )
+    # The verified pair list is tiny (near-dup pairs, not candidates) and
+    # feeds dedup_canonical_groups in the same session — materialize once.
+    out = out.localCheckpoint(eager=True)
+    _NGRAM_PAIRS_CACHE[key] = out
+    return out
 
 
 def ngram_jaccard_pairs_capped(
