@@ -32,7 +32,8 @@ HEADLINE = [
     "window_running_lag",
     "sessionize_events",
     "collect_set_sorted",
-    "explode_tokens",
+    "explode_array_and_map",
+    "decontaminate_ngram_overlap",
     "rollup_region_nation",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",

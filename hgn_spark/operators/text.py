@@ -242,3 +242,78 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("tok_start") / CTX_LEN).cast("long").alias("chunk_id"),
         (F.col("tok_start") % CTX_LEN).alias("chunk_offset"),
     )
+
+
+DECON_N = 7       # n-gram length for contamination matching
+DECON_BENCH_MOD = 29  # doc_id % MOD == 0 plays the held-out benchmark set
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - {DECON_N - 2}, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                 || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6]))) AS gram
+      FROM tok WHERE len(l) >= {DECON_N}),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM corpus c JOIN bench USING (gram) GROUP BY c.doc_id)
+    SELECT h.doc_id, h.n_overlap, s.n_grams,
+           round(h.n_overlap * 1.0 / s.n_grams, 4) AS overlap_frac
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share
+    {DECON_N}-grams with a held-out benchmark set (here the deterministic
+    doc_id % {DECON_BENCH_MOD} == 0 slice plays the eval suite). Output:
+    one row per contaminated document with its distinct shared-gram
+    count and contamination fraction; clean documents never leave the
+    map side.
+
+    Scale shape — the asymmetry is the whole design: eval suites are
+    tiny (MBs) against a 100 TB corpus, so the benchmark gram set is
+    built once, deduplicated, and BROADCAST; the corpus side is a
+    scan-side explode of hashed {DECON_N}-grams filtered by the
+    broadcast hash join, and the only shuffle is the per-doc aggregation
+    of the few surviving hits. Grams are multi-arg xxhash64 over the
+    token window (no joined-string materialization); the oracle compares
+    string grams — identical distinct-counts modulo 64-bit collisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    grams = F.when(
+        F.size(tok) >= DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - DECON_N),
+                lambda i: F.xxhash64(
+                    *[F.element_at(tok, i + k + 1) for k in range(DECON_N)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = g.filter(is_bench).select("gram").distinct()
+    corpus = g.filter(~is_bench)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_grams",
+        F.round(F.col("n_overlap") * 1.0 / F.col("n_grams"), 4).alias("overlap_frac"),
+    )
