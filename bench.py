@@ -42,6 +42,7 @@ HEADLINE = [
     "pack_token_chunks",
     "simsearch_topk_cosine",
     "simsearch_ivf_topk",
+    "embedding_quantize_int8",
     "text_profile",
     "multimodal_byte_histogram",
     "graph_degrees",

@@ -395,3 +395,60 @@ def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops either way.
     """
     return _ivf_query(spark, sf_dir, refine=True)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) AS scale
+          FROM e),
+    c AS (SELECT vec_id, emb, scale,
+                 list_transform(emb, x -> CAST(round(x * 127.0 / scale) AS BIGINT))
+                   AS codes
+          FROM s)
+    SELECT vec_id, round(scale, 6) AS scale,
+           list_min(codes) AS code_min, list_max(codes) AS code_max,
+           round(list_sum(list_transform(range(1, len(codes) + 1),
+                 i -> (codes[i] * scale / 127.0 - emb[i])
+                    * (codes[i] * scale / 127.0 - emb[i]))) / len(codes), 9)
+             AS mse
+    FROM c
+    """,
+    tags=("embedding", "llm-pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard embedding
+    compression step before a 100 TB corpus's vectors fit an ANN-serving
+    tier (4x smaller than float32, 8x than float64). Per vector: the
+    max-abs scale, the int8 code range actually used, and the exact
+    dequantization MSE.
+
+    Scale shape: one scan-side projection, no shuffle, no UDF — the
+    quantize/dequantize round-trip is zip_with/aggregate over doubles
+    inside codegen. Both engines fold the error sum left-to-right over
+    doubles cast from the same float32 values, so the oracle match is
+    bit-exact, not tolerance-based (verified at sf0.01: exact equality
+    on every column including 9-decimal mse).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    codes = F.transform(e, lambda x: F.round(x * 127.0 / scale).cast("long"))
+    sq_err = F.zip_with(
+        codes,
+        e,
+        lambda c, x: (c * scale / 127.0 - x) * (c * scale / 127.0 - x),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        F.round(
+            F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x) / F.size(codes), 9
+        ).alias("mse"),
+    )

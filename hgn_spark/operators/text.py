@@ -92,10 +92,13 @@ def _duck_lang_score(markers: tuple[str, ...]) -> str:
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
              AS n_regex_tokens,
            CAST(list_sum(list_transform(l, t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
-             AS BIGINT) AS est_bpe_tokens
+             AS BIGINT) AS est_bpe_tokens,
+           len({DUCK_SHINGLES}) AS n_shingles,
+           md5(array_to_string(l, ' ')) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp_bag
     FROM scored
     """,
-    tags=("text",),
+    tags=("text", "dedup"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile, all scan-side in one pass:
@@ -149,33 +152,17 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
         ).alias("est_bpe_tokens"),
-    )
-
-
-@register(
-    "text_shingle_fingerprint",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
-    SELECT doc_id,
-           len({DUCK_SHINGLES}) AS n_shingles,
-           md5(array_to_string(l, ' ')) AS fp_exact,
-           md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp_bag
-    FROM tok
-    """,
-    tags=("text", "dedup"),
-)
-def text_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-gram shingle count (the dedup feature) plus the
-    whitespace-normalized exact fingerprint and order-insensitive
-    bag-of-words fingerprint (md5: byte-identical across engines),
-    one scan-side pass per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    return docs.select(
-        "doc_id",
-        F.size(shingles(tokens("text"))).alias("n_shingles"),
-        F.md5(F.array_join(t, " ")).alias("fp_exact"),
-        F.md5(F.array_join(F.sort_array(F.array_distinct(t)), " ")).alias("fp_bag"),
+        # Fingerprint block (formerly text_shingle_fingerprint — merged so
+        # the driver window keeps room for the rows-only flagship entries):
+        # distinct 3-gram shingle count (the dedup feature), the
+        # whitespace-normalized exact fingerprint and the
+        # order-insensitive bag-of-words fingerprint (md5:
+        # byte-identical across engines). Same single scan-side pass.
+        F.size(shingles(F.col("l"))).alias("n_shingles"),
+        F.md5(F.array_join(F.col("l"), " ")).alias("fp_exact"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct("l")), " ")).alias(
+            "fp_bag"
+        ),
     )
 
 

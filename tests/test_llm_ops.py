@@ -365,3 +365,45 @@ def test_canonical_groups_partition_the_pairs(spark):
     assert (per_group["doc_id"].min() == per_group["group_id"].first()).all()
     # group_size is the member count.
     assert (per_group.size() == per_group["group_size"].first()).all()
+
+
+def test_decontamination_excludes_benchmark_and_bounds(spark):
+    """Benchmark-slice docs never appear as contaminated; every output
+    row has >= 1 overlap and a fraction in (0, 1]."""
+    from hgn_spark.operators.text import DECON_BENCH_MOD
+
+    rows = SPECS["decontaminate_ngram_overlap"].fn(spark, SF_SMOKE).collect()
+    assert rows, "smoke corpus has planted near-dups of benchmark docs"
+    for r in rows:
+        assert r["doc_id"] % DECON_BENCH_MOD != 0
+        assert 1 <= r["n_overlap"] <= r["n_grams"]
+        assert 0 < r["overlap_frac"] <= 1
+
+
+def test_decontamination_flags_neardups_of_benchmark(spark, exact_pairs):
+    """A doc in a planted near-dup pair with a benchmark doc shares long
+    spans with it, so 7-gram decontamination must flag it."""
+    from hgn_spark.operators.text import DECON_BENCH_MOD
+
+    expected = set()
+    for d1, d2 in exact_pairs:
+        if d1 % DECON_BENCH_MOD == 0 and d2 % DECON_BENCH_MOD != 0:
+            expected.add(d2)
+        if d2 % DECON_BENCH_MOD == 0 and d1 % DECON_BENCH_MOD != 0:
+            expected.add(d1)
+    flagged = {
+        r["doc_id"]
+        for r in SPECS["decontaminate_ngram_overlap"].fn(spark, SF_SMOKE).collect()
+    }
+    assert expected <= flagged
+
+
+def test_quantize_int8_code_range_and_error_bound(spark):
+    """Codes stay in the int8 range; per-vector MSE obeys the
+    worst-case bound for max-abs scaling ((scale/127/2)^2 per dim)."""
+    rows = SPECS["embedding_quantize_int8"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert -127 <= r["code_min"] <= r["code_max"] <= 127
+        bound = (r["scale"] / 127.0 / 2.0) ** 2
+        assert r["mse"] <= bound * 1.001 + 1e-12
