@@ -288,19 +288,50 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-    bench = g.filter(is_bench).select("gram").distinct()
-    corpus = g.filter(~is_bench)
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    # The documents table is one parquet file = one partition; spread it
+    # before the gram build so the heavy HOF pass uses every core.
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    base = docs.repartition(n)
+    # explode_outer everywhere: plain explode makes the optimizer infer
+    # a `size(grams) > 0` pre-filter containing the whole tokenize+hash
+    # expression and push it below the repartition — i.e. two extra HOF
+    # evaluations per doc on the single pre-shuffle partition. The outer
+    # variant infers nothing; null grams are dropped cheaply afterwards
+    # on the generated attribute.
+    bench = (
+        base.filter(is_bench)
+        .select(F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
     )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_overlap",
-        "n_grams",
-        F.round(F.col("n_overlap") * 1.0 / F.col("n_grams"), 4).alias("overlap_frac"),
+    # One gram-HOF evaluation per corpus doc: project the gram array to
+    # an attribute FIRST, then take size and explode off the attribute.
+    # (Taking size(expr) and explode(expr) in one select plants the full
+    # tokenize+hash expression in the post-Generate Project, i.e. it is
+    # re-evaluated once per exploded gram — measured 20x slower.
+    # CollapseProject keeps this split because `grams` is referenced
+    # twice.) The per-doc count then rides through the explode, so no
+    # second pass and no full-corpus shuffle — the only aggregation runs
+    # over the rows surviving the broadcast join.
+    pre = base.filter(~is_bench).select("doc_id", grams.alias("grams"))
+    corpus = (
+        pre.select(
+            "doc_id", F.size("grams").cast("long").alias("n_grams"), "grams"
+        )
+        .select("doc_id", "n_grams", F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_grams",
+            F.round(F.col("n_overlap") * 1.0 / F.col("n_grams"), 4).alias(
+                "overlap_frac"
+            ),
+        )
     )
