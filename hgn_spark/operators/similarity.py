@@ -434,7 +434,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact, not tolerance-based (verified at sf0.01: exact equality
     on every column including 9-decimal mse).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Spread the one-file table first — the quantize HOF pass is the
+    # whole query, so it must use every core (see load_embeddings).
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    )
     e = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
     codes = F.transform(e, lambda x: F.round(x * 127.0 / scale).cast("long"))
