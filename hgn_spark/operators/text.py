@@ -116,9 +116,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       word, so short words still cost 1) — the standard LLM-token
       budget heuristic.
 
-    No shuffle: one projection over the scan, everything in
-    whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents")
+    One projection over the scan (plus the initial spread of the
+    one-file table across cores), everything in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    )
     d = docs.select("doc_id", "text", tokens("text").alias("l")).filter(
         F.size("l") > 0
     )
