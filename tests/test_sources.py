@@ -114,3 +114,20 @@ def test_write_communities_csv(spark, tmp_path):
     assert sorted(dirs) == ["component=1", "component=3"]
     back = spark.read.option("header", True).csv(path)
     assert back.filter("attr = 'UNKNOWN'").count() == 1
+
+
+def test_events_ts_normalized_to_timestamp(spark):
+    """Every events consumer needs plain TIMESTAMP: unix_micros and
+    withWatermark both reject TIMESTAMP_NTZ (which parquet files written
+    without isAdjustedToUTC infer as under Spark >= 3.4), and the nanos
+    flavor arrives as bigint. load_table must normalize either way —
+    regression guard for the round-4 driver breakage."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    # unix_micros is the strictest consumer — must analyze and run.
+    assert e.select(F.unix_micros("ts")).first()[0] is not None
