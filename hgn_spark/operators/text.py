@@ -337,3 +337,23 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Ordered (pattern, replacement) pairs for corpus scrubbing. Order
+# matters: emails contain digit runs, so they must be replaced first.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUMBER>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Chained JVM-side regexp_replace scrub (emails → IPs → long digit
+    runs) — the standard pre-training text-cleaning step. Stays in
+    whole-stage codegen; at 100 TB this is a pure scan-side map with no
+    shuffle, so it composes with any ingest pipeline for free."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

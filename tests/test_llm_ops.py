@@ -407,3 +407,20 @@ def test_quantize_int8_code_range_and_error_bound(spark):
         assert -127 <= r["code_min"] <= r["code_max"] <= 127
         bound = (r["scale"] / 127.0 / 2.0) ** 2
         assert r["mse"] <= bound * 1.001 + 1e-12
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.text import redact_pii
+
+    rows = [
+        ("contact bob.smith+x@corp.example.org now", "contact <EMAIL> now"),
+        ("server 192.168.100.200 port 8080", "server <IP> port 8080"),
+        ("card 4111111111111111 exp 12/30", "card <NUMBER> exp 12/30"),
+        ("id 123456 stays, 1234567 goes", "id 123456 stays, <NUMBER> goes"),
+        ("plain text untouched", "plain text untouched"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], ["text"])
+    got = [r[0] for r in df.select(redact_pii("text")).collect()]
+    assert got == [e for _, e in rows]
