@@ -90,3 +90,16 @@ def load_all() -> dict[str, QuerySpec]:
         rows_only, key=lambda s: rank.get(s.name, len(_ROWS_ONLY_PRIORITY))
     )
     return {s.name: s for s in ordered}
+
+
+def clear_session_caches() -> None:
+    """Drop every session-scoped materialization cache (shingle sets,
+    verified near-dup pairs, the derived graph edge list). Benchmarks
+    call this between suite passes so a repeated pass re-measures the
+    real build cost instead of reading checkpoints back."""
+    from hgn_spark.graph import queries as graph_queries
+    from hgn_spark.operators import dedup
+
+    dedup._DOC_SETS_CACHE.clear()
+    dedup._NGRAM_PAIRS_CACHE.clear()
+    graph_queries._EDGES_CACHE.clear()
