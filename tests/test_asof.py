@@ -75,3 +75,74 @@ def test_single_shuffle_plan(frames):
     assert "Join" not in plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+# ---- property: random data matches pandas merge_asof -----------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_right_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=1, max_value=25),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, ts): no tie ambiguity
+)
+_left_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3", "k4"]),
+        st.integers(min_value=1, max_value=25),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(lrows=_left_rows, rrows=_right_rows)
+def test_asof_matches_pandas_merge_asof(spark, lrows, rrows):
+    """The union+window merge-asof must agree with pandas.merge_asof
+    (backward, inclusive) on arbitrary key/timestamp layouts."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(i, k, _ts(d)) for i, (k, d) in enumerate(lrows)],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(d), float(v)) for k, d, v in rrows] or [],
+        "k string, rt timestamp, v double",
+    )
+    got = {
+        r["id"]: (r["rt"], r["v"])
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, _ts(d)) for i, (k, d) in enumerate(lrows)],
+        columns=["id", "k", "t"],
+    ).sort_values("t", kind="stable")
+    rp = pd.DataFrame(
+        [(k, _ts(d), float(v)) for k, d, v in rrows],
+        columns=["k", "rt", "v"],
+    ).sort_values("rt", kind="stable")
+    if rp.empty:
+        expected = {i: (None, None) for i in lp["id"]}
+    else:
+        m = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k")
+        expected = {
+            int(r.id): (
+                None if pd.isna(r.rt) else r.rt.to_pydatetime(),
+                None if pd.isna(r.v) else r.v,
+            )
+            for r in m.itertuples()
+        }
+    assert got == expected
