@@ -95,3 +95,56 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("stratum_bottom_k").alias("op"), "doc_id", "lang", "u8")
     )
     return rate.unionByName(bottomk)
+
+
+def mixture_rates(
+    df: DataFrame, group_col: str, target_weights: dict[str, float]
+) -> dict[str, float]:
+    """Plan a corpus remix: per-group keep rates that reshape observed
+    group sizes toward ``target_weights`` (relative proportions) without
+    upsampling. The binding group is the one whose observed share,
+    relative to its target, is smallest — it keeps rate 1.0 and every
+    other group downsamples proportionally, which yields the largest
+    corpus exactly matching the target mix.
+
+    The aggregation is one map-side-combinable groupBy count; only the
+    per-group summary (one row per group — a plan, not data) reaches
+    the driver.
+    """
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    w_total = sum(target_weights[g] for g in counts)
+    # size of the output corpus if group g binds: counts[g] / share_g
+    binding_total = min(
+        counts[g] / (target_weights[g] / w_total)
+        for g in counts
+        if target_weights.get(g, 0) > 0
+    )
+    return {
+        g: min(1.0, (target_weights.get(g, 0.0) / w_total) * binding_total / n)
+        for g, n in counts.items()
+    }
+
+
+def apply_mixture_sample(
+    df: DataFrame, id_col: str, group_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Deterministically keep each row iff the first 32 md5 bits of its
+    id fall under its group's rate threshold — the same scan-side,
+    shuffle-free hash filter as the rate sampler, so remixes are
+    reproducible across engines, retries and appends.
+    """
+    thr = None
+    for g, rate in rates.items():
+        hex_thr = F.lit(format(min(int(rate * 2**32), 2**32 - 1), "08x"))
+        thr = (
+            F.when(F.col(group_col) == g, hex_thr)
+            if thr is None
+            else thr.when(F.col(group_col) == g, hex_thr)
+        )
+    thr = thr.otherwise(F.lit("00000000")) if thr is not None else F.lit("00000000")
+    return df.filter(_u8(F.col(id_col)) < thr)

@@ -424,3 +424,29 @@ def test_redact_pii_patterns(spark):
     df = spark.createDataFrame([(a,) for a, _ in rows], ["text"])
     got = [r[0] for r in df.select(redact_pii("text")).collect()]
     assert got == [e for _, e in rows]
+
+
+def test_mixture_rates_reshape_corpus(spark):
+    """mixture_rates + apply_mixture_sample: the binding group keeps
+    rate 1.0, realized group shares land near the target mix, and the
+    sample is deterministic across invocations."""
+    from hgn_spark.operators.sampling import apply_mixture_sample, mixture_rates
+
+    docs = SPECS["text_profile"].fn(spark, SF_SMOKE)  # any per-doc frame
+    base = docs.selectExpr("doc_id", "pred_lang AS lang")
+    rates = mixture_rates(base, "lang", {"en": 1.0, "es": 1.0, "de": 1.0,
+                                         "fr": 1.0, "zh": 1.0})
+    assert max(rates.values()) == 1.0  # binding group undersampled, kept whole
+    out = apply_mixture_sample(base, "doc_id", "lang", rates)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(__import__("pyspark").sql.functions.count("*")
+                                   .alias("n")).collect()}
+    # equal-weight target: every realized group size should be within
+    # hash-uniformity noise of the smallest group's size
+    lo, hi = min(got.values()), max(got.values())
+    assert hi <= lo * 1.5 + 10
+    # determinism: same ids both times
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  apply_mixture_sample(base, "doc_id", "lang", rates).collect())
+    assert ids1 == ids2
