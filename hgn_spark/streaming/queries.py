@@ -3,8 +3,9 @@ gap; the reference has no streaming at all).
 
 Each query reads the events parquet as a file stream, runs a windowed /
 stateful transformation with an availableNow trigger into a sink
-(checkpointed parquet for the oracle-gated windowed aggregations — the
-deployable pattern; memory for the rows-only append/update variants),
+(a checkpointed parquet file sink — the deployable pattern — for every
+query except the update-mode stateful one, which the append-only file
+sink cannot express and drains to a memory sink instead),
 and returns the materialized result as a batch DataFrame — so the
 driver contract (callable → DataFrame) holds. Batch twins
 (`json_date_daily`, `sessionize_events`) exist for parity testing;
@@ -65,9 +66,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Drain a streaming frame into a uniquely-named memory sink and
-    return the materialized table. Test-harness sink: the memory sink
-    collects to the driver, so only the rows-only append/update queries
-    use it; the oracle-gated queries go through the parquet sink below."""
+    return the materialized table. Test-harness sink, used ONLY by the
+    update-mode stateful query (the file sink is append-only); every
+    other streaming query drains through the parquet sink below."""
     name = f"hgn_stream_sink_{next(_SINK_COUNTER)}"
     q = (
         df.writeStream.format("memory")
@@ -190,7 +191,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
-    return _run_to_memory(out, "append")
+    return _run_to_parquet(out, "append")
 
 
 @register("streaming_dedup_events", oracle=None, tags=("streaming", "stateful"))
@@ -201,7 +202,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     on an unbounded stream). Result re-aggregated batch-side."""
     s = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     deduped = s.dropDuplicates(["event_id"]).select("event_id", "event_type")
-    table = _run_to_memory(deduped, "append")
+    table = _run_to_parquet(deduped, "append")
     return table.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -228,7 +229,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
     ).select("p_user", "p_ts", "c_ts")
-    table = _run_to_memory(joined, "append")
+    table = _run_to_parquet(joined, "append")
     return table.groupBy(F.col("p_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_click_purchase_pairs")
     )
