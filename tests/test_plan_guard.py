@@ -41,3 +41,30 @@ def test_no_cartesian_or_stray_nested_loop(spark, spec):
             f"{spec.name} plans a BroadcastNestedLoopJoin — either add an "
             f"equi key or justify it in BNLJ_ALLOWED"
         )
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The decon design hinges on the tiny-benchmark/huge-corpus
+    asymmetry: the benchmark gram set must arrive as a BroadcastExchange
+    feeding a BroadcastHashJoin (never a shuffled corpus-side join), and
+    the heavy gram expression must appear exactly once per branch (the
+    optimizer has twice replanted it — per exploded row, and into an
+    inferred pre-filter below the repartition)."""
+    df = SPECS["decontaminate_ngram_overlap"].fn(spark, SF_SMOKE)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    # One gram build per branch: exactly two plan NODES may carry the
+    # tokenize expression (the corpus-side Project and the bench-side
+    # Generate). A third carrier is a regression to per-row re-evaluation
+    # or an inferred pre-filter. (The expression is textually inlined
+    # many times WITHIN a node, so count nodes, not occurrences.)
+    carriers = [
+        blk for blk in plan.split("\n\n") if "split(lower(" in blk
+    ]
+    assert len(carriers) == 2, (
+        f"{len(carriers)} plan nodes carry the gram expression: "
+        + "; ".join(blk.splitlines()[0] for blk in carriers)
+    )
