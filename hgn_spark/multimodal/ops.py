@@ -118,8 +118,13 @@ def sample_frames(df: DataFrame, every_nth: int = 4, frame_bytes: int = 16) -> D
             ),
         ),
     )
+    # explode_outer: plain explode lets InferFiltersFromGenerate push a
+    # size()>0 filter carrying the whole frame-build expression below
+    # the repartition (see decontaminate_ngram_overlap); the outer
+    # variant infers nothing and f is never null here anyway.
     return (
-        df.select("doc_id", F.explode(frames).alias("f"))
+        df.select("doc_id", F.explode_outer(frames).alias("f"))
+        .filter(F.col("f").isNotNull())
         .select("doc_id", F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame").alias("frame"))
         .filter(F.col("frame_idx") % every_nth == 0)
     )
@@ -205,24 +210,49 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_binary_meta",
+    # Payloads are utf-8 encodings of ASCII text, so byte offsets equal
+    # character offsets and the oracle replays frame slicing with
+    # substr. Frame i covers bytes [i*16+1, i*16+16], frames exist for
+    # i in [0, (len-1)//16], and every 4th is kept — the video
+    # frame-sampling shape over opaque binary.
     oracle="""
-    SELECT doc_id,
+    SELECT 'meta' AS branch, doc_id, CAST(NULL AS BIGINT) AS idx,
            octet_length(encode(text)) AS n_bytes,
            substring(text, 1, 4) AS head
     FROM documents
+    UNION ALL
+    SELECT 'frame' AS branch, doc_id, CAST(i AS BIGINT) AS idx,
+           octet_length(encode(substr(text, CAST(i * 16 + 1 AS INT), 16)))
+             AS n_bytes,
+           substr(text, CAST(i * 16 + 1 AS INT), 4) AS head
+    FROM documents,
+         unnest(range(0, (octet_length(encode(text)) - 1) // 16 + 1)) AS t(i)
+    WHERE i % 4 = 0
     """,
     tags=("multimodal",),
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over binary payloads as native expressions —
-    the query a catalog scan over 100 TB of media runs first (size,
-    magic-bytes prefix) with full pushdown."""
+    """Typed metadata over binary payloads as native expressions — the
+    query a catalog scan over 100 TB of media runs first (size,
+    magic-bytes prefix) — unioned with the frame-sampling pass (every
+    4th fixed-size frame per payload, per-frame size + head), so both
+    §multimodal plumbing shapes carry one hash-checked driver row."""
     b = binary_documents(spark, sf_dir)
-    return b.select(
+    meta = b.select(
+        F.lit("meta").alias("branch"),
         "doc_id",
+        F.lit(None).cast("long").alias("idx"),
         F.length("payload").alias("n_bytes"),
         F.decode(F.substring("payload", 1, 4), "utf-8").alias("head"),
     )
+    fr = sample_frames(b, every_nth=4, frame_bytes=16).select(
+        F.lit("frame").alias("branch"),
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("idx"),
+        F.length("frame").alias("n_bytes"),
+        F.decode(F.substring("frame", 1, 4), "utf-8").alias("head"),
+    )
+    return meta.unionByName(fr)
 
 
 @register(
