@@ -68,3 +68,25 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
         f"{len(carriers)} plan nodes carry the gram expression: "
         + "; ".join(blk.splitlines()[0] for blk in carriers)
     )
+
+
+def test_driver_window_composition():
+    """The driver verifies exactly the first 50 registry entries. Every
+    oracle-backed query must register ahead of every rows-only query,
+    and the two strongest rows-only entries (the minhash sketch and the
+    flagship HGN loop) must sit inside the window. Adding an
+    oracle-backed query without merging an existing pair silently
+    pushes hgn_communities out — this pins the contract."""
+    specs = load_all()
+    names = list(specs)
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    assert n_oracle <= 48, (
+        f"{n_oracle} oracle-backed queries: merge micro-queries before "
+        "adding more, or the rows-only flagship entries leave the "
+        "driver's 50-query window"
+    )
+    window = set(names[:50])
+    assert {"dedup_minhash_lsh_pairs", "hgn_communities"} <= window
+    assert all(
+        specs[n].oracle is not None for n in names[:n_oracle]
+    ), "a rows-only query registered ahead of an oracle-backed one"
