@@ -450,3 +450,21 @@ def test_mixture_rates_reshape_corpus(spark):
     ids2 = sorted(r["doc_id"] for r in
                   apply_mixture_sample(base, "doc_id", "lang", rates).collect())
     assert ids1 == ids2
+
+
+def test_clear_session_caches_drops_and_rebuilds(spark):
+    """clear_session_caches empties every session cache and the next
+    call rebuilds an equivalent materialization (bench relies on this
+    between suite passes)."""
+    from hgn_spark.graph import queries as gq
+    from hgn_spark.operators import dedup
+    from hgn_spark.registry import clear_session_caches
+
+    before = dedup._doc_shingle_sets(spark, SF_SMOKE).count()
+    gq.derived_edges(spark, SF_SMOKE).count()
+    assert dedup._DOC_SETS_CACHE and gq._EDGES_CACHE
+    clear_session_caches()
+    assert not dedup._DOC_SETS_CACHE
+    assert not dedup._NGRAM_PAIRS_CACHE
+    assert not gq._EDGES_CACHE
+    assert dedup._doc_shingle_sets(spark, SF_SMOKE).count() == before
