@@ -117,7 +117,11 @@ def mixture_rates(
         .withColumnRenamed("count", "n")
         .collect()
     }
-    w_total = sum(target_weights[g] for g in counts)
+    # Groups absent from target_weights get weight 0 → rate 0 (dropped
+    # from the remix), the conventional reading of a mixture spec.
+    w_total = sum(target_weights.get(g, 0.0) for g in counts)
+    if w_total <= 0:
+        raise ValueError("target_weights assigns no mass to any observed group")
     # size of the output corpus if group g binds: counts[g] / share_g
     binding_total = min(
         counts[g] / (target_weights[g] / w_total)

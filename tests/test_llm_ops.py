@@ -468,3 +468,22 @@ def test_clear_session_caches_drops_and_rebuilds(spark):
     assert not dedup._NGRAM_PAIRS_CACHE
     assert not gq._EDGES_CACHE
     assert dedup._doc_shingle_sets(spark, SF_SMOKE).count() == before
+
+
+def test_mixture_rates_drops_unweighted_groups(spark):
+    """A group observed in the corpus but absent from the target mix
+    gets rate 0 (dropped), not a KeyError; an all-zero mix raises."""
+    import pytest as _pytest
+
+    from hgn_spark.operators.sampling import apply_mixture_sample, mixture_rates
+
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "junk") for i in range(100)], ["doc_id", "g"]
+    )
+    rates = mixture_rates(base, "g", {"a": 1.0})
+    assert rates["a"] == 1.0 and rates["junk"] == 0.0
+    out = apply_mixture_sample(base, "doc_id", "g", rates)
+    assert out.filter("g = 'junk'").count() == 0
+    assert out.filter("g = 'a'").count() == 50
+    with _pytest.raises(ValueError):
+        mixture_rates(base, "g", {"nope": 1.0})
