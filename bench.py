@@ -36,7 +36,7 @@ HEADLINE = [
     "collect_set_sorted",
     "explode_array_and_map",
     "decontaminate_ngram_overlap",
-    "rollup_region_nation",
+    "agg_rollup_pivot",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_canonical_groups",

@@ -120,45 +120,6 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "filter_union_distinct",
-    oracle="""
-    WITH u AS (
-      SELECT user_id, event_type, 'compound' AS branch FROM events
-      WHERE (value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')
-      UNION ALL
-      SELECT user_id, event_type, 'rest' AS branch FROM events
-      WHERE NOT ((value < 10.0) OR (value >= 10.0 AND event_type = 'purchase'))
-    ),
-    d AS (SELECT DISTINCT user_id, event_type, branch FROM u)
-    SELECT event_type, branch, count(*) AS n_user_types
-    FROM d GROUP BY event_type, branch
-    """,
-    tags=("filter", "setop", "dedup"),
-)
-def filter_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-string compound predicate (reference main.py:136-137 pattern)
-    splitting events into two labeled branches, re-combined with
-    unionByName across frames whose column order differs (reference
-    graph_tools/graph_tools.py:349-350), then an exact dedup on the
-    projection (reference dropDuplicates, spark_manager.py:207) before
-    the grouped count — P3/P4 + U2 + P7 evidence in one driver row."""
-    e = load_table(spark, sf_dir, "events")
-    pred = "(value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')"
-    lo = e.filter(pred).select(
-        "user_id", "event_type", F.lit("compound").alias("branch")
-    )
-    hi = e.filter(f"NOT ({pred})").select(
-        F.lit("rest").alias("branch"), "event_type", "user_id"  # swapped order
-    )
-    return (
-        lo.unionByName(hi)
-        .distinct()
-        .groupBy("event_type", "branch")
-        .agg(F.count(F.lit(1)).alias("n_user_types"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------
@@ -274,24 +235,51 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_region_nation",
+    "agg_rollup_pivot",
     oracle="""
-    SELECT r.r_name AS region, n.n_name AS nation,
-           count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_bal
-    FROM customer c
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    JOIN region r ON r.r_regionkey = n.n_regionkey
-    GROUP BY ROLLUP (r.r_name, n.n_name)
+    WITH ro AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             count(*) AS n_customers,
+             round(sum(c.c_acctbal), 2) AS total_bal
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY ROLLUP (r.r_name, n.n_name)),
+    pv AS (
+      SELECT o_orderpriority,
+             count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+      FROM orders GROUP BY o_orderpriority)
+    SELECT 'rollup' AS op, region AS dim1, nation AS dim2,
+           n_customers AS n, total_bal AS total FROM ro
+    UNION ALL
+    SELECT 'pivot', o_orderpriority, 'status_O', status_O,
+           CAST(NULL AS DOUBLE) FROM pv
+    UNION ALL
+    SELECT 'pivot', o_orderpriority, 'status_F', status_F,
+           CAST(NULL AS DOUBLE) FROM pv
+    UNION ALL
+    SELECT 'pivot', o_orderpriority, 'status_P', status_P,
+           CAST(NULL AS DOUBLE) FROM pv
     """,
-    tags=("agg", "rollup"),
+    tags=("agg", "rollup", "pivot", "unpivot"),
 )
-def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup (region → nation → grand total)."""
+def agg_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both grouping shapes in one labeled driver row (consolidated per
+    VERDICT r3 so the 50-query window keeps room for the rows-only
+    flagship entries):
+
+    - ``rollup``: hierarchical region → nation → grand-total counts;
+    - ``pivot``: orders pivoted to a fixed wide value list (no extra
+      value-discovery pass), zero-filled, then unpivoted back to long
+      form with ``stack`` — exercising pivot AND unpivot while keeping
+      one harmonized output schema.
+    """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
+    ro = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
@@ -300,34 +288,30 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
+        .select(
+            F.lit("rollup").alias("op"),
+            F.col("region").alias("dim1"),
+            F.col("nation").alias("dim2"),
+            F.col("n_customers").alias("n"),
+            F.col("total_bal").alias("total"),
+        )
     )
-
-
-@register(
-    "pivot_priority_status",
-    oracle="""
-    SELECT o_orderpriority,
-           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
-           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
-           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
-    FROM orders GROUP BY o_orderpriority
-    """,
-    tags=("agg", "pivot"),
-)
-def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot with a fixed value list (no extra pass to discover values)."""
-    return (
+    pv = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()
         .select(
-            "o_orderpriority",
-            F.coalesce("O", F.lit(0)).alias("status_O"),
-            F.coalesce("F", F.lit(0)).alias("status_F"),
-            F.coalesce("P", F.lit(0)).alias("status_P"),
+            F.lit("pivot").alias("op"),
+            F.col("o_orderpriority").alias("dim1"),
+            F.expr(
+                "stack(3, 'status_O', coalesce(`O`, 0L), 'status_F', coalesce(`F`, 0L), "
+                "'status_P', coalesce(`P`, 0L))"
+            ).alias("dim2", "n"),
+            F.lit(None).cast("double").alias("total"),
         )
     )
+    return ro.unionByName(pv)
 
 
 # ---------------------------------------------------------------------------
@@ -644,30 +628,83 @@ def join_theta_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_intersect_except",
+    "setops_family",
     oracle="""
-    SELECT 'intersect' AS op, custkey FROM (
+    WITH u AS (
+      SELECT user_id, event_type, 'compound' AS branch FROM events
+      WHERE (value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')
+      UNION ALL
+      SELECT user_id, event_type, 'rest' AS branch FROM events
+      WHERE NOT ((value < 10.0) OR (value >= 10.0 AND event_type = 'purchase'))
+    ),
+    d AS (SELECT DISTINCT user_id, event_type, branch FROM u)
+    SELECT 'intersect' AS op, CAST(custkey AS VARCHAR) AS a,
+           CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS n FROM (
       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
       INTERSECT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     UNION ALL
-    SELECT 'except' AS op, custkey FROM (
+    SELECT 'except', CAST(custkey AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT) FROM (
       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
       EXCEPT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'union_distinct', event_type, branch, count(*)
+    FROM d GROUP BY event_type, branch
     """,
-    tags=("setop",),
+    tags=("setop", "filter", "dedup"),
 )
-def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT and EXCEPT(distinct) over the same two inputs, labeled
-    (a reference gap — its only intersection ran on Python sets inside a
-    UDF, graph_tools/graph_tools.py:397)."""
+def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-operation surface in one labeled driver row (consolidated
+    per VERDICT r3 to keep the 50-query window roomy):
+
+    - ``intersect`` / ``except``: INTERSECT and EXCEPT(distinct) over the
+      same two order-status slices (a reference gap — its only
+      intersection ran on Python sets inside a UDF,
+      graph_tools/graph_tools.py:397);
+    - ``union_distinct``: SQL-string compound predicate (reference
+      main.py:136-137 pattern) splitting events into two labeled
+      branches, re-combined with unionByName across frames whose column
+      order differs (reference graph_tools/graph_tools.py:349-350), an
+      exact dedup on the projection (reference dropDuplicates,
+      spark_manager.py:207), then a grouped count — P3/P4 + U2 + P7.
+    """
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    both = a.intersect(b).select(F.lit("intersect").alias("op"), "custkey")
-    only = a.subtract(b).select(F.lit("except").alias("op"), "custkey")
-    return both.unionByName(only)
+    null_s = F.lit(None).cast("string")
+    null_n = F.lit(None).cast("long")
+    both = a.intersect(b).select(
+        F.lit("intersect").alias("op"), F.col("custkey").cast("string").alias("a"),
+        null_s.alias("b"), null_n.alias("n"),
+    )
+    only = a.subtract(b).select(
+        F.lit("except").alias("op"), F.col("custkey").cast("string").alias("a"),
+        null_s.alias("b"), null_n.alias("n"),
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    pred = "(value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')"
+    lo = e.filter(pred).select(
+        "user_id", "event_type", F.lit("compound").alias("branch")
+    )
+    hi = e.filter(f"NOT ({pred})").select(
+        F.lit("rest").alias("branch"), "event_type", "user_id"  # swapped order
+    )
+    ud = (
+        lo.unionByName(hi)
+        .distinct()
+        .groupBy("event_type", "branch")
+        .agg(F.count(F.lit(1)).alias("n_user_types"))
+        .select(
+            F.lit("union_distinct").alias("op"),
+            F.col("event_type").alias("a"),
+            F.col("branch").alias("b"),
+            F.col("n_user_types").alias("n"),
+        )
+    )
+    return both.unionByName(only).unionByName(ud)
 
 
 # ---------------------------------------------------------------------------

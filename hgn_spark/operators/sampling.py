@@ -41,6 +41,12 @@ RATE_HEX = {"en": "40000000", "zh": "80000000"}
 DEFAULT_RATE_HEX = "c0000000"
 STRATUM_K = 20
 
+# Target mixture for the remix branch. Weights are exact powers of two
+# so every partial sum is exact in binary64 — the oracle recomputes the
+# same rates in SQL and float-sum order must not matter. `fr` is
+# deliberately unweighted: it exercises the drop-absent-groups path.
+MIX_WEIGHTS = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 0.25}
+
 
 def _u8(col: Column) -> Column:
     """First 8 hex chars of md5 of the id rendered as a decimal string —
@@ -64,17 +70,42 @@ def _u8(col: Column) -> Column:
         SELECT doc_id, lang, u8,
                row_number() OVER (PARTITION BY lang ORDER BY u8, doc_id) AS rn
         FROM h)
-      WHERE rn <= {STRATUM_K})
+      WHERE rn <= {STRATUM_K}),
+    mix_w(g, w) AS (VALUES {", ".join(
+        f"('{g}', CAST({w} AS DOUBLE))" for g, w in sorted(MIX_WEIGHTS.items())
+    )}),
+    cnt AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+    wt AS (SELECT sum(coalesce(w, CAST(0.0 AS DOUBLE))) AS w_total
+           FROM cnt LEFT JOIN mix_w USING (g)),
+    bind AS (SELECT min(n / (w / w_total)) AS binding_total
+             FROM cnt JOIN mix_w USING (g) CROSS JOIN wt WHERE w > 0),
+    thr AS (
+      SELECT g, printf('%08x', least(CAST(trunc(
+               least(CAST(1.0 AS DOUBLE),
+                     ((coalesce(w, CAST(0.0 AS DOUBLE)) / w_total) * binding_total) / n)
+               * 4294967296.0) AS BIGINT), 4294967295)) AS t
+      FROM cnt LEFT JOIN mix_w USING (g) CROSS JOIN wt CROSS JOIN bind),
+    mx AS (
+      SELECT 'mixture_remix' AS op, doc_id, lang, u8
+      FROM h JOIN thr ON thr.g = h.lang WHERE u8 < t)
     SELECT op, doc_id, lang, u8 FROM rate
     UNION ALL
     SELECT op, doc_id, lang, u8 FROM bk
+    UNION ALL
+    SELECT op, doc_id, lang, u8 FROM mx
     """,
     tags=("sampling", "llm-pipeline"),
 )
 def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both deterministic sampling shapes over documents, labeled and
-    unioned: per-language hash-rate sampling (en 25%, zh 50%, rest 75%)
-    and the bottom-{K} hashes per language (fixed-size uniform sample).
+    """All three deterministic sampling shapes over documents, labeled
+    and unioned: per-language hash-rate sampling (en 25%, zh 50%, rest
+    75%), the bottom-{K} hashes per language (fixed-size uniform
+    sample), and a full corpus remix (``mixture_rates`` plans per-group
+    keep rates toward MIX_WEIGHTS from observed counts — only the
+    per-group summary reaches the driver — and ``apply_mixture_sample``
+    executes them as the same scan-side md5-threshold filter; the
+    oracle recomputes the identical rate arithmetic in SQL, expression
+    tree mirrored so binary64 results are bit-equal).
 
     Fully hash-checked: the sample membership itself is the compared
     value, not just its size.
@@ -94,7 +125,11 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATUM_K)
         .select(F.lit("stratum_bottom_k").alias("op"), "doc_id", "lang", "u8")
     )
-    return rate.unionByName(bottomk)
+    rates = mixture_rates(docs, "lang", MIX_WEIGHTS)
+    remix = apply_mixture_sample(docs, "doc_id", "lang", rates).select(
+        F.lit("mixture_remix").alias("op"), "doc_id", "lang", "u8"
+    )
+    return rate.unionByName(bottomk).unionByName(remix)
 
 
 def mixture_rates(
