@@ -46,6 +46,8 @@ HEADLINE = [
     "simsearch_ivf_topk",
     "embedding_quantize_int8",
     "text_profile",
+    "text_repetition_signals",
+    "redact_pii_docs",
     "multimodal_byte_histogram",
     "graph_degrees",
     "graph_rmetrics",

@@ -357,3 +357,167 @@ def redact_pii(col: str | Column) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+@register(
+    "redact_pii_docs",
+    # The corpus is synthetic (no real PII), so the query plants one
+    # deterministic specimen of each PII class per document — derived
+    # from doc_id, byte-identical in both engines — and proves the scrub
+    # end-to-end: occurrence counts per class plus an md5 fingerprint of
+    # the fully redacted text. DuckDB regexp_replace needs the explicit
+    # 'g' flag to match Spark's replace-all semantics; the patterns are
+    # restricted to syntax Java and RE2 interpret identically. Raw
+    # string: \b must reach DuckDB as a word boundary, not a backspace.
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com via 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.1 ref '
+                  || CAST(9000000 + doc_id AS VARCHAR) AS t
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{7,}\b', '<NUMBER>', 'g') AS clean
+      FROM planted)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(clean, '<IP>')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(clean, '<NUMBER>')) AS BIGINT) AS n_numbers,
+           md5(clean) AS clean_fp
+    FROM scrubbed
+    """,
+    tags=("text", "pii", "llm-pipeline"),
+)
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale PII scrub as a driver row: plant one deterministic
+    email / IPv4 / long-number specimen per document (the synthetic
+    corpus carries none), run the chained ``redact_pii`` scrub, and
+    emit per-class redaction counts plus the md5 of the cleaned text.
+
+    Execution shape: pure scan-side map — three chained JVM
+    regexp_replace calls inside whole-stage codegen, no shuffle, no
+    UDF. At 100 TB this composes with ingest for free; the md5
+    fingerprint doubles as the exact-dedup key downstream."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 ref "), (F.col("doc_id") + 9000000).cast("string"),
+    )
+    d = docs.select("doc_id", redact_pii(planted).alias("clean"))
+    return d.select(
+        "doc_id",
+        F.regexp_count("clean", F.lit("<EMAIL>")).cast("long").alias("n_emails"),
+        F.regexp_count("clean", F.lit("<IP>")).cast("long").alias("n_ips"),
+        F.regexp_count("clean", F.lit("<NUMBER>")).cast("long").alias("n_numbers"),
+        F.md5("clean").alias("clean_fp"),
+    )
+
+
+@register(
+    "text_repetition_signals",
+    # Gopher-style repetition filters (Rae et al. 2021, §A1.1): corpora
+    # scraped at scale are full of boilerplate whose token / n-gram
+    # frequency profiles are degenerate. Signals per document:
+    # fraction of token occurrences belonging to the single most
+    # frequent token, fraction belonging to any repeated token, and the
+    # duplicate-occurrence fraction of positional 2-grams.
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
+    base AS (SELECT doc_id, l FROM tok WHERE len(l) >= 2),
+    grams AS (
+      SELECT doc_id, 'w' AS kind, u.g AS gram FROM base, unnest(l) AS u(g)
+      UNION ALL
+      SELECT doc_id, 'g2' AS kind, g2.g AS gram FROM base,
+        unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g2(g)
+    ),
+    cnt AS (SELECT doc_id, kind, gram, count(*) AS c FROM grams GROUP BY doc_id, kind, gram),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN kind = 'w' THEN c ELSE 0 END) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN kind = 'w' THEN 1 END) AS BIGINT) AS n_distinct_tokens,
+             CAST(max(CASE WHEN kind = 'w' THEN c END) AS BIGINT) AS top_c,
+             CAST(sum(CASE WHEN kind = 'w' AND c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c,
+             CAST(sum(CASE WHEN kind = 'g2' THEN c ELSE 0 END) AS BIGINT) AS n2,
+             CAST(count(CASE WHEN kind = 'g2' THEN 1 END) AS BIGINT) AS nd2,
+             CAST(max(CASE WHEN kind = 'g2' THEN c END) AS BIGINT) AS top2
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(top_c * 1.0 / n_tokens, 4) AS top_token_frac,
+           round(dup_c * 1.0 / n_tokens, 4) AS dup_token_frac,
+           round((n2 - nd2) * 1.0 / n2, 4) AS dup_2gram_frac,
+           round(top2 * 1.0 / n2, 4) AS top_2gram_frac,
+           (top_c * 1.0 / n_tokens > 0.2 OR (n2 - nd2) * 1.0 / n2 > 0.4)
+             AS is_repetitive
+    FROM agg
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top-token
+    occurrence fraction, repeated-token occurrence fraction, positional
+    2-gram duplicate fraction and top-2-gram fraction, plus the
+    composite repetitiveness gate.
+
+    Execution shape (the scalable one, unlike an O(n²) per-row
+    higher-order-function scan): ONE tagged explode emits words and
+    positional 2-grams together, a map-side-combinable count by
+    (doc_id, kind, gram) collapses the long tail before the wire, and a
+    second count by doc_id — already co-partitioned, AQE coalesces the
+    exchange — folds both gram kinds into one output row via
+    conditional aggregates. Hot keys are (doc, gram) pairs, so skew is
+    bounded by document length, not corpus size; at 100 TB both
+    shuffles stay partial-agg-friendly and no driver state exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("l")).filter(F.size("l") >= 2)
+    l = F.col("l")
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size(l) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(l, i + 1), F.element_at(l, i + 2)
+        ),
+    )
+    tagged = F.concat(
+        F.transform(l, lambda t: F.struct(F.lit("w").alias("kind"), t.alias("gram"))),
+        F.transform(g2, lambda s: F.struct(F.lit("g2").alias("kind"), s.alias("gram"))),
+    )
+    e = d.select("doc_id", F.explode(tagged).alias("x")).select(
+        "doc_id", F.col("x.kind").alias("kind"), F.col("x.gram").alias("gram")
+    )
+    cnt = e.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = F.col("kind") == "w"
+    b = F.col("kind") == "g2"
+    c = F.col("c")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum(F.when(w, c).otherwise(0)).alias("n_tokens"),
+        F.count(F.when(w, F.lit(1))).alias("n_distinct_tokens"),
+        F.max(F.when(w, c)).alias("top_c"),
+        F.sum(F.when(w & (c > 1), c).otherwise(0)).alias("dup_c"),
+        F.sum(F.when(b, c).otherwise(0)).alias("n2"),
+        F.count(F.when(b, F.lit(1))).alias("nd2"),
+        F.max(F.when(b, c)).alias("top2"),
+    )
+    n_tok = F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_c") * 1.0 / n_tok, 4).alias("top_token_frac"),
+        F.round(F.col("dup_c") * 1.0 / n_tok, 4).alias("dup_token_frac"),
+        F.round((F.col("n2") - F.col("nd2")) * 1.0 / F.col("n2"), 4).alias(
+            "dup_2gram_frac"
+        ),
+        F.round(F.col("top2") * 1.0 / F.col("n2"), 4).alias("top_2gram_frac"),
+        (
+            (F.col("top_c") * 1.0 / n_tok > 0.2)
+            | ((F.col("n2") - F.col("nd2")) * 1.0 / F.col("n2") > 0.4)
+        ).alias("is_repetitive"),
+    )
