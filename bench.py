@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_canonical_groups",
+    "dedup_exact_incremental",
     "sample_stratified_hash",
     "pack_token_chunks",
     "simsearch_topk_cosine",

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
@@ -157,32 +157,84 @@ def _verified_jaccard(cands: DataFrame, sets_: DataFrame) -> DataFrame:
 
 
 @register(
-    "dedup_exact_groups",
+    "dedup_exact_incremental",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
     fp AS (SELECT doc_id,
-                  md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp_bag
-           FROM tok)
-    SELECT fp_bag, count(*) AS n_docs, min(doc_id) AS keep_doc
-    FROM fp GROUP BY fp_bag HAVING count(*) > 1
+                  md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp_bag,
+                  (doc_id % 5 = 4) AS is_batch
+           FROM tok),
+    grp AS (
+      SELECT 'dup_group' AS op, fp_bag, count(*) AS a, min(doc_id) AS b
+      FROM fp GROUP BY fp_bag HAVING count(*) > 1),
+    corpus AS (SELECT DISTINCT fp_bag FROM fp WHERE NOT is_batch),
+    batch AS (SELECT doc_id, fp_bag FROM fp WHERE is_batch),
+    dupc AS (
+      SELECT 'dup_vs_corpus' AS op, fp_bag, doc_id AS a, CAST(NULL AS BIGINT) AS b
+      FROM batch WHERE fp_bag IN (SELECT fp_bag FROM corpus)),
+    fresh AS (
+      SELECT doc_id, fp_bag, min(doc_id) OVER (PARTITION BY fp_bag) AS keep
+      FROM batch WHERE fp_bag NOT IN (SELECT fp_bag FROM corpus)),
+    delta AS (
+      SELECT CASE WHEN doc_id = keep THEN 'kept' ELSE 'dup_in_batch' END AS op,
+             fp_bag, doc_id AS a, CAST(NULL AS BIGINT) AS b
+      FROM fresh)
+    SELECT op, fp_bag, a, b FROM grp
+    UNION ALL SELECT op, fp_bag, a, b FROM dupc
+    UNION ALL SELECT op, fp_bag, a, b FROM delta
     """,
-    tags=("dedup",),
+    tags=("dedup", "llm-pipeline"),
 )
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups by bag-of-words fingerprint (hash-groupBy;
-    one shuffle on the fingerprint). `keep_doc` = the canonical survivor
-    (min doc_id) a dedup pass would retain."""
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fingerprint dedup, whole-corpus AND incremental, in one
+    labeled driver row (the exact family shares one scan + fingerprint):
+
+    - ``dup_group``: duplicate groups over the full corpus by
+      bag-of-words fingerprint (hash-groupBy, one shuffle); ``a`` =
+      group size, ``b`` = the canonical survivor (min doc_id).
+    - incremental ingestion (docs with ``doc_id % 5 == 4`` play the
+      incoming batch, the rest the standing corpus — the shape of a
+      continuously-fed training corpus):
+      ``dup_vs_corpus`` — batch doc whose fingerprint already exists in
+      the corpus (LEFT SEMI on fp); ``dup_in_batch`` — novel
+      fingerprint but not the batch's min doc_id for it;
+      ``kept`` — the surviving novel docs. ``a`` = doc_id.
+
+    Scale: md5 fingerprints hash uniformly, so every shuffle (groupBy,
+    semi/anti join, the per-fp window over the batch) is skew-free. At
+    100 TB the corpus side is the standing fingerprint *index* (S6's
+    append+dedupe parquet), bucketed by fp so the semi/anti joins are
+    bucket-local and the raw corpus is never re-read."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens("text")
     fp = docs.select(
         "doc_id",
         F.md5(F.array_join(F.sort_array(F.array_distinct(t)), " ")).alias("fp_bag"),
+        (F.col("doc_id") % 5 == 4).alias("is_batch"),
     )
-    return (
+    null_b = F.lit(None).cast("long")
+    grp = (
         fp.groupBy("fp_bag")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc"))
-        .filter(F.col("n_docs") > 1)
+        .agg(F.count(F.lit(1)).alias("a"), F.min("doc_id").alias("b"))
+        .filter(F.col("a") > 1)
+        .select(F.lit("dup_group").alias("op"), "fp_bag", "a", "b")
     )
+    batch = fp.filter("is_batch").select("doc_id", "fp_bag")
+    corpus = fp.filter("NOT is_batch").select("fp_bag")
+    dupc = batch.join(corpus, "fp_bag", "left_semi").select(
+        F.lit("dup_vs_corpus").alias("op"), "fp_bag",
+        F.col("doc_id").alias("a"), null_b.alias("b"),
+    )
+    fresh = batch.join(corpus, "fp_bag", "left_anti").withColumn(
+        "keep", F.min("doc_id").over(W.partitionBy("fp_bag"))
+    )
+    delta = fresh.select(
+        F.when(F.col("doc_id") == F.col("keep"), "kept")
+        .otherwise("dup_in_batch")
+        .alias("op"),
+        "fp_bag", F.col("doc_id").alias("a"), null_b.alias("b"),
+    )
+    return grp.unionByName(dupc).unionByName(delta)
 
 
 # Shared oracle CTE block: exact-jaccard near-dup pairs from the
@@ -325,7 +377,7 @@ def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked); groups from the same large-star/small-star CC
     operator the graph layer uses (min-id labels); the min-id member is
     the canonical survivor — the same keep-first policy as
-    dedup_exact_groups. Output covers docs in ≥1 near-dup pair
+    dedup_exact_incremental's dup_group branch. Output covers docs in ≥1 near-dup pair
     (singletons are trivially canonical and stay out of the shuffle).
 
     Scale shape: the duplicate graph is tiny relative to the corpus

@@ -172,12 +172,23 @@ def test_simhash_no_false_positives(spark, exact_pairs):
     assert len(got) >= 10
 
 
-def test_exact_dedup_groups(spark):
-    rows = SPECS["dedup_exact_groups"].fn(spark, SF_SMOKE).collect()
+def test_exact_dedup_incremental(spark):
+    rows = SPECS["dedup_exact_incremental"].fn(spark, SF_SMOKE).collect()
     assert len(rows) > 0
+    by_op = {}
     for r in rows:
-        assert r["n_docs"] > 1
-        assert r["keep_doc"] >= 0
+        by_op.setdefault(r["op"], []).append(r)
+    for r in by_op.get("dup_group", []):
+        assert r["a"] > 1          # group size
+        assert r["b"] >= 0         # canonical survivor
+    # Incremental invariants: every batch doc lands in exactly one class,
+    # and a kept doc's fingerprint appears exactly once among kept rows.
+    batch_ids = [r["a"] for op in ("dup_vs_corpus", "dup_in_batch", "kept")
+                 for r in by_op.get(op, [])]
+    assert len(batch_ids) == len(set(batch_ids))
+    assert all(i % 5 == 4 for i in batch_ids)
+    kept_fps = [r["fp_bag"] for r in by_op.get("kept", [])]
+    assert len(kept_fps) == len(set(kept_fps))
 
 
 def test_embedding_dim_matches(spark):
