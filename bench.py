@@ -140,6 +140,15 @@ def main() -> None:
                 continue
             if name in errors:
                 continue
+            # Force a JVM GC before each timed query. The iterative
+            # queries (HGN loop, connected components, dedup family)
+            # release dozens of localCheckpoint block sets whose actual
+            # cleanup is asynchronous (ContextCleaner runs on weak-ref
+            # collection); without this, one query's cleanup bills as GC
+            # pauses inside the NEXT query's timing — measured ±3s swings
+            # on collect_set_sorted depending on suite position. The GC
+            # itself runs untimed, as inter-job idle would on a cluster.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             try:
                 df = spec.fn(spark, sf_dir)
