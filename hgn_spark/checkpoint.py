@@ -1,0 +1,91 @@
+"""Deterministic release of superseded localCheckpoint generations.
+
+``localCheckpoint(eager=True)`` is the engine's lineage-truncation
+primitive for iterative algorithms (the reference used a parquet
+write+read per stage, spark_manager/spark_manager.py:215-231). Spark
+frees the materialized blocks only when the JVM garbage-collects the
+RDD reference and the asynchronous ContextCleaner then processes it —
+so a loop that checkpoints every iteration accumulates every dead
+generation until some future GC. Two real costs:
+
+- **Scale**: on a 1000-executor cluster the per-iteration state
+  (edge sets, BFS frontiers) is executor-memory-scale; carrying
+  O(iterations) dead generations instead of one is the difference
+  between fitting in memory and spilling/evicting. Bounded-memory
+  iteration requires releasing generation N-1 the moment generation N
+  is materialized.
+- **Measurement**: locally, the deferred cleanup surfaces as GC +
+  cleaner pauses billed to whichever query runs next (measured: an
+  18.7s run of a 2.8s query right after the HGN loop).
+
+``CheckpointJanitor`` tracks the persistent-RDD ids each checkpoint
+creates (via ``SparkContext.getPersistentRDDs`` before/after — the
+``DataFrame`` API does not expose the RDD backing a localCheckpoint)
+and unpersists superseded generations eagerly. Loops keep exactly the
+generations their final result still references.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _persistent_rdd_jmap(spark: SparkSession):
+    """java.util.Map[Integer, RDD] of currently persisted RDDs."""
+    sc = spark.sparkContext
+    return sc._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+        sc._jsc.sc().getPersistentRDDs()
+    )
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    return {int(k) for k in _persistent_rdd_jmap(spark).keySet().toArray()}
+
+
+def release_rdds(
+    spark: SparkSession, ids: Iterable[int], blocking: bool = False
+) -> None:
+    """Unpersist the given RDD ids now (no-op for already-cleaned ids).
+
+    Only call with ids whose downstream results are already materialized
+    into a newer checkpoint: a localCheckpointed RDD has no lineage to
+    recompute from, so a released generation must never be re-executed.
+    """
+    jmap = _persistent_rdd_jmap(spark)
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(blocking)
+
+
+def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
+    """One-off tracked checkpoint: returns the checkpointed frame plus
+    the persistent-RDD ids backing it, so whoever caches the handle can
+    release the blocks when the cache is dropped (see
+    ``registry.clear_session_caches``)."""
+    return CheckpointJanitor(df.sparkSession).checkpoint(df)
+
+
+class CheckpointJanitor:
+    """Tracked ``localCheckpoint`` for iterative loops.
+
+    ``checkpoint(df)`` returns ``(checkpointed_df, ids)`` where ``ids``
+    are the persistent-RDD ids the checkpoint created; ``release(ids)``
+    frees a superseded generation. Callers release generation N-1 right
+    after generation N's eager checkpoint returns (N is materialized by
+    then, so N-1 can never be read again).
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def checkpoint(self, df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
+        before = persistent_rdd_ids(self._spark)
+        out = df.localCheckpoint(eager=True)
+        ids = frozenset(persistent_rdd_ids(self._spark) - before)
+        return out, ids
+
+    def release(self, ids: Iterable[int]) -> None:
+        release_rdds(self._spark, ids)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from hgn_spark.checkpoint import CheckpointJanitor
 from hgn_spark.graph.core import symmetrize
 
 
@@ -52,7 +53,9 @@ def shortest_path_lengths(edges: DataFrame, max_len: int = 2) -> DataFrame:
     without the landmark collect.
     """
     sym = symmetrize(edges)
+    jan = CheckpointJanitor(edges.sparkSession)
     known = sym.withColumn("distance", F.lit(1))
+    live: frozenset[int] = frozenset()
     frontier = sym
     for d in range(2, max_len + 1):
         a = frontier.alias("a")
@@ -65,7 +68,11 @@ def shortest_path_lengths(edges: DataFrame, max_len: int = 2) -> DataFrame:
             .join(known.select("src", "dst"), ["src", "dst"], "left_anti")
             .withColumn("distance", F.lit(d))
         )
-        known = known.unionByName(nxt).localCheckpoint(eager=True)
+        # Level d's checkpoint copies the whole known set forward, so
+        # level d-1's blocks are superseded — free them eagerly.
+        known, new_ids = jan.checkpoint(known.unionByName(nxt))
+        jan.release(live)
+        live = new_ids
         frontier = nxt.drop("distance")
     return known
 

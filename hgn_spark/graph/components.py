@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from hgn_spark.checkpoint import CheckpointJanitor
 from hgn_spark.graph.core import symmetrize
 
 
@@ -106,11 +107,17 @@ def connected_components(
     themselves, matching GraphFrames semantics when the vertex table is
     supplied.
     """
-    b = symmetrize(edges).localCheckpoint(eager=True)
+    jan = CheckpointJanitor(edges.sparkSession)
+    b, live = jan.checkpoint(symmetrize(edges))
 
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_iter):
-        b = _small_star(_large_star(b)).localCheckpoint(eager=True)
+        b, new_ids = jan.checkpoint(_small_star(_large_star(b)))
+        # Round N is materialized; round N-1's blocks can never be read
+        # again — free them now instead of waiting for async GC cleanup
+        # (bounded memory across the O(log n) rounds).
+        jan.release(live)
+        live = new_ids
         # bit_xor is order-insensitive and cannot overflow (sum of
         # xxhash64 trips ANSI long-overflow checks).
         sig_row = b.agg(

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hgn_spark.checkpoint import CheckpointJanitor
 from hgn_spark.graph.betweenness import edge_betweenness
 from hgn_spark.graph.components import connected_components
 from hgn_spark.graph.core import canonicalize, drop_isolated_vertices
@@ -60,17 +61,22 @@ def hgn_communities(
     ``vertices``: (id, *features); ``edges``: (src, dst) any orientation.
     """
     p = params or HGNParams()
-    e = canonicalize(edges).localCheckpoint(eager=True)
+    jan = CheckpointJanitor(edges.sparkSession)
+    e, e_ids = jan.checkpoint(canonicalize(edges))
 
     # --- init step (computed once, like main.py:243-258) ---------------
     sims = one_hot_cosine_similarities(e, vertices, feature_cols)
     # Symmetrize similarities so common-neighbor membership checks see
     # both orientations; the hybrid ratio is invariant to the doubling
     # (numerator and denominator scale together).
-    sims = sims.union(
-        sims.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity")
-    ).localCheckpoint(eager=True)
-    betw = edge_betweenness(e, max_sp_length=p.max_sp_length).localCheckpoint(eager=True)
+    sims, sims_ids = jan.checkpoint(
+        sims.union(
+            sims.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity"
+            )
+        )
+    )
+    betw, betw_ids = jan.checkpoint(edge_betweenness(e, max_sp_length=p.max_sp_length))
 
     # --- main loop ------------------------------------------------------
     for _step in range(1, p.max_steps + 1):
@@ -78,7 +84,7 @@ def hgn_communities(
         weights = hybrid_edge_weights(edges_r, sims, p.feature_min_avg)
         # Canonical edges → single equi-join against canonical betweenness
         # (the reference probes both orientations, main.py:130-134).
-        to_delete = (
+        to_delete, td_ids = jan.checkpoint(
             weights.join(betw, ["src", "dst"], "inner")
             .filter(
                 (F.col("edge_weight") < p.max_edge_weight)
@@ -88,14 +94,29 @@ def hgn_communities(
                 )
             )
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
         if to_delete.isEmpty():
+            jan.release(td_ids)
             break
-        e = (
+        new_e, new_e_ids = jan.checkpoint(
             e.join(to_delete, ["src", "dst"], "left_anti")
-            .localCheckpoint(eager=True)
         )
+        # Iteration N's edge set is materialized: its inputs — the
+        # previous generation and this round's deletion set — can never
+        # be read again. Free them now so the loop carries ONE edge
+        # generation instead of O(max_steps) (bounded memory at scale;
+        # locally this kept multi-second cleanup pauses out of whatever
+        # query runs after the loop).
+        e = new_e
+        jan.release(e_ids)
+        jan.release(td_ids)
+        e_ids = new_e_ids
 
     survivors = drop_isolated_vertices(vertices.select("id"), e)
-    return connected_components(e, survivors)
+    out = connected_components(e, survivors)
+    # The returned plan references only the final edge generation (via
+    # the survivors join) and CC's fixpoint mapping — the init-step
+    # similarity and betweenness checkpoints are dead weight from here.
+    jan.release(sims_ids)
+    jan.release(betw_ids)
+    return out
