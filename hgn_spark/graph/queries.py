@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
+from hgn_spark.checkpoint import tracked_local_checkpoint
 from hgn_spark.graph.betweenness import edge_betweenness
 from hgn_spark.graph.components import component_sizes, connected_components
 from hgn_spark.graph.core import degrees, neighbors
@@ -52,6 +53,9 @@ sym AS (SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges)
 # the scan (2.8k edges at sf0.1) — materialize once per session, the
 # same engine-caching discipline as the dedup family's shingle sets.
 _EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Persistent-RDD ids behind the cached checkpoint (released by
+# registry.clear_session_caches).
+_CACHE_BLOCK_IDS: dict[tuple[str, str], set[int]] = {}
 
 
 def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,9 +81,10 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    out, ids = tracked_local_checkpoint(out)
     _EDGES_CACHE[key] = out
+    _CACHE_BLOCK_IDS.setdefault(key, set()).update(ids)
     return out
 
 

@@ -9,12 +9,13 @@ scale-up (VERDICT r1 demanded it explicitly).
 - exact: bag-of-words fingerprint groups (hash-groupBy).
 - n-gram jaccard: shared-shingle inverted-index join → exact verify.
   Fully SQL-expressible → hash-checked oracle.
-- minhash LSH: 16 permutations (seeded xxhash64 minima) → 4 bands × 4
-  rows → band-bucket join → exact jaccard verify. Hash functions are
-  engine-specific → rows-only; recall/candidate-count asserted in
-  tests/test_llm_ops.py.
-- simhash: 64-bit signatures, pigeonhole bucketing on 16-bit chunks
+- minhash LSH: 16 permutation minima over portable 48-bit shingle
+  hashes → 4 bands × 4 rows → band-bucket join → exact jaccard verify.
+  Hash-checked (the md5-derived constants inline into the oracle);
+  recall/candidate-count additionally asserted in tests/test_llm_ops.py.
+- simhash: 48-bit signatures, pigeonhole bucketing on 12-bit chunks
   (hamming ≤ 3 ⇒ at least one of 4 chunks equal), bit_count verify.
+  Hash-checked.
 - embedding near-dup: signed-random-projection LSH over array<float>,
   exact cosine verify.
 
@@ -27,10 +28,11 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
+from hgn_spark.checkpoint import tracked_local_checkpoint
 from hgn_spark.operators.similarity import cosine
 from hgn_spark.operators.text import DUCK_SHINGLES, DUCK_TOKENS, shingles, tokens
 from hgn_spark.registry import register
@@ -48,6 +50,71 @@ SRP_BITS = 16
 # — if the corpus dim ever changes, that fails loudly instead of the
 # two sides silently hashing different planes.
 EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Engine-portable hashing: every sketch below (shingle identity, minhash
+# permutations, simhash lanes) is built from a 48-bit integer derived
+# from md5 — the one hash both Spark and DuckDB evaluate identically —
+# so the LSH queries get full hash-checked oracles instead of the
+# rows-only rows a xxhash64 sketch forces. 48 bits (the first 12 md5 hex
+# chars) keep every downstream product/sum inside exact signed-64
+# arithmetic in both engines; collisions across ~50k distinct shingles
+# are ~1e-6, irrelevant next to the exact-verify step every LSH query
+# ends with. Measured cost parity with the multi-arg xxhash64 form it
+# replaced (the md5 runs once per shingle inside the same scan-side
+# projection).
+# ---------------------------------------------------------------------------
+
+_M61 = (1 << 61) - 1  # modulus for the minhash permutation mixes
+
+
+def _minhash_consts() -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation from md5 — no RNG. a < 2^15
+    keeps h*a < 2^63 for 48-bit h (exact in both engines); b < 2^32."""
+    out = []
+    for p in range(NUM_PERM):
+        da = hashlib.md5(f"minhash:a:{p}".encode()).digest()
+        db = hashlib.md5(f"minhash:b:{p}".encode()).digest()
+        a = (int.from_bytes(da[:2], "big") % (1 << 15)) | 1
+        b = int.from_bytes(db[:4], "big")
+        out.append((a, b))
+    return out
+
+
+_PERM_CONSTS = _minhash_consts()
+
+
+def _h48(s: Column) -> Column:
+    """Spark: first 12 md5 hex chars of ``s`` as a 48-bit long."""
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+def _duck_h48(expr: str) -> str:
+    """DuckDB twin of ``_h48`` (hex parse via per-char positional sum —
+    16^11 < 2^53 so the double-typed power() is exact). The lambda
+    variable is ``hxi``, NOT ``i``: callers embed this inside their own
+    ``i ->`` shingle lambdas, and a nested ``i`` would shadow theirs."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 13), "
+        f"hxi -> CAST((strpos('0123456789abcdef', substr(md5({expr}), "
+        "CAST(hxi AS INT), 1)) - 1) AS BIGINT) "
+        "* CAST(power(16, 12 - hxi) AS BIGINT))) AS BIGINT)"
+    )
+
+
+# Shared oracle prologue: per-doc hashed shingle sets, the DuckDB twin
+# of `_doc_shingle_sets` (hs list-sorted for determinism-free set ops).
+_DUCK_HASHED_SETS = f"""
+tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
+hsets AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3 THEN list_distinct(list_transform(
+           range(1, greatest(len(l) - 1, 1)),
+           i -> {_duck_h48("l[i] || ' ' || l[i+1] || ' ' || l[i+2]")}))
+         ELSE [] END AS hs
+  FROM tok),
+hsz AS (SELECT doc_id, hs, len(hs) AS sz FROM hsets)
+"""
 
 
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,6 +134,10 @@ _DOC_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # Verified near-dup pairs per (session, sf_dir): the jaccard query's
 # output is both a driver query and canonical-groups' edge input.
 _NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Persistent-RDD ids behind the cached checkpoints, so
+# registry.clear_session_caches can free the blocks deterministically
+# instead of leaving them to async GC cleanup.
+_CACHE_BLOCK_IDS: dict[tuple[str, str], set[int]] = {}
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,18 +160,22 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the rows first so shingling uses every core (10s → 1s at
     # sf0.1 on local[32]).
     n = max(spark.sparkContext.defaultParallelism, 8)
-    # Hash each 3-gram directly with multi-arg xxhash64 over the token
-    # window — never materializing the joined shingle string. Same
-    # distinct-set semantics as hashing the string form (jaccard only
-    # sees set sizes; collision odds unchanged), measurably cheaper in
-    # the interpreted higher-order-function evaluator.
+    # Hash each 3-gram with the engine-portable 48-bit md5 hash over the
+    # joined shingle string (see the portable-hashing note above): the
+    # whole dedup family — including the minhash/simhash sketches —
+    # becomes replayable in the DuckDB oracle. Same distinct-set
+    # semantics as any other hash (jaccard only sees set sizes);
+    # measured at cost parity with the multi-arg xxhash64 it replaced.
     tok = tokens("text")
     hashed = F.transform(
         F.sequence(F.lit(0), F.size(tok) - 3),
-        lambda i: F.xxhash64(
-            F.element_at(tok, i + 1),
-            F.element_at(tok, i + 2),
-            F.element_at(tok, i + 3),
+        lambda i: _h48(
+            F.concat_ws(
+                " ",
+                F.element_at(tok, i + 1),
+                F.element_at(tok, i + 2),
+                F.element_at(tok, i + 3),
+            )
         ),
     )
     hs = F.when(
@@ -111,8 +186,9 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", hs.alias("hs"))
         .select("doc_id", "hs", F.size("hs").cast("long").alias("sz"))
     )
-    out = sets_.localCheckpoint(eager=True)
+    out, ids = tracked_local_checkpoint(sets_)
     _DOC_SETS_CACHE[key] = out
+    _CACHE_BLOCK_IDS.setdefault(key, set()).update(ids)
     return out
 
 
@@ -307,8 +383,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The verified pair list is tiny (near-dup pairs, not candidates) and
     # feeds dedup_canonical_groups in the same session — materialize once.
-    out = out.localCheckpoint(eager=True)
+    out, ids = tracked_local_checkpoint(out)
     _NGRAM_PAIRS_CACHE[key] = out
+    _CACHE_BLOCK_IDS.setdefault(key, set()).update(ids)
     return out
 
 
@@ -400,23 +477,69 @@ def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _perm_min(p: int):
-    """min over hs of the p-th permutation hash. A named closure, not an
+    """min over hs of the p-th permutation hash — the universal-family
+    mix (h*a + b) mod (2^61-1) with md5-derived (a, b), exact in signed
+    64-bit for 48-bit h in Spark AND DuckDB. A named closure, not an
     inline `lambda h, p=p: ...` — PySpark infers higher-order-function
     arity from the lambda signature, so a default arg turns the lambda
     binary and binds `p` to the ARRAY INDEX instead of the permutation."""
-    return F.array_min(F.transform("hs", lambda h: F.xxhash64(F.lit(p), h)))
+    a, b = _PERM_CONSTS[p]
+    return F.array_min(
+        F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_M61))
+    )
 
 
-@register("dedup_minhash_lsh_pairs", oracle=None, tags=("dedup", "lsh"))
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash-LSH pipeline: same 48-bit
+    shingle hashes, same (a, b) permutation mixes, same 4×4 banding,
+    same exact-jaccard verify."""
+    rows_per_band = NUM_PERM // BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_M61})) AS mh{p}"
+        for p, (a, b) in enumerate(_PERM_CONSTS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {_DUCK_HASHED_SETS},
+    sig AS (SELECT doc_id, {mins} FROM hsz WHERE sz > 0),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT d1, d2,
+             len(list_intersect(s1.hs, s2.hs)) AS common,
+             s1.sz AS sz1, s2.sz AS sz2
+      FROM cand JOIN hsz s1 ON s1.doc_id = d1 JOIN hsz s2 ON s2.doc_id = d2)
+    SELECT d1, d2,
+           round(common * 1.0 / (sz1 + sz2 - common), 4) AS jaccard
+    FROM verified
+    WHERE round(common * 1.0 / (sz1 + sz2 - common), 4) >= {JACCARD_THRES}
+    """
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: 16 seeded-xxhash64 minima per doc,
-    banded 4×4; only docs sharing a (band, band-hash) bucket become
-    candidates; exact jaccard verify at JACCARD_THRES (0.8).
+    """MinHash-LSH near-dup pairs: 16 permutation minima per doc over
+    the portable 48-bit shingle hashes, banded 4×4; only docs sharing a
+    (band, band-key) bucket become candidates; exact jaccard verify at
+    JACCARD_THRES (0.8).
 
     At jaccard 0.89 (the planted pairs) the 4-band/4-row sketch catches
-    a pair with p = 1-(1-0.89^4)^4 ≈ 0.99. Rows-only: minhash values are
-    engine-specific; tests assert candidates ≪ n² and output ⊆ the
-    exact-jaccard pairs with high recall.
+    a pair with p = 1-(1-0.89^4)^4 ≈ 0.99. Hash-checked: the md5-derived
+    permutation constants inline into the DuckDB oracle, which replays
+    the exact sketch (recall/candidate-count properties additionally
+    asserted in tests/test_llm_ops.py).
     """
     sets_ = _doc_shingle_sets(spark, sf_dir)
     # Per-permutation min as an array fold over the MATERIALIZED per-doc
@@ -429,11 +552,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[_perm_min(p).alias(f"mh{p}") for p in range(NUM_PERM)]
     )
     rows_per_band = NUM_PERM // BANDS
+    # Band key = the minima tuple itself (joined as a string — the same
+    # key the oracle builds); hashing the tuple again would just add an
+    # engine-specific hash for zero bucketing benefit.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            F.concat_ws(
+                ":",
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
             ).alias("bh"),
         )
         for b in range(BANDS)
@@ -458,12 +585,47 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_jaccard(cands, sets_).filter(F.col("jaccard") >= JACCARD_THRES)
 
 
-@register("dedup_simhash_pairs", oracle=None, tags=("dedup", "lsh"))
+SIMHASH_BITS = 48  # = the informative bits of the portable shingle hash
+SIMHASH_CHUNKS = 4  # 12-bit chunks; hamming ≤ 3 ⇒ ≥ 1 chunk untouched
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replay of the SimHash pipeline: same 48-bit shingle
+    hashes, same majority-vote lanes, same 4×12-bit pigeonhole
+    bucketing, same bit_count(xor) verify."""
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    return f"""
+    WITH {_DUCK_HASHED_SETS},
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), i ->
+               CASE WHEN 2 * len(list_filter(hs, h -> (h >> CAST(i AS INT)) & 1 = 1)) > sz
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+               AS BIGINT) AS sig
+      FROM hsz WHERE sz > 0),
+    chunks AS (
+      SELECT doc_id, sig, CAST(i AS INT) AS chunk_idx,
+             (sig >> (CAST(i AS INT) * {chunk_bits})) & {mask} AS chunk
+      FROM sig, range(0, {SIMHASH_CHUNKS}) t(i)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.sig AS sig1, b.sig AS sig2
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id)
+    SELECT d1, d2, bit_count(xor(sig1, sig2)) AS hamming
+    FROM pairs WHERE bit_count(xor(sig1, sig2)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "lsh"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature per doc (sign of the
-    per-bit ±1 sum over distinct shingle hashes), pigeonhole bucketing —
-    hamming ≤ 3 implies at least one of the 4 16-bit chunks matches —
-    then exact bit_count(xor) verify. Rows-only (hash-specific).
+    """SimHash near-dup pairs: 48-bit signature per doc (sign of the
+    per-bit ±1 sum over distinct portable shingle hashes), pigeonhole
+    bucketing — hamming ≤ 3 implies at least one of the 4 12-bit chunks
+    matches — then exact bit_count(xor) verify. Hash-checked: the
+    DuckDB oracle replays the identical lanes and chunks.
 
     Features are 3-gram shingles, not tokens: the synthetic corpus
     shares one ~50-word vocabulary, so token SETS are near-identical
@@ -471,18 +633,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinctive (measured: 8/28 planted pairs recovered with tokens vs
     a clean separation with shingles)."""
     sets_ = _doc_shingle_sets(spark, sf_dir)
-    # Bit-packed signature build, entirely scan-side: for each of the 64
-    # bit lanes, the ±1 sum over a doc's shingle hashes is positive iff
-    # popcount of that lane exceeds half the set size, so the signature
-    # is one fold over the materialized hash array per lane — no
-    # 64-rows-per-shingle posexplode (whose intermediate was 64× the
-    # index size) and no shuffles at all (the previous form needed two).
+    # Bit-packed signature build, entirely scan-side: for each bit lane,
+    # the ±1 sum over a doc's shingle hashes is positive iff popcount of
+    # that lane exceeds half the set size, so the signature is one fold
+    # over the materialized hash array per lane — no rows-per-shingle
+    # posexplode (whose intermediate was 64× the index size) and no
+    # shuffles at all (the previous form needed two).
     # shiftright/shiftleft take only literal shift amounts through the
     # Python API; the SQL forms accept column expressions.
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
     sig = sets_.filter(F.col("sz") > 0).select(
         "doc_id",
         F.expr(
-            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + "
+            f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc + "
             "IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > sz, "
             "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
         ).alias("sig"),
@@ -491,7 +656,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sig",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), i -> shiftright(sig, i * 16) & 65535)")
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+                f"i -> shiftright(sig, i * {chunk_bits}) & {mask})"
+            )
         ).alias("chunk_idx", "chunk"),
     )
     left = chunks.select(

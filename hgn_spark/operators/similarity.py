@@ -348,52 +348,62 @@ def _ivf_query(spark: SparkSession, sf_dir: str, refine: bool) -> DataFrame:
 
 @register(
     "simsearch_ivf_topk",
-    # Deterministic end to end (stride-sampled centroids,
-    # 6-decimal-rounded cosines before every window, id tie-breaks), so
-    # DuckDB replays it exactly — an ANN variant with a hash-checked
-    # oracle, not just a recall bound.
-    oracle=_SQL_PRELUDE + _SQL_SEED_CENTS + _SQL_TAIL,
-    tags=("similarity", "ann"),
+    # Deterministic end to end (stride-sampled centroids, one pinned
+    # Lloyd iteration for the kmeans branch, 6-decimal-rounded cosines
+    # before every window, id tie-breaks), so DuckDB replays both
+    # variants exactly — ANN with a hash-checked oracle, not just a
+    # recall bound. One driver row for both centroid strategies (same
+    # window-consolidation policy as setops_family / agg_rollup_pivot).
+    oracle=(
+        "SELECT 'seed' AS variant, * FROM ("
+        + _SQL_PRELUDE
+        + _SQL_SEED_CENTS
+        + _SQL_TAIL
+        + ") UNION ALL SELECT 'kmeans' AS variant, * FROM ("
+        + _SQL_PRELUDE
+        + _SQL_KMEANS_CENTS
+        + _SQL_TAIL
+        + ")"
+    ),
+    tags=("similarity", "ann", "kmeans"),
 )
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k: assign → probe → exact re-rank,
-    with stride-sampled centroids.
+    under both centroid strategies in one driver row (`variant` column):
+
+    - 'seed': stride-sampled centroids — the headline configuration;
+    - 'kmeans': one deterministic Lloyd iteration over the same seeds
+      (see _lloyd_refine) — the trainable-centroid scale path for
+      corpora WITH cluster structure.
 
     Approximate relative to the exact baseline (a true neighbor can
     live in an unprobed list — recall asserted in tests/test_llm_ops),
     but REPRODUCIBLE: every ranking uses 6-decimal-rounded cosines with
-    id tie-breaks, so the DuckDB oracle replays the exact pipeline and
-    the driver hash-checks it.
+    id tie-breaks, so the DuckDB oracle replays both pipelines exactly
+    and the driver hash-checks them.
 
-    Stride seeds stay the headline centroids deliberately: one Lloyd
-    iteration (the simsearch_ivf_kmeans_topk variant) was measured at
-    recall 0.92/0.89 (sf0.01/sf0.1) vs 0.96/0.92 here at the same
-    probed candidate count, because this corpus is isotropic (mean
-    same-label cosine ≈ 0.002 — no cluster structure to learn).
+    On the synthetic isotropic testdata the kmeans branch measures
+    slightly below the seed branch (0.92 vs 0.96 recall at sf0.01,
+    equal probed candidate count; mean same-label cosine ≈ 0.002 means
+    there is no cluster structure to learn) — the expected no-structure
+    outcome, documented rather than hidden.
     """
+    seed = simsearch_ivf_seed_topk(spark, sf_dir).select(
+        F.lit("seed").alias("variant"), "*"
+    )
+    km = simsearch_ivf_kmeans_topk(spark, sf_dir).select(
+        F.lit("kmeans").alias("variant"), "*"
+    )
+    return seed.unionByName(km)
+
+
+def simsearch_ivf_seed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with stride-sampled centroids (the 'seed' variant)."""
     return _ivf_query(spark, sf_dir, refine=False)
 
 
-@register(
-    "simsearch_ivf_kmeans_topk",
-    # The k-means refinement is deterministic too (order-pinned fold
-    # for the cluster means, rounded before use), so the whole trained
-    # pipeline is hash-checked — not just recall-bounded.
-    oracle=_SQL_PRELUDE + _SQL_KMEANS_CENTS + _SQL_TAIL,
-    tags=("similarity", "ann", "kmeans"),
-)
 def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with k-means-trained centroids: one deterministic
-    Lloyd iteration over the stride seeds (see _lloyd_refine), then the
-    same assign → probe → exact re-rank pipeline.
-
-    This is the trainable-centroid scale path for corpora WITH cluster
-    structure; on the synthetic isotropic testdata it measures slightly
-    below the stride-seed variant (0.92 vs 0.96 recall at sf0.01, equal
-    probed fraction), which is the expected no-structure outcome —
-    documented rather than hidden. Recall floor asserted in
-    tests/test_llm_ops either way.
-    """
+    """IVF top-k with k-means-trained centroids (the 'kmeans' variant)."""
     return _ivf_query(spark, sf_dir, refine=True)
 
 

@@ -56,12 +56,12 @@ def register(
 
 
 # Among rows-only (no-oracle) queries, the driver's bounded window should
-# spend its remaining slots on the strongest evidence first: the MinHash
-# sketch (the one dedup family member whose output is hash-specific) and
-# the flagship HGN community loop ahead of the SimHash sketch and the
-# rows-only streaming variants — the latter two are batch-parity /
-# recall-tested in pytest, so their driver rows prove the least.
-_ROWS_ONLY_PRIORITY = ["dedup_minhash_lsh_pairs", "hgn_communities"]
+# spend its remaining slots on the strongest evidence first: the flagship
+# HGN community loop ahead of the rows-only streaming variants — the
+# latter are batch-parity-tested in pytest, so their driver rows prove
+# the least. (The LSH sketches carry full oracles since the portable
+# md5-48 hash switch, so they compete for the oracle-backed slots.)
+_ROWS_ONLY_PRIORITY = ["hgn_communities"]
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -94,12 +94,24 @@ def load_all() -> dict[str, QuerySpec]:
 
 def clear_session_caches() -> None:
     """Drop every session-scoped materialization cache (shingle sets,
-    verified near-dup pairs, the derived graph edge list). Benchmarks
-    call this between suite passes so a repeated pass re-measures the
-    real build cost instead of reading checkpoints back."""
+    verified near-dup pairs, the derived graph edge list) AND release
+    the checkpoint blocks behind them. Benchmarks call this between
+    suite passes so a repeated pass re-measures the real build cost
+    instead of reading checkpoints back; the explicit block release
+    keeps the dropped state from surfacing later as async-cleanup GC
+    pauses inside unrelated queries."""
+    from pyspark.sql import SparkSession
+
+    from hgn_spark.checkpoint import release_rdds
     from hgn_spark.graph import queries as graph_queries
     from hgn_spark.operators import dedup
 
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        for store in (dedup._CACHE_BLOCK_IDS, graph_queries._CACHE_BLOCK_IDS):
+            for ids in store.values():
+                release_rdds(spark, ids)
+            store.clear()
     dedup._DOC_SETS_CACHE.clear()
     dedup._NGRAM_PAIRS_CACHE.clear()
     graph_queries._EDGES_CACHE.clear()

@@ -23,7 +23,6 @@ SPECS = load_all()
 BNLJ_ALLOWED = {
     "simsearch_topk_cosine",
     "simsearch_ivf_topk",
-    "simsearch_ivf_kmeans_topk",
 }
 
 BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]
@@ -73,16 +72,16 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
 def test_driver_window_composition():
     """The driver verifies exactly the first 50 registry entries. Every
     oracle-backed query must register ahead of every rows-only query,
-    and the two strongest rows-only entries (the minhash sketch and the
-    flagship HGN loop) must sit inside the window. Adding an
-    oracle-backed query without merging an existing pair silently
-    pushes hgn_communities out — this pins the contract."""
+    and the strongest rows-only entry (the flagship HGN loop) must sit
+    inside the window. Adding an oracle-backed query without merging an
+    existing pair silently pushes hgn_communities out — this pins the
+    contract."""
     specs = load_all()
     names = list(specs)
     n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
-    assert n_oracle <= 48, (
+    assert n_oracle <= 49, (
         f"{n_oracle} oracle-backed queries: merge micro-queries before "
-        "adding more, or the rows-only flagship entries leave the "
+        "adding more, or the rows-only flagship entry leaves the "
         "driver's 50-query window"
     )
     window = set(names[:50])
