@@ -273,28 +273,42 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once, deduplicated, and BROADCAST; the corpus side is a
     scan-side explode of hashed {DECON_N}-grams filtered by the
     broadcast hash join, and the only shuffle is the per-doc aggregation
-    of the few surviving hits. Grams are multi-arg xxhash64 over the
-    token window (no joined-string materialization); the oracle compares
-    string grams — identical distinct-counts modulo 64-bit collisions.
+    of the few surviving hits. Each token is hashed to a long ONCE, and
+    a gram is xxhash64 over the {DECON_N} consecutive token-hashes —
+    the sliding window then touches only fixed-width longs, never
+    strings (the string-window form re-read {DECON_N} UTF8 tokens per
+    position; interpreted HOF evaluation of that string traffic was
+    measured 7x slower steady-state and collapsed to 30 s+ whenever the
+    JIT deoptimized it). The oracle compares string grams — identical
+    distinct-counts modulo 64-bit collisions, exactly as before.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
-    grams = F.when(
-        F.size(tok) >= DECON_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok) - DECON_N),
-                lambda i: F.xxhash64(
-                    *[F.element_at(tok, i + k + 1) for k in range(DECON_N)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    th = F.transform(tokens("text"), lambda t: F.xxhash64(t))
+    def grams_of(l: Column) -> Column:
+        return F.when(
+            F.size(l) >= DECON_N,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(l) - DECON_N),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(l, i + k + 1) for k in range(DECON_N)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     # The documents table is one parquet file = one partition; spread it
     # before the gram build so the heavy HOF pass uses every core.
     n = max(spark.sparkContext.defaultParallelism, 8)
     base = docs.repartition(n)
+    # Token-hash array as a REAL attribute: `grams_of` references it 9
+    # times (size guard, sequence bound, 7 window lookups) — as an
+    # attribute that is 9 cheap array reads; inlined, CollapseProject
+    # would replant the full tokenize+hash transform at every reference.
+    # (Multiply-referenced non-trivial expressions block the collapse,
+    # so the projection below survives optimization — same trick as the
+    # `grams` attribute further down.)
+    grams = grams_of(F.col("th"))
     # explode_outer everywhere: plain explode makes the optimizer infer
     # a `size(grams) > 0` pre-filter containing the whole tokenize+hash
     # expression and push it below the repartition — i.e. two extra HOF
@@ -303,6 +317,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the generated attribute.
     bench = (
         base.filter(is_bench)
+        .select("doc_id", th.alias("th"))
         .select(F.explode_outer(grams).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
@@ -316,7 +331,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice.) The per-doc count then rides through the explode, so no
     # second pass and no full-corpus shuffle — the only aggregation runs
     # over the rows surviving the broadcast join.
-    pre = base.filter(~is_bench).select("doc_id", grams.alias("grams"))
+    pre = (
+        base.filter(~is_bench)
+        .select("doc_id", th.alias("th"))
+        .select("doc_id", grams.alias("grams"))
+    )
     corpus = (
         pre.select(
             "doc_id", F.size("grams").cast("long").alias("n_grams"), "grams"

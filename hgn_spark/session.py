@@ -38,7 +38,23 @@ _DEFAULTS = {
     "spark.sql.warehouse.dir": os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", "/tmp/hgn_spark_warehouse"
     ),
-    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/hgn_spark_derby",
+    # ReservedCodeCacheSize: every distinct query plan generates
+    # whole-stage-codegen classes; a long-lived session running many
+    # plans (this engine registers 50+) fills the JVM's default 240 MB
+    # code cache, after which the JIT stops compiling and hot paths run
+    # interpreted — measured here as 3-20x slowdowns appearing mid-suite
+    # (decontaminate_ngram_overlap: 2.5 s steady-state vs 7-55 s once
+    # the cache fills). 1 GiB + UseCodeCacheFlushing is the standard
+    # long-session Spark tuning (Spark docs, sql-performance-tuning).
+    "spark.driver.extraJavaOptions": (
+        "-Dderby.system.home=/tmp/hgn_spark_derby "
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+    ),
+    # Same tuning for real (non-local) executors, which JIT their own
+    # codegen classes; harmless locally where no executor JVM exists.
+    "spark.executor.extraJavaOptions": (
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+    ),
 }
 
 
