@@ -48,6 +48,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "text_profile",
     "text_repetition_signals",
+    "text_tfidf_topterms",
     "redact_pii_docs",
     "multimodal_byte_histogram",
     "graph_degrees",

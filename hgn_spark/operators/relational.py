@@ -652,8 +652,16 @@ def join_theta_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'union_distinct', event_type, branch, count(*)
     FROM d GROUP BY event_type, branch
+    UNION ALL
+    SELECT 'symmetrize', CAST(src AS VARCHAR), CAST(NULL AS VARCHAR), degree
+    FROM (
+      SELECT src, count(*) AS degree FROM (
+        SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
+        UNION
+        SELECT l_partkey, l_suppkey FROM lineitem) sym
+      GROUP BY src) deg
     """,
-    tags=("setop", "filter", "dedup"),
+    tags=("setop", "filter", "dedup", "graph"),
 )
 def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The set-operation surface in one labeled driver row (consolidated
@@ -668,7 +676,12 @@ def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       branches, re-combined with unionByName across frames whose column
       order differs (reference graph_tools/graph_tools.py:349-350), an
       exact dedup on the projection (reference dropDuplicates,
-      spark_manager.py:207), then a grouped count — P3/P4 + U2 + P7.
+      spark_manager.py:207), then a grouped count — P3/P4 + U2 + P7;
+    - ``symmetrize``: positional union of reversed edges + distinct +
+      degree count — the reference's undirected-graph emulation (U1,
+      graph_tools/graph_tools.py:125-126), formerly the standalone
+      `union_positional_symmetrize` row (merged to free an oracle slot
+      in the driver's 50-query window).
     """
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
@@ -704,7 +717,23 @@ def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_user_types").alias("n"),
         )
     )
-    return both.unionByName(only).unionByName(ud)
+
+    edges = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    sym = (
+        edges.union(edges.select("dst", "src"))  # positional: values swap columns
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            F.lit("symmetrize").alias("op"),
+            F.col("src").cast("string").alias("a"),
+            null_s.alias("b"),
+            F.col("degree").alias("n"),
+        )
+    )
+    return both.unionByName(only).unionByName(ud).unionByName(sym)
 
 
 # ---------------------------------------------------------------------------
@@ -1046,32 +1075,6 @@ def na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("delta"), 2).alias("total_delta"),
         )
-    )
-
-
-@register(
-    "union_positional_symmetrize",
-    oracle="""
-    WITH sym AS (
-      SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
-      UNION
-      SELECT l_partkey, l_suppkey FROM lineitem
-    )
-    SELECT src, count(*) AS degree FROM sym GROUP BY src
-    """,
-    tags=("setop", "graph"),
-)
-def union_positional_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional union of reversed edges — the reference's undirected-graph
-    emulation (U1, graph_tools/graph_tools.py:125-126)."""
-    e = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
-    )
-    return (
-        e.union(e.select("dst", "src"))  # positional: values swap columns
-        .distinct()
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
 
 

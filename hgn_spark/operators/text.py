@@ -540,3 +540,90 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("n2") - F.col("nd2")) * 1.0 / F.col("n2") > 0.4)
         ).alias("is_repetitive"),
     )
+
+
+TFIDF_TOPK = 3  # distinctive terms kept per document
+
+
+@register(
+    "text_tfidf_topterms",
+    # Classic TF-IDF with relative term frequency and the plain
+    # ln(N/df) idf; ties (identical rounded scores — in practice
+    # identical (tf, df) pairs) break lexicographically so the top-k
+    # cut is total and engine-independent.
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
+    base AS (
+      SELECT doc_id, len(l) AS n_tok, unnest(l) AS term
+      FROM tok WHERE len(l) > 0),
+    tf AS (
+      SELECT doc_id, n_tok, term, count(*) AS c
+      FROM base GROUP BY doc_id, n_tok, term),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.c, dft.df,
+             round((tf.c * 1.0 / tf.n_tok)
+                   * ln((SELECT n FROM nd) * 1.0 / dft.df), 6) AS tfidf
+      FROM tf JOIN dft USING (term)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, c AS tf_count, df, tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOPK}
+    """,
+    tags=("text", "ir", "llm-pipeline"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} distinctive terms per document by TF-IDF —
+    the standard corpus-statistics operator behind keyword extraction,
+    topic labeling and quality heuristics in a training-data pipeline.
+
+    tf is the relative in-document frequency, idf the plain ln(N/df)
+    over document frequency; scores round to 6 decimals before the
+    rank so ordering is identical across engines, with the term string
+    as the total tie-break.
+
+    Scale shape: the per-doc token length is computed scan-side BEFORE
+    the explode and rides through it (no second pass over the corpus);
+    term counts shuffle once on (doc_id, term) with map-side combine;
+    the df table is vocabulary-sized — orders of magnitude smaller
+    than the corpus — and AQE broadcasts it into the score join when
+    it fits, with a plain term-keyed hash join as the fallback; the
+    top-k window shuffles by doc_id and each partition holds only a
+    doc's distinct terms. The document count N is one count-star
+    action (parquet footer metadata, no scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", tokens("text").alias("l"))
+        .filter(F.size("l") > 0)
+        .select(
+            "doc_id",
+            F.size("l").alias("n_tok"),
+            F.explode("l").alias("term"),
+        )
+    )
+    n_docs = docs.count()
+    tf = base.groupBy("doc_id", "n_tok", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dft, "term").select(
+        "doc_id",
+        "term",
+        F.col("c").alias("tf_count"),
+        "df",
+        F.round(
+            (F.col("c") * 1.0 / F.col("n_tok"))
+            * F.log(F.lit(n_docs) * 1.0 / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", "term", "tf_count", "df", "tfidf")
+    )

@@ -531,3 +531,40 @@ def test_lsh_topk_recall_and_candidate_bound(spark):
         lsh_df.groupBy("q_id").agg(F.collect_set("rank").alias("r")).collect()
     )
     assert all(sorted(row["r"]) == [1, 2, 3, 4, 5] for row in ranks)
+
+
+def test_tfidf_topterms_invariants(spark):
+    """TF-IDF top-terms: rank shape, idf-zero law (a term in every
+    document scores exactly 0), and score monotonicity vs rank."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from hgn_spark.operators.text import TFIDF_TOPK, tokens
+
+    out = SPECS["text_tfidf_topterms"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "no scored documents"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    docs_with_terms = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.size(tokens("text")) > 0)
+        .count()
+    )
+    # every doc with >=1 token gets ranks 1..min(k, n_distinct_terms)
+    assert len(by_doc) == docs_with_terms
+    for doc_rows in by_doc.values():
+        got = sorted(r["rank"] for r in doc_rows)
+        assert got == list(range(1, len(got) + 1))
+        assert len(got) <= TFIDF_TOPK
+        # scores non-increasing in rank
+        by_rank = sorted(doc_rows, key=lambda r: r["rank"])
+        scores = [r["tfidf"] for r in by_rank]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # idf-zero law: df == n_docs forces tfidf == 0 exactly
+    for r in rows:
+        if r["df"] == n_docs:
+            assert r["tfidf"] == 0.0
+        assert r["df"] <= n_docs
