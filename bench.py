@@ -52,6 +52,7 @@ HEADLINE = [
     "redact_pii_docs",
     "multimodal_byte_histogram",
     "graph_degrees",
+    "graph_triangles_clustering",
     "graph_rmetrics",
     "graph_betweenness_k2",
     "graph_connected_components",

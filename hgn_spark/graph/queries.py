@@ -318,6 +318,55 @@ def graph_shortest_paths_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_triangles_clustering",
+    oracle=f"""
+    WITH {GRAPH_CTE},
+    tri AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM gedges e1
+      JOIN gedges e2 ON e2.src = e1.dst
+      JOIN gedges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    mem AS (SELECT unnest([x, y, z]) AS id FROM tri),
+    cnt AS (SELECT id, count(*) AS triangles FROM mem GROUP BY id),
+    deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
+    SELECT c.id, c.triangles, d.degree,
+           round(2.0 * c.triangles / (d.degree * (d.degree - 1)), 6)
+             AS clustering
+    FROM cnt c JOIN deg d USING (id)
+    """,
+    tags=("graph", "triangles"),
+)
+def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle count + local clustering coefficient
+    (2T/(d(d-1))) — the standard cohesion metrics a graph-analytics
+    user expects next to degrees and components (an engine extension;
+    the reference computes common-neighbor counts per EDGE for its
+    r-metrics but never closes the triangle per vertex).
+
+    Spark side uses the degree-ordered edge-iterator (graph/core.py
+    `triangles`: O(m^1.5) wedges, equi-joins only); the oracle
+    enumerates the same triangles by id order — the triangle SET is
+    orientation-independent, so the counts hash-match exactly.
+    Vertices in no triangle are excluded (their coefficient is 0 by
+    convention and they never leave the map side).
+    """
+    from hgn_spark.graph.core import degrees, triangles
+
+    e = derived_edges(spark, sf_dir)
+    t = triangles(e)
+    deg = degrees(e)
+    return t.join(deg, "id").select(
+        "id",
+        "triangles",
+        "degree",
+        F.round(
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ).alias("clustering"),
+    )
+
+
 @register("hgn_communities", oracle=None, tags=("graph", "iterative", "flagship"))
 def hgn_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full HGN loop on the derived graph (G11-G12 + G13): r-metrics →

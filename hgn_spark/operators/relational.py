@@ -872,37 +872,6 @@ def json_date_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "struct_build_cast_access",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(o_custkey AS INT) AS cust_id,
-           upper(o_orderstatus) AS status,
-           round(o_totalprice, 2) AS price
-    FROM orders WHERE o_totalprice > 100000
-    """,
-    tags=("struct", "cast"),
-)
-def struct_build_cast_access(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a struct column, cast the whole struct to a named narrower
-    StructType (reference P8, spark_manager/spark_manager.py:449-451),
-    then access nested fields (reference F8: m.a.id-style struct access,
-    graph_tools/graph_tools.py:207)."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    meta = F.struct(
-        F.col("o_custkey").alias("cust"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    ).cast("struct<cust:int,status:string,price:double>")
-    nested = o.select("o_orderkey", meta.alias("meta"))
-    return nested.select(
-        "o_orderkey",
-        F.col("meta.cust").alias("cust_id"),
-        F.upper(F.col("meta.status")).alias("status"),
-        F.round(F.col("meta.price"), 2).alias("price"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Window functions, sort, limit (reference gaps — SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -1081,16 +1050,33 @@ def na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_struct_key",
     oracle="""
-    SELECT o.o_orderpriority, count(*) AS n,
-           round(sum(l.l_extendedprice), 2) AS revenue
+    SELECT 'join_agg' AS op, o.o_orderpriority AS a,
+           CAST(NULL AS VARCHAR) AS b, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS v
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
+    UNION ALL
+    SELECT 'cast_access', CAST(o_orderkey AS VARCHAR),
+           upper(o_orderstatus), CAST(o_custkey AS INT),
+           round(o_totalprice, 2)
+    FROM orders WHERE o_totalprice > 100000
     """,
-    tags=("join", "struct"),
+    tags=("join", "struct", "cast"),
 )
 def join_struct_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join condition reaching into a struct field (reference J6:
-    m.a.id = l.dst, graph_tools/graph_tools.py:206-207)."""
+    """The struct surface in one labeled driver row:
+
+    - ``join_agg``: join condition reaching into a struct field
+      (reference J6: m.a.id = l.dst, graph_tools/graph_tools.py:206-207)
+      feeding a grouped aggregate;
+    - ``cast_access``: build a struct column, cast the whole struct to
+      a named narrower StructType (reference P8,
+      spark_manager/spark_manager.py:449-451), then access nested
+      fields (reference F8: m.a.id-style access,
+      graph_tools/graph_tools.py:207) — formerly the standalone
+      `struct_build_cast_access` row (merged to free an oracle slot in
+      the driver's 50-query window).
+    """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.struct(
             F.col("l_orderkey").alias("id"), F.col("l_linenumber").alias("ln")
@@ -1098,14 +1084,37 @@ def join_struct_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
     )
     o = load_table(spark, sf_dir, "orders")
-    return (
+    joined = (
         li.join(o, li["a.id"] == o["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
+        .select(
+            F.lit("join_agg").alias("op"),
+            F.col("o_orderpriority").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            F.col("cnt").alias("n"),
+            F.col("revenue").alias("v"),
+        )
     )
+
+    hi = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    meta = F.struct(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    ).cast("struct<cust:int,status:string,price:double>")
+    nested = hi.select("o_orderkey", meta.alias("meta"))
+    cast_access = nested.select(
+        F.lit("cast_access").alias("op"),
+        F.col("o_orderkey").cast("string").alias("a"),
+        F.upper(F.col("meta.status")).alias("b"),
+        F.col("meta.cust").cast("long").alias("n"),
+        F.round(F.col("meta.price"), 2).alias("v"),
+    )
+    return joined.unionByName(cast_access)
 
 
 @register(

@@ -291,3 +291,29 @@ def test_hgn_loop_splits_triangles(edges, vertices):
     # Bridge weight 1.0 ≥ 0.9 but betweenness 10 > 5 → deleted; triangles
     # survive (all keepit). Isolated 7 dropped.
     assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_triangles_and_clustering(edges):
+    from hgn_spark.graph.core import triangles
+
+    got = _as_dict(triangles(edges), "id", "triangles")
+    # each vertex of the two triangles closes exactly one; the bridge
+    # 3-4 closes none
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_triangles_networkx_parity(spark):
+    """Degree-ordered edge-iterator vs networkx on the sf0.001 derived
+    graph — exact count parity for every triangle-bearing vertex."""
+    nx = pytest.importorskip("networkx")
+
+    from hgn_spark.graph.queries import derived_edges
+    from hgn_spark.graph.core import triangles
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    G = nx.Graph()
+    G.add_edges_from([(r.src, r.dst) for r in e.collect()])
+    expect = {k: v for k, v in nx.triangles(G).items() if v > 0}
+    got = _as_dict(triangles(e), "id", "triangles")
+    assert got == expect
