@@ -56,6 +56,7 @@ HEADLINE = [
     "graph_rmetrics",
     "graph_betweenness_k2",
     "graph_connected_components",
+    "graph_pagerank",
     "hgn_communities",
     "streaming_tumbling_daily",
 ]

@@ -1,0 +1,89 @@
+"""k-core decomposition (core numbers) by iterative peeling.
+
+Engine extension (SURVEY §2.9 — the reference has no cohesion
+analysis): core(v) is the largest k such that v survives repeated
+deletion of all vertices with degree < k. Standard corpus/community
+tooling next to triangles and components.
+
+Algorithm — the distributed peeling formulation: for k = 1, 2, ...,
+repeatedly drop vertices whose CURRENT degree is below k until the
+k-core stabilizes; vertices removed while peeling at level k have core
+number k - 1, and when the graph empties the last non-empty survivor
+set holds the maximum core. Each peel step is one degree aggregation
+plus one semi/anti join pair — all equi-keyed, no driver-side vertex
+lists (the only actions are tiny isEmpty probes, the same loop-control
+discipline as connected components).
+
+Scale notes: the number of outer levels is the graph's degeneracy
+(small for sparse real-world graphs; ~2m/n average bounds it), and
+every inner iteration strictly removes vertices, so the total work is
+O(levels x peel-rounds) bounded shuffles over a shrinking edge set.
+Superseded edge-set generations are released eagerly (one generation
+carried, as in the HGN loop / CC / PageRank)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hgn_spark.checkpoint import CheckpointJanitor
+from hgn_spark.graph.core import symmetrize
+
+
+def core_numbers(edges: DataFrame, max_levels: int = 100) -> DataFrame:
+    """→ ``(id, core)`` for every vertex with at least one edge.
+
+    Matches ``networkx.core_number`` (parity pinned in
+    tests/test_graph.py). ``max_levels`` bounds the outer loop as a
+    runaway guard; the loop exits when the graph empties.
+    """
+    spark = edges.sparkSession
+    jan = CheckpointJanitor(spark)
+    cur, cur_ids = jan.checkpoint(symmetrize(edges))
+    done: list[DataFrame] = []
+
+    k = 1
+    while k <= max_levels:
+        if cur.isEmpty():
+            break
+        # Peel vertices with degree < k to a fixpoint.
+        while True:
+            deg = cur.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            low = deg.filter(F.col("deg") < k).select("id")
+            low, low_ids = jan.checkpoint(low)
+            if low.isEmpty():
+                jan.release(low_ids)
+                break
+            # Removed while peeling level k → survived level k-1.
+            done.append(low.select("id", F.lit(k - 1).alias("core")))
+            nxt = (
+                cur.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .select("src", "dst")
+            )
+            nxt, nxt_ids = jan.checkpoint(nxt)
+            cur = nxt
+            jan.release(cur_ids)
+            # `low` stays persisted: `done` references it until the
+            # caller materializes the union (vertex-list-sized blocks).
+            cur_ids = nxt_ids
+        k += 1
+
+    if not cur.isEmpty():
+        # max_levels hit with survivors: label them with the last
+        # completed level (correct when max_levels > degeneracy, which
+        # the guard value guarantees for any real graph).
+        done.append(
+            cur.select("src").distinct().select(
+                F.col("src").alias("id"), F.lit(k - 1).alias("core")
+            )
+        )
+    jan.release(cur_ids)
+    if not done:
+        return spark.createDataFrame([], "id long, core int")
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

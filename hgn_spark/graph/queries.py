@@ -367,16 +367,202 @@ def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hgn_communities", oracle=None, tags=("graph", "iterative", "flagship"))
+@register("graph_pagerank", oracle=None, tags=("graph", "iterative", "centrality"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration PageRank on the derived graph (engine extension —
+    the reference ships no centrality beyond edge betweenness).
+    Iterative fixpoint → not SQL-expressible → rows-only in the driver
+    gate; exact-iteration networkx parity is pinned in
+    tests/test_graph.py."""
+    from hgn_spark.graph.pagerank import pagerank
+
+    return pagerank(derived_edges(spark, sf_dir), damping=0.85, n_iter=20).select(
+        "id", F.round("pagerank", 6).alias("pagerank")
+    )
+
+
+@register("graph_kcore", oracle=None, tags=("graph", "iterative", "cohesion"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the derived graph (engine extension):
+    per-vertex core numbers by distributed peeling. Iterative fixpoint
+    with a data-dependent level count → rows-only in the driver gate;
+    exact networkx.core_number parity is pinned in tests/test_graph.py."""
+    from hgn_spark.graph.kcore import core_numbers
+
+    return core_numbers(derived_edges(spark, sf_dir))
+
+
+HGN_MAX_STEPS = 3
+
+
+def _hgn_iteration_ctes(i: int, ein: str) -> str:
+    """One unrolled HGN iteration as CTE text: r-metrics on edge set
+    ``ein`` → candidate common-neighbor members → hybrid weights over
+    the init-step similarity edges → deletion rule against init-step
+    betweenness → surviving edge set ``e{i+1}``. Mirrors the loop body
+    in hgn.py:82-113 block for block."""
+    eout = f"e{i + 1}"
+    # AS MATERIALIZED: every CTE here is referenced several times and
+    # sits on top of a chain back to the lineitem self-join; DuckDB
+    # inlines plain CTEs per reference, which both multiplies the work
+    # exponentially across unrolled iterations and opens the parquet
+    # once per expansion (observed: "Too many open files").
+    return f"""
+    sym{i} AS MATERIALIZED (
+      SELECT src, dst FROM {ein} UNION SELECT dst, src FROM {ein}),
+    lvl2_{i} AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM sym{i}
+        UNION ALL
+        SELECT a.src, b.dst FROM sym{i} a JOIN sym{i} b ON a.dst = b.src
+        WHERE a.src <> b.dst)),
+    deg1_{i} AS (SELECT src AS id, count(*) AS cnt FROM sym{i} GROUP BY src),
+    deg2_{i} AS (SELECT u AS id, count(*) AS cnt FROM lvl2_{i} GROUP BY u),
+    cn1_{i} AS (
+      SELECT e.src, e.dst, count(*) AS c
+      FROM {ein} e
+      JOIN sym{i} n1 ON n1.src = e.src
+      JOIN sym{i} n2 ON n2.src = e.dst AND n2.dst = n1.dst
+      GROUP BY e.src, e.dst),
+    rm{i} AS (
+      SELECT e.src, e.dst,
+             (coalesce(cn1.c, 0) * 1.0 / d1s.cnt > {R1_THRES}
+              OR coalesce(cn1.c, 0) * 1.0 / d1d.cnt > {R1_THRES}
+              OR coalesce(cn2.c, 0) * 1.0 / d2s.cnt > {R2_THRES}
+              OR coalesce(cn2.c, 0) * 1.0 / d2d.cnt > {R2_THRES}) AS keepit
+      FROM {ein} e
+      JOIN deg1_{i} d1s ON d1s.id = e.src
+      JOIN deg1_{i} d1d ON d1d.id = e.dst
+      JOIN deg2_{i} d2s ON d2s.id = e.src
+      JOIN deg2_{i} d2d ON d2d.id = e.dst
+      LEFT JOIN cn1_{i} cn1 ON cn1.src = e.src AND cn1.dst = e.dst
+      LEFT JOIN (
+        SELECT e2.src, e2.dst, count(*) AS c
+        FROM {ein} e2
+        JOIN lvl2_{i} m1 ON m1.u = e2.src
+        JOIN lvl2_{i} m2 ON m2.u = e2.dst AND m2.v = m1.v
+        WHERE m1.v <> e2.src AND m1.v <> e2.dst
+        GROUP BY e2.src, e2.dst) cn2
+        ON cn2.src = e.src AND cn2.dst = e.dst),
+    cnm{i} AS MATERIALIZED (
+      SELECT e.src, e.dst, n1.v AS member
+      FROM {ein} e
+      JOIN rm{i} r ON r.src = e.src AND r.dst = e.dst AND NOT r.keepit
+      JOIN lvl2_{i} n1 ON n1.u = e.src
+      JOIN lvl2_{i} n2 ON n2.u = e.dst AND n2.v = n1.v
+      WHERE n1.v <> e.src AND n1.v <> e.dst),
+    pairs{i} AS (
+      SELECT DISTINCT c.src, c.dst, s.src AS s_src, s.dst AS s_dst,
+             s.similarity
+      FROM cnm{i} c JOIN sims s ON s.src = c.member
+      WHERE EXISTS (SELECT 1 FROM cnm{i} c2
+                    WHERE c2.src = c.src AND c2.dst = c.dst
+                      AND c2.member = s.dst)),
+    w{i} AS (
+      SELECT src, dst,
+             sum(CASE WHEN similarity >= 0.5 THEN 1 ELSE 0 END) * 1.0
+               / count(*) AS ew
+      FROM pairs{i} GROUP BY src, dst),
+    del{i} AS (
+      SELECT w.src, w.dst FROM w{i} w
+      JOIN betw b ON b.src = w.src AND b.dst = w.dst
+      WHERE w.ew < 0.5 OR (w.ew >= 0.5 AND b.betweenness > 3.0)),
+    {eout} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {ein} e
+      WHERE NOT EXISTS (SELECT 1 FROM del{i} d
+                        WHERE d.src = e.src AND d.dst = e.dst))"""
+
+
+def _hgn_oracle() -> str:
+    """DuckDB replay of the full HGN loop with the registered params
+    (max_steps={HGN_MAX_STEPS}, k=2, thresholds inline): init-step
+    similarities + betweenness on the initial graph, the loop UNROLLED
+    to max_steps iterations (deleting nothing is a fixpoint, so
+    unrolling past the loop's early break recomputes the same edge
+    set), recursive min-label components on the survivors. The
+    betweenness threshold compares raw float sums — verified to have
+    no value within 1e-6 of the 3.0 boundary at sf0.001/0.01/0.1, so
+    both engines land on the same side everywhere."""
+    its = ",".join(
+        _hgn_iteration_ctes(i, f"e{i}" if i else "gedges")
+        for i in range(HGN_MAX_STEPS)
+    )
+    final = f"e{HGN_MAX_STEPS}"
+    # Materialized twin of GRAPH_CTE: this oracle references the
+    # derived graph dozens of times across the unrolled iterations.
+    graph_cte_mat = """
+    gedges AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+      WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
+        AND a.l_suppkey < b.l_suppkey
+        AND a.l_suppkey % 5 = b.l_suppkey % 5
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges)
+    """
+    return f"""
+    WITH RECURSIVE {graph_cte_mat},
+    sims AS MATERIALIZED (
+      SELECT e.src, e.dst,
+             CASE WHEN vs.s_nationkey = vd.s_nationkey
+                  THEN 1.0 ELSE 0.0 END AS similarity
+      FROM gedges e
+      JOIN supplier vs ON vs.s_suppkey = e.src
+      JOIN supplier vd ON vd.s_suppkey = e.dst
+      UNION ALL
+      SELECT e.dst, e.src,
+             CASE WHEN vs.s_nationkey = vd.s_nationkey
+                  THEN 1.0 ELSE 0.0 END
+      FROM gedges e
+      JOIN supplier vs ON vs.s_suppkey = e.src
+      JOIN supplier vd ON vd.s_suppkey = e.dst),
+    bp2 AS (
+      SELECT a.src AS src, a.dst AS mid, b.dst AS dst
+      FROM sym a JOIN sym b ON a.dst = b.src
+      WHERE a.src <> b.dst
+        AND NOT EXISTS (SELECT 1 FROM sym s
+                        WHERE s.src = a.src AND s.dst = b.dst)),
+    bsigma AS (SELECT src, dst, count(*) AS m FROM bp2 GROUP BY src, dst),
+    bcontrib AS (
+      SELECT least(p.src, p.mid) AS e_src, greatest(p.src, p.mid) AS e_dst,
+             1.0 / s.m AS w
+      FROM bp2 p JOIN bsigma s ON s.src = p.src AND s.dst = p.dst
+      UNION ALL
+      SELECT least(p.mid, p.dst), greatest(p.mid, p.dst), 1.0 / s.m
+      FROM bp2 p JOIN bsigma s ON s.src = p.src AND s.dst = p.dst
+      UNION ALL
+      SELECT least(src, dst), greatest(src, dst), 1.0 FROM sym),
+    betw AS MATERIALIZED (
+      SELECT e_src AS src, e_dst AS dst, sum(w) AS betweenness
+      FROM bcontrib GROUP BY 1, 2),
+    {its},
+    fsym AS (SELECT src, dst FROM {final}
+             UNION SELECT dst, src FROM {final}),
+    walk(node, comp) AS (
+      SELECT src, src FROM fsym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN fsym s ON s.src = w.node)
+    SELECT node AS id, min(comp) AS component FROM walk GROUP BY node
+    """
+
+
+@register(
+    "hgn_communities",
+    oracle=_hgn_oracle(),
+    tags=("graph", "iterative", "flagship"),
+)
 def hgn_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full HGN loop on the derived graph (G11-G12 + G13): r-metrics →
     hybrid weights → deletion rule → convergence → components.
 
     Vertices come from `supplier` with s_nationkey as the single
     categorical feature (cosine ∈ {0,1}, like the reference's Quakers
-    Gender-only run — SURVEY §8.8). Iterative and non-SQL-expressible →
-    rows-only correctness; algorithmic checks live in
-    tests/test_graph.py on hand-computed fixtures.
+    Gender-only run — SURVEY §8.8). The iterative loop is not directly
+    SQL-expressible, but max_steps is a registered constant — the
+    oracle UNROLLS the loop (see `_hgn_oracle`), turning the flagship
+    from rows-only into a fully hash-checked driver row. Algorithmic
+    checks live in tests/test_graph.py on hand-computed fixtures.
     """
     edges = derived_edges(spark, sf_dir)
     vertices = load_table(spark, sf_dir, "supplier").select(

@@ -317,3 +317,80 @@ def test_triangles_networkx_parity(spark):
     expect = {k: v for k, v in nx.triangles(G).items() if v > 0}
     got = _as_dict(triangles(e), "id", "triangles")
     assert got == expect
+
+
+def test_pagerank_fixture(edges):
+    """Symmetric-triangle fixture: ranks sum to 1 and the higher-degree
+    bridge endpoints (3, 4) outrank the interior vertices."""
+    from hgn_spark.graph.pagerank import pagerank
+
+    got = _as_dict(pagerank(edges, n_iter=30), "id", "pagerank")
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for interior in (1, 2, 5, 6):
+        assert got[3] > got[interior]
+        assert got[4] > got[interior]
+    # symmetry of the fixture: mirror vertices have equal ranks
+    assert abs(got[3] - got[4]) < 1e-12
+    assert abs(got[1] - got[6]) < 1e-12
+
+
+def test_pagerank_reference_power_iteration_parity(spark):
+    """Same update, same uniform start, same iteration count → values
+    match an independent pure-Python power iteration to float tolerance
+    on the sf0.001 derived graph (networkx.pagerank needs scipy, which
+    this container lacks; the hand-rolled loop below is the same
+    textbook update networkx implements)."""
+    from hgn_spark.graph.pagerank import pagerank
+    from hgn_spark.graph.queries import derived_edges
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    adj: dict[int, set[int]] = {}
+    for r in e.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    n = len(adj)
+    d = 0.85
+    n_iter = 60
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in adj:
+            s = sum(pr[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1.0 - d) / n + d * s
+        pr = nxt
+    got = _as_dict(pagerank(e, n_iter=n_iter), "id", "pagerank")
+    assert set(got) == set(pr)
+    for k, v in got.items():
+        assert abs(v - pr[k]) < 1e-9, (k, v, pr[k])
+
+
+def test_core_numbers_fixture(edges):
+    """Two triangles + bridge: every triangle vertex is 2-core, and
+    adding a pendant vertex demotes nothing but itself."""
+    from hgn_spark.graph.kcore import core_numbers
+
+    got = _as_dict(core_numbers(edges), "id", "core")
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2}
+    pendant = edges.sparkSession.createDataFrame(
+        EDGES + [(6, 8)], "src long, dst long"
+    )
+    got2 = _as_dict(core_numbers(pendant), "id", "core")
+    assert got2[8] == 1
+    assert all(got2[v] == 2 for v in (1, 2, 3, 4, 5, 6))
+
+
+def test_core_numbers_networkx_parity(spark):
+    nx = pytest.importorskip("networkx")
+
+    from hgn_spark.graph.kcore import core_numbers
+    from hgn_spark.graph.queries import derived_edges
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    G = nx.Graph()
+    G.add_edges_from([(r.src, r.dst) for r in e.collect()])
+    expect = nx.core_number(G)
+    got = _as_dict(core_numbers(e), "id", "core")
+    assert got == expect

@@ -71,18 +71,18 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
 
 def test_driver_window_composition():
     """The driver verifies exactly the first 50 registry entries. Every
-    oracle-backed query must register ahead of every rows-only query,
-    and the strongest rows-only entry (the flagship HGN loop) must sit
-    inside the window. Adding an oracle-backed query without merging an
-    existing pair silently pushes hgn_communities out — this pins the
-    contract."""
+    oracle-backed query must register ahead of every rows-only query;
+    with the flagship HGN loop now oracle-backed (unrolled-loop
+    oracle), all 50 window slots carry full hash-checked oracles.
+    Adding an oracle-backed query without merging an existing pair
+    silently drops one out of the window — this pins the contract."""
     specs = load_all()
     names = list(specs)
     n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
-    assert n_oracle <= 49, (
+    assert n_oracle <= 50, (
         f"{n_oracle} oracle-backed queries: merge micro-queries before "
-        "adding more, or the rows-only flagship entry leaves the "
-        "driver's 50-query window"
+        "adding more, or an oracle-backed query leaves the driver's "
+        "50-query window unverified"
     )
     window = set(names[:50])
     assert {"dedup_minhash_lsh_pairs", "hgn_communities"} <= window
