@@ -40,46 +40,56 @@ def core_numbers(edges: DataFrame, max_levels: int = 100) -> DataFrame:
     spark = edges.sparkSession
     jan = CheckpointJanitor(spark)
     cur, cur_ids = jan.checkpoint(symmetrize(edges))
+    # Explicit alive-vertex frame: a vertex whose last edge is removed
+    # mid-peel has ZERO rows in the edge set — without this frame it
+    # would silently vanish instead of being peeled (degree 0 < k) and
+    # labeled at the current level.
+    alive, alive_ids = jan.checkpoint(
+        cur.select(F.col("src").alias("id")).distinct()
+    )
     done: list[DataFrame] = []
 
     k = 1
     while k <= max_levels:
-        if cur.isEmpty():
+        if alive.isEmpty():
             break
-        # Peel vertices with degree < k to a fixpoint.
+        # Peel vertices with current degree < k to a fixpoint.
         while True:
             deg = cur.groupBy(F.col("src").alias("id")).agg(
                 F.count(F.lit(1)).alias("deg")
             )
-            low = deg.filter(F.col("deg") < k).select("id")
+            low = (
+                alive.join(deg, "id", "left")
+                .filter(F.coalesce(F.col("deg"), F.lit(0)) < k)
+                .select("id")
+            )
             low, low_ids = jan.checkpoint(low)
             if low.isEmpty():
                 jan.release(low_ids)
                 break
             # Removed while peeling level k → survived level k-1.
             done.append(low.select("id", F.lit(k - 1).alias("core")))
-            nxt = (
+            new_alive, new_alive_ids = jan.checkpoint(
+                alive.join(low, "id", "left_anti")
+            )
+            nxt, nxt_ids = jan.checkpoint(
                 cur.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
                 .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
                 .select("src", "dst")
             )
-            nxt, nxt_ids = jan.checkpoint(nxt)
-            cur = nxt
+            alive, cur = new_alive, nxt
+            jan.release(alive_ids)
             jan.release(cur_ids)
             # `low` stays persisted: `done` references it until the
             # caller materializes the union (vertex-list-sized blocks).
-            cur_ids = nxt_ids
+            alive_ids, cur_ids = new_alive_ids, nxt_ids
         k += 1
 
-    if not cur.isEmpty():
+    if not alive.isEmpty():
         # max_levels hit with survivors: label them with the last
         # completed level (correct when max_levels > degeneracy, which
         # the guard value guarantees for any real graph).
-        done.append(
-            cur.select("src").distinct().select(
-                F.col("src").alias("id"), F.lit(k - 1).alias("core")
-            )
-        )
+        done.append(alive.select("id", F.lit(k - 1).alias("core")))
     jan.release(cur_ids)
     if not done:
         return spark.createDataFrame([], "id long, core int")

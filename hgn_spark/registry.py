@@ -55,13 +55,12 @@ def register(
     return deco
 
 
-# Among rows-only (no-oracle) queries, the driver's bounded window should
-# spend its remaining slots on the strongest evidence first: the flagship
-# HGN community loop ahead of the rows-only streaming variants — the
-# latter are batch-parity-tested in pytest, so their driver rows prove
-# the least. (The LSH sketches carry full oracles since the portable
-# md5-48 hash switch, so they compete for the oracle-backed slots.)
-_ROWS_ONLY_PRIORITY = ["hgn_communities"]
+# Among rows-only (no-oracle) queries, the strongest evidence orders
+# first in case window slots ever open up. (Historical: the flagship
+# HGN loop sat here until its oracle landed — max_steps is a registered
+# constant, so the loop unrolls into SQL; all 50 window slots are now
+# oracle-backed and rows-only entries sit entirely outside the window.)
+_ROWS_ONLY_PRIORITY = ["hgn_communities", "graph_pagerank", "graph_kcore"]
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -97,3 +97,79 @@ def test_sp_lengths_match_bfs(spark, edges):
         for r in shortest_path_lengths(df, max_len=3).collect()
     }
     assert got == _bfs_dists(real, max_len=3)
+
+
+def _brute_triangles(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    out = {
+        v: sum(
+            1
+            for a in adj[v]
+            for b in adj[v]
+            if a < b and b in adj[a]
+        )
+        for v in adj
+    }
+    return {v: c for v, c in out.items() if c > 0}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_triangles_match_brute_force(spark, edges):
+    from hgn_spark.graph.core import triangles
+
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in triangles(df).collect()}
+    assert got == _brute_triangles(real)
+
+
+def _peel_cores(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    k = 1
+    alive = set(adj)
+    while alive:
+        peel = {v for v in alive if deg[v] < k}
+        while peel:
+            for v in peel:
+                core[v] = k - 1
+                alive.discard(v)
+                for w in adj[v]:
+                    if w in alive:
+                        deg[w] -= 1
+            peel = {v for v in alive if deg[v] < k}
+        k += 1
+    return core
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_core_numbers_match_peeling(spark, edges):
+    from hgn_spark.graph.kcore import core_numbers
+
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {r["id"]: r["core"] for r in core_numbers(df).collect()}
+    assert got == _peel_cores(real)
