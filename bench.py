@@ -49,6 +49,7 @@ HEADLINE = [
     "text_profile",
     "text_repetition_signals",
     "text_tfidf_topterms",
+    "corpus_source_report",
     "redact_pii_docs",
     "multimodal_byte_histogram",
     "graph_degrees",

@@ -266,30 +266,6 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "graph_sp_lengths",
-    oracle=f"""
-    WITH {GRAPH_CTE},
-    p2 AS (
-      SELECT DISTINCT a.src AS src, b.dst AS dst
-      FROM sym a JOIN sym b ON a.dst = b.src
-      WHERE a.src <> b.dst
-        AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = a.src AND s.dst = b.dst)
-    )
-    SELECT src, dst, 1 AS distance FROM sym
-    UNION ALL
-    SELECT src, dst, 2 AS distance FROM p2
-    """,
-    tags=("graph",),
-)
-def graph_sp_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truncated BFS distances ≤ 2 (G5 without the Pregel landmark
-    batching or the all-vertex driver collect — SURVEY §4)."""
-    from hgn_spark.graph.betweenness import shortest_path_lengths
-
-    return shortest_path_lengths(derived_edges(spark, sf_dir), max_len=2)
-
-
-@register(
     "graph_shortest_paths_k2",
     oracle=f"""
     WITH {GRAPH_CTE},
@@ -309,7 +285,12 @@ def graph_sp_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_shortest_paths_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-path enumeration (G6/G7) projected to a hash-checkable
     shape: per ordered pair, distance + number of shortest paths. The
-    array<struct> path column itself is exercised in tests/test_graph.py."""
+    (src, dst, distance) projection of this row IS the truncated
+    BFS-distances result, so this also carries the G5 evidence (the
+    formerly standalone `graph_sp_lengths` row — merged to free an
+    oracle slot; `betweenness.shortest_path_lengths` itself stays
+    covered by tests/test_graph.py and the BFS property test). The
+    array<struct> path column is exercised in tests/test_graph.py."""
     from hgn_spark.graph.betweenness import shortest_paths
 
     sp = shortest_paths(derived_edges(spark, sf_dir), max_len=2)

@@ -542,6 +542,75 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_source_report",
+    # The per-source/per-language "report card" every corpus-mixing
+    # dashboard is built on: volume, token budget, exact-dup rate and
+    # quality-gate pass rate per slice.
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, {DUCK_TOKENS} AS l, text FROM documents),
+    per_doc AS (
+      SELECT source, lang,
+             len(l) AS n_tok,
+             md5(array_to_string(l, ' ')) AS fp,
+             (len(l) BETWEEN 20 AND 2000
+              AND len(list_filter(l, t -> t IN {STOPWORDS})) * 1.0
+                  / greatest(len(l), 1) < 0.3) AS is_quality
+      FROM d)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(n_tok), 4) AS avg_doc_tokens,
+           count(DISTINCT fp) AS n_unique_texts,
+           count(*) - count(DISTINCT fp) AS n_exact_dups,
+           round(avg(CASE WHEN is_quality THEN 1.0 ELSE 0.0 END), 4)
+             AS quality_rate
+    FROM per_doc GROUP BY source, lang
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus report card: document and token
+    volumes, exact-duplicate rate (via the md5 whitespace-normalized
+    fingerprint — the same key exact dedup groups on) and the
+    quality-gate pass rate. This is the aggregation a mixture-planning
+    step consumes (operators/sampling.py `mixture_rates`).
+
+    Scale shape: one scan-side pass computes per-doc stats (no UDF,
+    whole-stage codegen), then a single aggregation by (source, lang)
+    — low-cardinality keys, map-side partial agg; the distinct-
+    fingerprint count shuffles (source, lang, fp) once. No joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokens("text")
+    n = F.size("l")
+    stop_hits = F.size(F.filter(F.col("l"), lambda t: t.isin(*STOPWORDS)))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        l.alias("l"),
+    ).select(
+        "source",
+        "lang",
+        n.alias("n_tok"),
+        F.md5(F.array_join(F.col("l"), " ")).alias("fp"),
+        (
+            n.between(20, 2000)
+            & (stop_hits * 1.0 / F.greatest(n, F.lit(1)) < 0.3)
+        ).alias("is_quality"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_doc_tokens"),
+        F.countDistinct("fp").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.round(
+            F.avg(F.when(F.col("is_quality"), 1.0).otherwise(0.0)), 4
+        ).alias("quality_rate"),
+    )
+
+
 TFIDF_TOPK = 3  # distinctive terms kept per document
 
 

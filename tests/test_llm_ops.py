@@ -568,3 +568,18 @@ def test_tfidf_topterms_invariants(spark):
         if r["df"] == n_docs:
             assert r["tfidf"] == 0.0
         assert r["df"] <= n_docs
+
+
+def test_corpus_source_report_invariants(spark):
+    """Report-card slices partition the corpus: doc counts sum to the
+    table size, dup counts are consistent, rates live in [0, 1]."""
+    from hgn_spark.catalog import load_table
+
+    out = SPECS["corpus_source_report"].fn(spark, SF_SMOKE).collect()
+    n_total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_total
+    for r in out:
+        assert r["n_exact_dups"] == r["n_docs"] - r["n_unique_texts"]
+        assert 0 <= r["n_exact_dups"] < r["n_docs"] or r["n_exact_dups"] == 0
+        assert 0.0 <= r["quality_rate"] <= 1.0
+        assert r["total_tokens"] >= r["n_docs"] * 0 and r["avg_doc_tokens"] >= 0
