@@ -235,6 +235,46 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_static_enrich", oracle=None, tags=("streaming", "join"))
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming-ETL
+    pattern the family still lacked: the event stream joins a static
+    dimension (the per-user lifetime purchase count, precomputed
+    batch-side) and aggregates enriched rows per segment. The static
+    side needs no watermark and no state: Spark re-plans it into each
+    micro-batch as an ordinary (broadcastable) batch join, so state
+    stays bounded by the aggregation alone. Complete mode +
+    availableNow emits exactly the batch aggregation — deterministic;
+    exact batch parity asserted in tests/test_streaming.py. Rows-only
+    in the driver gate only because the 50-slot window is already
+    fully oracle-backed."""
+    from hgn_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    user_dim = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_purchases"))
+    )
+    s = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    enriched = s.join(user_dim, "user_id").withColumn(
+        "buyer_tier",
+        F.when(F.col("lifetime_purchases") >= 10, "heavy")
+        .when(F.col("lifetime_purchases") >= 3, "mid")
+        .otherwise("light"),
+    )
+    agg = enriched.groupBy(
+        F.window("ts", "1 day").alias("w"), "buyer_tier"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    out = agg.select(
+        F.col("w.start").alias("day"), "buyer_tier", "n_events", "total_value"
+    )
+    return _run_to_parquet(out, "complete")
+
+
 @register("streaming_stateful_user_counts", oracle=None, tags=("streaming", "stateful"))
 def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user

@@ -103,3 +103,37 @@ def test_stateful_counts_match_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_static_enrich_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    got = {
+        (r["day"], r["buyer_tier"]): (r["n_events"], r["total_value"])
+        for r in SPECS["streaming_static_enrich"].fn(spark, SF_SMOKE).collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    dim = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_purchases"))
+    )
+    tier = (
+        F.when(F.col("lifetime_purchases") >= 10, "heavy")
+        .when(F.col("lifetime_purchases") >= 3, "mid")
+        .otherwise("light")
+    )
+    want = {
+        (r["day"], r["buyer_tier"]): (r["n_events"], r["total_value"])
+        for r in e.join(dim, "user_id")
+        .withColumn("buyer_tier", tier)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "buyer_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
