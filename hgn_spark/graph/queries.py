@@ -362,6 +362,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("graph_label_propagation", oracle=None, tags=("graph", "iterative", "communities"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA communities on the derived graph (engine
+    extension — the near-linear complement to the HGN loop;
+    GraphFrames' labelPropagation equivalent). Fixed rounds + total
+    tie-break → deterministic; iterative → rows-only in the driver
+    gate, pinned against an independent pure-Python sync-LPA in
+    tests/test_graph.py."""
+    from hgn_spark.graph.lpa import label_propagation
+
+    return label_propagation(derived_edges(spark, sf_dir), n_iter=10)
+
+
 @register("graph_kcore", oracle=None, tags=("graph", "iterative", "cohesion"))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the derived graph (engine extension):

@@ -394,3 +394,44 @@ def test_core_numbers_networkx_parity(spark):
     expect = nx.core_number(G)
     got = _as_dict(core_numbers(e), "id", "core")
     assert got == expect
+
+
+def _sync_lpa(edges: list[tuple[int, int]], n_iter: int) -> dict[int, int]:
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    lab = {v: v for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in adj:
+            c = Counter(lab[w] for w in adj[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_fixture(edges):
+    """Two triangles + bridge: each triangle collapses onto its min
+    label; parity with an independent synchronous-LPA implementation."""
+    from hgn_spark.graph.lpa import label_propagation
+
+    got = _as_dict(label_propagation(edges, n_iter=10), "id", "label")
+    assert got == _sync_lpa(EDGES, 10)
+    # the two triangles end as (at most) two communities
+    assert len(set(got.values())) <= 2
+
+
+def test_label_propagation_derived_graph_parity(spark):
+    from hgn_spark.graph.lpa import label_propagation
+    from hgn_spark.graph.queries import derived_edges
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    pairs = [(r.src, r.dst) for r in e.collect()]
+    got = _as_dict(label_propagation(e, n_iter=10), "id", "label")
+    assert got == _sync_lpa(pairs, 10)
