@@ -47,6 +47,47 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Format registry for the generic writer/reader below. Parquet is the
+# default interchange format; ORC ships in Spark (same columnar
+# pushdown/pruning properties — some lakes standardize on it); JSONL is
+# the interchange format most external text-corpus tooling reads and
+# writes. CSV stays in sources/csv.py where the reference-compatible
+# schema handling lives.
+_FORMATS = ("parquet", "orc", "json")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Format-generic sink (no repartition(1) anywhere): parquet / orc /
+    json (JSONL). Natural output partitioning; optional partitionBy for
+    hive-style layouts."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    writer = df.write.mode(mode).format(fmt)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Format-generic scan. For JSONL pass an explicit schema whenever
+    one is known — schema inference costs a full extra pass over the
+    data, which at 100 TB is a second read of the corpus."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def checkpoint_df(df: DataFrame, durable_path: str | None = None) -> DataFrame:
     """S5: truncate lineage. localCheckpoint by default; pass a path for
     the durable parquet round-trip (resume-after-restart semantics)."""

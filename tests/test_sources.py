@@ -131,3 +131,42 @@ def test_events_ts_normalized_to_timestamp(spark):
     assert dict(e.dtypes)["ts"] == "timestamp"
     # unix_micros is the strictest consumer — must analyze and run.
     assert e.select(F.unix_micros("ts")).first()[0] is not None
+
+
+def test_orc_and_jsonl_roundtrip(spark, tmp_path):
+    """Format-generic sink/scan: ORC and JSONL round-trips preserve
+    values; the JSONL read uses the declared schema (no inference
+    pass)."""
+    from hgn_spark.catalog import load_table
+    from hgn_spark.sources.sinks import read_table, write_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    want = sorted((r.doc_id, r.text, r.lang, r.source) for r in docs.collect())
+
+    orc_path = str(tmp_path / "docs_orc")
+    write_table(docs, orc_path, fmt="orc")
+    got_orc = read_table(spark, orc_path, fmt="orc")
+    assert sorted(
+        (r.doc_id, r.text, r.lang, r.source) for r in got_orc.collect()
+    ) == want
+
+    json_path = str(tmp_path / "docs_jsonl")
+    write_table(docs, json_path, fmt="json")
+    got_json = read_table(spark, json_path, fmt="json", schema=docs.schema)
+    assert sorted(
+        (r.doc_id, r.text, r.lang, r.source) for r in got_json.collect()
+    ) == want
+    assert got_json.schema == docs.schema
+
+    # partitioned hive-style layout writes one directory per key
+    part_path = str(tmp_path / "docs_by_lang")
+    write_table(docs, part_path, fmt="orc", partition_cols=["lang"])
+    import os
+    assert any(d.startswith("lang=") for d in os.listdir(part_path))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_table(docs, str(tmp_path / "x"), fmt="avro")
