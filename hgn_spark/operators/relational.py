@@ -622,6 +622,74 @@ def join_theta_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta.unionByName(multikey)
 
 
+@register("sketch_accuracy_report", oracle=None, tags=("agg", "sketch", "approx"))
+def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates next to their exact values — the sketches
+    a 100 TB engine actually runs when exact distinct counts or
+    percentiles would shuffle the full key set: HyperLogLog++
+    (approx_count_distinct) and the approximate-percentile sketch, each
+    reported as (metric, exact, approx, rel_err) rows computed in ONE
+    aggregation pass per table (sketch and exact side by side, so the
+    error is audited by the query itself).
+
+    Sketch results are implementation-defined (engine/HLL-register
+    layout), so no DuckDB value-hash oracle can exist — rows-only by
+    nature; the relative-error bounds are pinned in
+    tests/test_oracle_parity.py's sibling (test_llm_ops): HLL++ at
+    default rsd 0.05, percentile sketch at accuracy 10000.
+
+    Scale shape: approx_count_distinct carries a fixed few-KB register
+    set per group through map-side combine instead of shuffling every
+    distinct key; approx_percentile likewise a bounded quantile sketch
+    — both turn unbounded-state aggregations into constant-state ones.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx_p95"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "approx_med"
+        ),
+    )
+
+    def rows(df: DataFrame, pairs: list[tuple[str, str, str]]) -> DataFrame:
+        out = None
+        for metric, ex, ap in pairs:
+            r = df.select(
+                F.lit(metric).alias("metric"),
+                F.col(ex).cast("double").alias("exact"),
+                F.col(ap).cast("double").alias("approx"),
+                F.round(
+                    F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex)), 6
+                ).alias("rel_err"),
+            )
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    return rows(
+        ev,
+        [
+            ("events_distinct_users", "exact_users", "approx_users"),
+            ("events_p95_value", "exact_p95", "approx_p95"),
+        ],
+    ).unionByName(
+        rows(
+            li,
+            [
+                ("lineitem_distinct_parts", "exact_parts", "approx_parts"),
+                ("lineitem_median_price", "exact_med", "approx_med"),
+            ],
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

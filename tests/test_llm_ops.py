@@ -583,3 +583,29 @@ def test_corpus_source_report_invariants(spark):
         assert 0 <= r["n_exact_dups"] < r["n_docs"] or r["n_exact_dups"] == 0
         assert 0.0 <= r["quality_rate"] <= 1.0
         assert r["total_tokens"] >= r["n_docs"] * 0 and r["avg_doc_tokens"] >= 0
+
+
+def test_sketch_accuracy_bounds(spark):
+    """HLL++ distinct counts land within ~3x the default 5% rsd;
+    the percentile sketch at accuracy 10000 is near-exact on these
+    cardinalities; exact values match a direct computation."""
+    rows = {r["metric"]: r for r in SPECS["sketch_accuracy_report"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "events_distinct_users",
+        "events_p95_value",
+        "lineitem_distinct_parts",
+        "lineitem_median_price",
+    }
+    for m in ("events_distinct_users", "lineitem_distinct_parts"):
+        assert rows[m]["rel_err"] <= 0.15, (m, rows[m])
+    for m in ("events_p95_value", "lineitem_median_price"):
+        assert rows[m]["rel_err"] <= 0.02, (m, rows[m])
+
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    exact = load_table(spark, SF_SMOKE, "events").agg(
+        F.countDistinct("user_id")
+    ).first()[0]
+    assert rows["events_distinct_users"]["exact"] == float(exact)
