@@ -173,3 +173,74 @@ def test_core_numbers_match_peeling(spark, edges):
     df = spark.createDataFrame(real, "src long, dst long")
     got = {r["id"]: r["core"] for r in core_numbers(df).collect()}
     assert got == _peel_cores(real)
+
+
+def _py_pagerank(edges: list[tuple[int, int]], n_iter: int, d: float = 0.85):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    n = len(adj)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(n_iter):
+        pr = {
+            v: (1.0 - d) / n + d * sum(pr[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    return pr
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_pagerank_matches_reference(spark, edges):
+    from hgn_spark.graph.pagerank import pagerank
+
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {r["id"]: r["pagerank"] for r in pagerank(df, n_iter=12).collect()}
+    want = _py_pagerank(real, 12)
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9
+
+
+def _py_sync_lpa(edges: list[tuple[int, int]], n_iter: int):
+    from collections import Counter
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    lab = {v: v for v in adj}
+    for _ in range(n_iter):
+        lab = {
+            v: max(Counter(lab[w] for w in adj[v]).items(),
+                   key=lambda kv: (kv[1], -kv[0]))[0]
+            for v in adj
+        }
+    return lab
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_label_propagation_matches_reference(spark, edges):
+    from hgn_spark.graph.lpa import label_propagation
+
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {r["id"]: r["label"] for r in label_propagation(df, n_iter=8).collect()}
+    assert got == _py_sync_lpa(real, 8)
