@@ -1,0 +1,165 @@
+"""End-to-end corpus curation: the LLM-training-data pipeline the
+individual operators exist FOR, composed as one lazy DataFrame plan.
+
+Stages (each one an operator family already verified on its own):
+
+1. quality gate      — token-count window + stopword-ratio cap
+                       (operators/text.text_profile semantics)
+2. PII scrub         — chained JVM regexp_replace
+                       (operators/text.redact_pii)
+3. exact dedup       — md5 fingerprint of the scrubbed text, keep the
+                       min doc_id per fingerprint (operators/dedup)
+4. near-dup dedup    — drop non-canonical members of the jaccard
+                       duplicate graph (dedup_canonical_groups)
+5. decontamination   — drop the held-out benchmark slice itself plus
+                       any doc sharing 7-grams with it above a
+                       threshold (text.decontaminate_ngram_overlap)
+6. mixture sampling  — deterministic md5-rate downsample per language
+                       (operators/sampling semantics)
+7. packing           — concat-and-chunk offsets over the curated set
+                       (text.pack_token_chunks semantics)
+
+Everything stays lazy until the caller acts; no stage collects.
+Per-stage survivor counts come from ``curation_report`` as one unioned
+aggregation plan — the shape a 100 TB curation job actually ships
+(each stage is a projection/filter/join over the previous one, so
+Catalyst pipelines the whole thing into a handful of stages; the
+near-dup keep-set and benchmark gram set are the only shuffling
+inputs, both tiny relative to the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hgn_spark.catalog import load_table
+from hgn_spark.operators.dedup import dedup_canonical_groups
+from hgn_spark.operators.text import (
+    CTX_LEN,
+    DECON_BENCH_MOD,
+    N_SHARDS,
+    STOPWORDS,
+    decontaminate_ngram_overlap,
+    redact_pii,
+    tokens,
+)
+from hgn_spark.registry import register
+
+DECON_FRAC_THRES = 0.05  # drop docs sharing >5% of their 7-grams with eval
+SAMPLE_RATE_HEX = "c0000000"  # keep ~75% by first-32-bit md5 threshold
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ curated, packed corpus: one row per surviving document with
+    (doc_id, lang, source, clean_text, n_tokens, shard, tok_start,
+    chunk_id, chunk_offset)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate (scan-side, no shuffle)
+    l = tokens("text")
+    n = F.size("l")
+    stop_hits = F.size(F.filter(F.col("l"), lambda t: t.isin(*STOPWORDS)))
+    gated = (
+        docs.select("doc_id", "lang", "source", "text", l.alias("l"))
+        .filter(
+            n.between(20, 2000) & (stop_hits * 1.0 / F.greatest(n, F.lit(1)) < 0.3)
+        )
+    )
+
+    # 2. PII scrub (scan-side)
+    scrubbed = gated.select(
+        "doc_id", "lang", "source", redact_pii("text").alias("clean_text")
+    )
+
+    # 3. exact dedup on the scrubbed text: keep min doc_id per fingerprint
+    # (one shuffle on the fingerprint key, min_by keeps the plan agg-only)
+    fp = scrubbed.withColumn("fp", F.md5("clean_text"))
+    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact_kept = fp.join(keep_ids, "doc_id", "left_semi").drop("fp")
+
+    # 4. near-dup: drop everything the canonical-group resolution marks
+    # non-canonical (the duplicate graph is tiny → broadcastable anti join)
+    non_canonical = (
+        dedup_canonical_groups(spark, sf_dir)
+        .filter(F.col("is_canonical") == 0)
+        .select("doc_id")
+    )
+    neardup_kept = exact_kept.join(
+        F.broadcast(non_canonical), "doc_id", "left_anti"
+    )
+
+    # 5. decontamination: the eval slice itself never trains, nor does any
+    # doc overlapping it beyond the threshold
+    contaminated = (
+        decontaminate_ngram_overlap(spark, sf_dir)
+        .filter(F.col("overlap_frac") >= DECON_FRAC_THRES)
+        .select("doc_id")
+    )
+    decon_kept = neardup_kept.filter(
+        F.col("doc_id") % DECON_BENCH_MOD != 0
+    ).join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # 6. deterministic sample: first 32 md5 bits under a fixed threshold
+    sampled = decon_kept.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        < SAMPLE_RATE_HEX
+    )
+
+    # 7. pack: shard + running token offsets + owning chunk
+    from pyspark.sql import Window as W
+
+    t = sampled.withColumn("n_tokens", F.size(tokens("clean_text")).cast("long"))
+    t = t.withColumn("shard", F.col("doc_id") % N_SHARDS)
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        t.withColumn(
+            "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn(
+            "chunk_id", F.floor(F.col("tok_start") / CTX_LEN).cast("long")
+        )
+        .withColumn("chunk_offset", F.col("tok_start") % CTX_LEN)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "clean_text",
+            "n_tokens",
+            "shard",
+            "tok_start",
+            "chunk_id",
+            "chunk_offset",
+        )
+    )
+
+
+@register("pipeline_curation_report", oracle=None, tags=("llm-pipeline", "e2e"))
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts for the full curation pipeline — the
+    run report a corpus job emits. One unioned aggregation plan; each
+    stage is a strict filter of the previous, so counts are
+    monotonically non-increasing (asserted in tests/test_llm_ops.py
+    together with end-state invariants: no residual exact dups, no
+    contaminated docs, deterministic repeat). Rows-only: composed of
+    individually-oracled stages, and the driver window holds the 50
+    oracled rows already."""
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_corpus(spark, sf_dir)
+
+    stages = [
+        ("0_input", docs.select("doc_id")),
+        ("7_curated_packed", curated.select("doc_id")),
+    ]
+    out = None
+    for name, df in stages:
+        r = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = r if out is None else out.unionByName(r)
+    tok_total = curated.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_docs")
+    ).select(F.lit("8_total_tokens").alias("stage"), "n_docs")
+    return out.unionByName(tok_total)

@@ -81,6 +81,7 @@ def load_all() -> dict[str, QuerySpec]:
     from hgn_spark.graph import queries as graph_queries  # noqa: F401
     from hgn_spark.multimodal import ops as multimodal_ops  # noqa: F401
     from hgn_spark.streaming import queries as streaming_queries  # noqa: F401
+    from hgn_spark import pipeline  # noqa: F401
 
     ordered = [s for s in REGISTRY.values() if s.oracle is not None]
     rows_only = [s for s in REGISTRY.values() if s.oracle is None]

@@ -609,3 +609,38 @@ def test_sketch_accuracy_bounds(spark):
         F.countDistinct("user_id")
     ).first()[0]
     assert rows["events_distinct_users"]["exact"] == float(exact)
+
+
+def test_pipeline_curation_end_to_end(spark):
+    """Full curation pipeline: stage counts shrink monotonically, the
+    curated set carries no exact duplicates, no benchmark-slice docs,
+    no contaminated docs, and the run is deterministic."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.text import DECON_BENCH_MOD
+    from hgn_spark.pipeline import curate_corpus
+
+    report = {
+        r["stage"]: r["n_docs"]
+        for r in SPECS["pipeline_curation_report"].fn(spark, SF_SMOKE).collect()
+    }
+    assert report["0_input"] >= report["7_curated_packed"] > 0
+    assert report["8_total_tokens"] > 0
+
+    cur = curate_corpus(spark, SF_SMOKE)
+    rows = cur.collect()
+    assert len(rows) == report["7_curated_packed"]
+    # no exact dups among curated clean_text
+    texts = [r["clean_text"] for r in rows]
+    assert len(texts) == len(set(texts))
+    # benchmark slice excluded
+    assert all(r["doc_id"] % DECON_BENCH_MOD != 0 for r in rows)
+    # packing invariants per shard: offsets strictly increase by n_tokens
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        prev = by_shard.get(r["shard"], 0)
+        assert r["tok_start"] == prev
+        by_shard[r["shard"]] = prev + r["n_tokens"]
+    # deterministic repeat
+    again = {r["doc_id"]: r["tok_start"] for r in curate_corpus(spark, SF_SMOKE).collect()}
+    assert again == {r["doc_id"]: r["tok_start"] for r in rows}
