@@ -644,3 +644,20 @@ def test_pipeline_curation_end_to_end(spark):
     # deterministic repeat
     again = {r["doc_id"]: r["tok_start"] for r in curate_corpus(spark, SF_SMOKE).collect()}
     assert again == {r["doc_id"]: r["tok_start"] for r in rows}
+
+
+def test_pipeline_writes_partitioned_corpus(spark, tmp_path):
+    """Curated corpus round-trips through the format-generic sink with
+    a hive-style shard layout — the pipeline's production exit."""
+    from hgn_spark.pipeline import curate_corpus
+    from hgn_spark.sources.sinks import read_table, write_table
+
+    cur = curate_corpus(spark, SF_SMOKE).select(
+        "doc_id", "clean_text", "n_tokens", "shard", "chunk_id"
+    )
+    path = str(tmp_path / "curated")
+    write_table(cur, path, fmt="parquet", partition_cols=["shard"])
+    back = read_table(spark, path, fmt="parquet")
+    assert back.count() == cur.count()
+    import os
+    assert any(d.startswith("shard=") for d in os.listdir(path))
