@@ -130,6 +130,48 @@ def sample_frames(df: DataFrame, every_nth: int = 4, frame_bytes: int = 16) -> D
     )
 
 
+def window_energy(df: DataFrame, window_bytes: int = 32) -> DataFrame:
+    """Audio-frame analog of `sample_frames`: split each payload into
+    fixed-size byte windows and emit per-window 'energy' (mean of the
+    unsigned byte values) plus peak — the plumbing shape of any
+    framed-signal featurizer; an RMS or spectral stage swaps into the
+    same per-window loop.
+
+    Execution: Arrow-batched mapInPandas with vectorized numpy per
+    payload (Spark SQL has no unsigned-byte accessor for binary
+    columns, so JVM-side expressions can't read the raw bytes — the
+    same reason the byte-histogram stage batches through Arrow).
+    Partition-parallel, no shuffle."""
+    import pandas as pd
+    import numpy as np
+
+    out_schema = (
+        "doc_id long, window_idx int, n_bytes int, energy double, peak int"
+    )
+
+    def _energy(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                for w in range(0, max(len(buf), 1), window_bytes):
+                    win = buf[w : w + window_bytes]
+                    if len(win) == 0:
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "window_idx": w // window_bytes,
+                            "n_bytes": int(len(win)),
+                            "energy": round(float(win.mean()), 4),
+                            "peak": int(win.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(_energy, schema=out_schema)
+
+
 def decode_resize_features(
     df: DataFrame, height: int = 8, width: int = 8, out_h: int = 4, out_w: int = 4
 ) -> DataFrame:

@@ -91,3 +91,31 @@ def test_decode_resize_matches_numpy(spark):
         grid = np.asarray(fake_decode(payload, 8, 8), dtype=np.int64).reshape(8, 8)
         small = grid[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])]
         assert got[doc_id] == small.ravel().tolist()
+
+
+def test_window_energy_matches_numpy(spark):
+    """Per-window energy/peak equals a direct numpy computation on the
+    same payloads, windows tile the payload exactly."""
+    import numpy as np
+
+    from hgn_spark.multimodal.ops import binary_documents, window_energy
+    from tests.conftest import SF_SMOKE
+
+    df = binary_documents(spark, SF_SMOKE).limit(20)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in df.collect()}
+    got = {}
+    for r in window_energy(df, window_bytes=32).collect():
+        got[(r["doc_id"], r["window_idx"])] = (
+            r["n_bytes"], r["energy"], r["peak"]
+        )
+    n_windows = 0
+    for doc_id, payload in payloads.items():
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        for w in range(0, len(buf), 32):
+            win = buf[w : w + 32]
+            n_windows += 1
+            nb, en, pk = got[(doc_id, w // 32)]
+            assert nb == len(win)
+            assert en == round(float(win.mean()), 4)
+            assert pk == int(win.max())
+    assert len(got) == n_windows
