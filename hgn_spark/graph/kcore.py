@@ -86,10 +86,16 @@ def core_numbers(edges: DataFrame, max_levels: int = 100) -> DataFrame:
         k += 1
 
     if not alive.isEmpty():
-        # max_levels hit with survivors: label them with the last
-        # completed level (correct when max_levels > degeneracy, which
-        # the guard value guarantees for any real graph).
-        done.append(alive.select("id", F.lit(k - 1).alias("core")))
+        # max_levels hit with survivors: their true core number is >=
+        # max_levels, so any label emitted here would be a silent lower
+        # bound (e.g. a 150-clique at the default guard). Fail loudly —
+        # the caller raises max_levels, which is cheap (the loop already
+        # exits early at the degeneracy for any real graph).
+        raise RuntimeError(
+            f"core_numbers: max_levels={max_levels} reached with vertices "
+            "still alive — the graph's degeneracy exceeds the guard; "
+            "re-run with a larger max_levels"
+        )
     jan.release(cur_ids)
     if not done:
         return spark.createDataFrame([], "id long, core int")

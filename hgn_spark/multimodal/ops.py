@@ -154,10 +154,22 @@ def window_energy(df: DataFrame, window_bytes: int = 32) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)
-                for w in range(0, max(len(buf), 1), window_bytes):
+                if len(buf) == 0:
+                    # Keep empty payloads visible in the feature table
+                    # (one zero-window row), consistent with
+                    # byte_histogram_features' n_bytes=0 row per doc.
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "window_idx": 0,
+                            "n_bytes": 0,
+                            "energy": 0.0,
+                            "peak": 0,
+                        }
+                    )
+                    continue
+                for w in range(0, len(buf), window_bytes):
                     win = buf[w : w + window_bytes]
-                    if len(win) == 0:
-                        continue
                     rows.append(
                         {
                             "doc_id": int(doc_id),

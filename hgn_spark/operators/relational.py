@@ -666,9 +666,14 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(metric).alias("metric"),
                 F.col(ex).cast("double").alias("exact"),
                 F.col(ap).cast("double").alias("approx"),
-                F.round(
-                    F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex)), 6
-                ).alias("rel_err"),
+                # Degenerate inputs (empty slice → exact aggregate 0 or
+                # null) get a defined rel_err instead of null/NaN rows.
+                F.when(
+                    F.abs(F.col(ex)) > 0,
+                    F.round(F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex)), 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("rel_err"),
             )
             out = r if out is None else out.unionByName(r)
         return out

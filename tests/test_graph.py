@@ -381,6 +381,17 @@ def test_core_numbers_fixture(edges):
     assert all(got2[v] == 2 for v in (1, 2, 3, 4, 5, 6))
 
 
+def test_core_numbers_raises_on_degeneracy_over_guard(edges):
+    """A guard too small for the graph's degeneracy must fail loudly,
+    not silently label survivors with a lower bound (ADVICE r5)."""
+    import pytest
+
+    from hgn_spark.graph.kcore import core_numbers
+
+    with pytest.raises(RuntimeError, match="max_levels"):
+        core_numbers(edges, max_levels=1).collect()
+
+
 def test_core_numbers_networkx_parity(spark):
     nx = pytest.importorskip("networkx")
 

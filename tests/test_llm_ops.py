@@ -600,6 +600,12 @@ def test_sketch_accuracy_bounds(spark):
         assert rows[m]["rel_err"] <= 0.15, (m, rows[m])
     for m in ("events_p95_value", "lineitem_median_price"):
         assert rows[m]["rel_err"] <= 0.02, (m, rows[m])
+    # rel_err is always a defined double (the exact=0 degenerate branch
+    # maps to 0.0, never null/NaN).
+    import math
+
+    for m, r in rows.items():
+        assert r["rel_err"] is not None and not math.isnan(r["rel_err"]), (m, r)
 
     from pyspark.sql import functions as F
 

@@ -119,3 +119,24 @@ def test_window_energy_matches_numpy(spark):
             assert en == round(float(win.mean()), 4)
             assert pk == int(win.max())
     assert len(got) == n_windows
+
+
+def test_window_energy_empty_payload_row(spark):
+    """An empty payload yields exactly one zero row instead of vanishing
+    from the feature table (ADVICE r5), consistent with
+    byte_histogram_features' n_bytes=0 row."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.multimodal.ops import window_energy
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"abc")], "doc_id long, payload binary"
+    )
+    rows = {
+        (r["doc_id"], r["window_idx"]): r
+        for r in window_energy(df, window_bytes=32).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0)}
+    empty = rows[(1, 0)]
+    assert (empty["n_bytes"], empty["energy"], empty["peak"]) == (0, 0.0, 0)
+    assert rows[(2, 0)]["n_bytes"] == 3
