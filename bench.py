@@ -33,7 +33,6 @@ HEADLINE = [
     "topk_per_group_and_global",
     "window_running_lag",
     "sessionize_events",
-    "collect_set_sorted",
     "explode_array_and_map",
     "decontaminate_ngram_overlap",
     "agg_rollup_pivot",
@@ -58,6 +57,7 @@ HEADLINE = [
     "graph_betweenness_k2",
     "graph_connected_components",
     "graph_pagerank",
+    "graph_label_propagation",
     "hgn_communities",
     "streaming_tumbling_daily",
 ]

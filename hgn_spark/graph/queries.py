@@ -348,31 +348,122 @@ def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank", oracle=None, tags=("graph", "iterative", "centrality"))
+# Materialized twin of GRAPH_CTE for the unrolled-loop oracles below
+# (each references the graph dozens of times; see _hgn_oracle's note on
+# DuckDB inlining plain CTEs per reference).
+_GRAPH_CTE_MAT = """
+gedges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+  WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
+    AND a.l_suppkey < b.l_suppkey
+    AND a.l_suppkey % 5 = b.l_suppkey % 5
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges)
+"""
+
+PR_DAMPING = 0.85
+PR_ITER = 20
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB replay of the fixed-iteration power method (the
+    `_hgn_oracle` unrolling technique): uniform start over the
+    symmetrized vertex set, then PR_ITER rounds of one join + one
+    grouped sum each. The damping base inlines as the Python float
+    `1.0 - PR_DAMPING` so both engines use the bit-identical constant;
+    round(pr, 6) absorbs last-ulp summation-order differences (verified
+    zero mismatches at sf0.001/0.01/0.1)."""
+    rounds = ",".join(
+        f"""
+    pr{i} AS MATERIALIZED (
+      SELECT s.dst AS id,
+             (SELECT b FROM basec) + {PR_DAMPING} * sum(p.pr / o.od) AS pr
+      FROM sym s
+      JOIN pr{i - 1} p ON p.id = s.src
+      JOIN outdeg o ON o.id = s.src
+      GROUP BY s.dst)"""
+        for i in range(1, PR_ITER + 1)
+    )
+    return f"""
+    WITH {_GRAPH_CTE_MAT},
+    outdeg AS MATERIALIZED (
+      SELECT src AS id, count(*) AS od FROM sym GROUP BY src),
+    nv AS (SELECT count(*) AS n FROM outdeg),
+    basec AS (SELECT {1.0 - PR_DAMPING} / n AS b FROM nv),
+    pr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS pr FROM outdeg),
+    {rounds}
+    SELECT id, round(pr, 6) AS pagerank FROM pr{PR_ITER}
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "centrality"),
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-iteration PageRank on the derived graph (engine extension —
-    the reference ships no centrality beyond edge betweenness).
-    Iterative fixpoint → not SQL-expressible → rows-only in the driver
-    gate; exact-iteration networkx parity is pinned in
-    tests/test_graph.py."""
+    the reference ships no centrality beyond edge betweenness). The
+    fixed iteration count is a registered constant, so the oracle
+    UNROLLS the loop into PR_ITER join+groupBy CTEs (same technique as
+    `_hgn_oracle`) — a fully hash-checked driver row; exact-iteration
+    networkx parity is additionally pinned in tests/test_graph.py."""
     from hgn_spark.graph.pagerank import pagerank
 
-    return pagerank(derived_edges(spark, sf_dir), damping=0.85, n_iter=20).select(
-        "id", F.round("pagerank", 6).alias("pagerank")
+    return pagerank(
+        derived_edges(spark, sf_dir), damping=PR_DAMPING, n_iter=PR_ITER
+    ).select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+LPA_ITER = 10
+
+
+def _lpa_oracle() -> str:
+    """DuckDB replay of LPA_ITER synchronous label-propagation rounds.
+    Per round: neighbor label counts, then argmax by (count desc, label
+    asc) expressed as min(label) among max-count labels — the exact
+    tie-break the Spark struct-max implements. Pure integer arithmetic,
+    so equality is exact (no rounding needed)."""
+    rounds = ",".join(
+        f"""
+    cnt{i} AS (
+      SELECT s.dst AS id, l.label, count(*) AS c
+      FROM sym s JOIN lab{i} l ON l.id = s.src
+      GROUP BY s.dst, l.label),
+    lab{i + 1} AS MATERIALIZED (
+      SELECT c.id, min(c.label) AS label
+      FROM cnt{i} c
+      JOIN (SELECT id, max(c) AS mc FROM cnt{i} GROUP BY id) m
+        ON m.id = c.id AND c.c = m.mc
+      GROUP BY c.id)"""
+        for i in range(LPA_ITER)
     )
+    return f"""
+    WITH {_GRAPH_CTE_MAT},
+    lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym),
+    {rounds}
+    SELECT id, label FROM lab{LPA_ITER}
+    """
 
 
-@register("graph_label_propagation", oracle=None, tags=("graph", "iterative", "communities"))
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "communities"),
+)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous LPA communities on the derived graph (engine
     extension — the near-linear complement to the HGN loop;
     GraphFrames' labelPropagation equivalent). Fixed rounds + total
-    tie-break → deterministic; iterative → rows-only in the driver
-    gate, pinned against an independent pure-Python sync-LPA in
-    tests/test_graph.py."""
+    tie-break make the output a pure function of the graph, so the
+    oracle unrolls the loop (see `_lpa_oracle`) — hash-checked driver
+    row, additionally pinned against an independent pure-Python
+    sync-LPA in tests/test_graph.py."""
     from hgn_spark.graph.lpa import label_propagation
 
-    return label_propagation(derived_edges(spark, sf_dir), n_iter=10)
+    return label_propagation(derived_edges(spark, sf_dir), n_iter=LPA_ITER)
 
 
 @register("graph_kcore", oracle=None, tags=("graph", "iterative", "cohesion"))

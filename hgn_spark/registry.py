@@ -57,10 +57,10 @@ def register(
 
 # Among rows-only (no-oracle) queries, the strongest evidence orders
 # first in case window slots ever open up. (Historical: the flagship
-# HGN loop sat here until its oracle landed — max_steps is a registered
-# constant, so the loop unrolls into SQL; all 50 window slots are now
-# oracle-backed and rows-only entries sit entirely outside the window.)
-_ROWS_ONLY_PRIORITY = ["hgn_communities", "graph_pagerank", "graph_kcore"]
+# HGN loop, PageRank, and LPA all sat here until their unrolled-SQL
+# oracles landed; all 50 window slots are oracle-backed and rows-only
+# entries sit entirely outside the window.)
+_ROWS_ONLY_PRIORITY = ["graph_kcore", "sketch_accuracy_report"]
 
 
 def load_all() -> dict[str, QuerySpec]:

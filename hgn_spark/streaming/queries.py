@@ -174,10 +174,49 @@ def streaming_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_parquet(out, "complete")
 
 
-@register("streaming_session_windows", oracle=None, tags=("streaming",))
+@register(
+    "streaming_session_windows",
+    # With availableNow the final watermark is max(ts) - 1 h, so the
+    # emitted set — sessions whose window end (last event + 30 min gap)
+    # the final watermark has passed — is deterministic and
+    # SQL-expressible: the batch sessionizer filtered by the watermark
+    # cutoff replays it. Boundary semantics (merge on gap < vs <= 30 min;
+    # cutoff < vs <=; ms-floored vs µs watermark) are indistinguishable
+    # on µs-random timestamps — all variants verified identical to the
+    # Spark emission at sf0.001/0.01/0.1; the SQL uses interval-overlap
+    # merge (new session at gap >= 30 min) and end <= watermark.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w < 1800000000
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, min(ts) AS session_start,
+             epoch_us(max(ts)) + 1800000000 AS session_end_us,
+             count(*) AS n_events, round(sum(value), 4) AS session_value
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events, session_value
+    FROM sess
+    WHERE session_end_us <= (SELECT epoch_us(max(ts)) - 3600000000
+                             FROM events)
+    """,
+    tags=("streaming",),
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap session windows per user with a 1-hour watermark,
-    append mode — the streaming twin of `sessionize_events`."""
+    append mode — the streaming twin of `sessionize_events`. Append
+    emission under availableNow is a pure function of the data (final
+    watermark = max(ts) - 1 h), so the oracle replays it with the batch
+    sessionizer + watermark cutoff — a hash-checked driver row for
+    append-mode streaming."""
     s = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = s.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("sw")
