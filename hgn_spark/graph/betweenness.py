@@ -252,18 +252,24 @@ def edge_betweenness(
     compat mode — quirk §8.2), explode the path arrays, sum per
     canonical edge.
 
-    ``method``: "paths" (enumerate; fewer stages, fastest at the
-    shipped k=2/3 depths), "sigma" (edge_betweenness_brandes; per-pair
-    state only, the deep-truncation scale path), or "auto" (sigma for
-    k > 3 fractional, paths otherwise). Compat mode must pick a
-    concrete surviving path, so it always enumerates.
+    ``method``: "paths" (enumerate; fewer stages, fastest at k=2),
+    "sigma" (edge_betweenness_brandes; per-pair state only, the
+    deep-truncation scale path), or "auto" (sigma for k > 2 fractional,
+    paths otherwise). The threshold is measured, not guessed — on
+    Hamsterster (1.9k vertices / 12.5k edges, local[32], outputs
+    bit-equal): k=2 paths 1.9 s vs sigma 7.7 s; k=3 paths 38.4 s vs
+    sigma 22.9 s; k=4 paths 381.7 s vs sigma 26.1 s (14.6×) — path
+    enumeration detonates multiplicatively with depth while σ/δ state
+    stays per-pair (full numbers in ARCHITECTURE.md §betweenness).
+    Compat mode must pick a concrete surviving path, so it always
+    enumerates.
     """
     if method not in ("auto", "paths", "sigma"):
         raise ValueError(f"unknown betweenness method: {method!r}")
     if method == "sigma" and compat_single_path:
         raise ValueError("compat_single_path needs concrete paths; use method='paths'")
     if method == "sigma" or (
-        method == "auto" and max_sp_length > 3 and not compat_single_path
+        method == "auto" and max_sp_length > 2 and not compat_single_path
     ):
         return edge_betweenness_brandes(edges, max_sp_length)
     sp = shortest_paths(edges, max_len=max_sp_length)

@@ -44,6 +44,43 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (magic-bytes header, sniffed modality) — the standard signatures a
+# catalog scan classifies on. WAV needs RIFF at byte 1 AND WAVE at
+# byte 9 (bytes 5-8 are the chunk size), so it is handled separately.
+MAGIC_HEADERS: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"%PDF", "application/pdf"),
+]
+_WAV_HEADER = b"RIFF\x00\x00\x00\x00WAVE"
+
+
+def sniff_modality(payload) -> "object":
+    """Scan-side magic-byte modality classifier over a binary column —
+    the first pass a catalog job runs over 100 TB of mixed media
+    (route-by-modality before any codec touches a byte). Pure JVM
+    prefix comparisons (substring on binary + when/otherwise), codegen
+    inside the scan stage: no UDF, no shuffle, no decode.
+
+    Returns a string column: image/png, image/jpeg, image/gif,
+    audio/wav (RIFF....WAVE), application/pdf, or
+    application/octet-stream for anything unrecognized.
+    """
+    from pyspark.sql import functions as F
+
+    expr = F.when(
+        (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(payload, 9, 4) == F.lit(b"WAVE")),
+        "audio/wav",
+    )
+    for magic, modality in MAGIC_HEADERS:
+        expr = expr.when(
+            F.substring(payload, 1, len(magic)) == F.lit(magic), modality
+        )
+    return expr.otherwise("application/octet-stream")
+
+
 def decode_image(payload: bytes) -> "object":
     """Real image decode — unavailable in this container (no PIL/cv2).
 
@@ -282,6 +319,16 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents,
          unnest(range(0, (octet_length(encode(text)) - 1) // 16 + 1)) AS t(i)
     WHERE i % 4 = 0
+    UNION ALL
+    SELECT 'sniff' AS branch, doc_id, CAST(NULL AS BIGINT) AS idx,
+           octet_length(encode(text)) + CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 12 WHEN 3 THEN 4
+             ELSE 0 END AS n_bytes,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+             WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'application/pdf'
+             ELSE 'application/octet-stream' END AS head
+    FROM documents
     """,
     tags=("multimodal",),
 )
@@ -289,8 +336,14 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over binary payloads as native expressions — the
     query a catalog scan over 100 TB of media runs first (size,
     magic-bytes prefix) — unioned with the frame-sampling pass (every
-    4th fixed-size frame per payload, per-frame size + head), so both
-    §multimodal plumbing shapes carry one hash-checked driver row."""
+    4th fixed-size frame per payload, per-frame size + head) and the
+    magic-byte modality sniff (VERDICT r5 #7): real signatures
+    (PNG/JPEG/GIF/WAV/PDF) planted per doc_id % 5, classified by
+    `sniff_modality` reading the actual payload bytes, while the
+    oracle derives the expected label independently from the plant
+    rule — three §multimodal plumbing shapes in one hash-checked
+    driver row. (No document text starts with a signature, verified at
+    all SFs, so the no-header residue class is stable.)"""
     b = binary_documents(spark, sf_dir)
     meta = b.select(
         F.lit("meta").alias("branch"),
@@ -306,7 +359,24 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").alias("n_bytes"),
         F.decode(F.substring("frame", 1, 4), "utf-8").alias("head"),
     )
-    return meta.unionByName(fr)
+    hdr = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(MAGIC_HEADERS[0][0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(MAGIC_HEADERS[1][0]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(_WAV_HEADER))
+        .when(F.col("doc_id") % 5 == 3, F.lit(MAGIC_HEADERS[3][0]))
+        .otherwise(F.lit(b""))
+    )
+    planted = b.select(
+        "doc_id", F.concat(hdr, F.col("payload")).alias("payload")
+    )
+    sniff = planted.select(
+        F.lit("sniff").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("idx"),
+        F.length("payload").alias("n_bytes"),
+        sniff_modality(F.col("payload")).alias("head"),
+    )
+    return meta.unionByName(fr).unionByName(sniff)
 
 
 @register(

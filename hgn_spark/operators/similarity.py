@@ -161,22 +161,57 @@ def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
-    """One deterministic Lloyd iteration: assign every vector to its
+def lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """One Lloyd iteration, PRODUCTION path: assign every vector to its
     nearest seed, then replace each seed with its cluster's
-    per-dimension mean.
+    per-dimension mean via plain ``avg()`` — constant aggregation state
+    per (cent_id, dim) group, safe at any cluster size (the 100×
+    concern VERDICT r5 #4 raised against the pinned-fold variant).
 
-    The mean is a left fold over the vec_id-SORTED member values (so
-    the DuckDB replay sums in the identical order), divided by the
-    member count, and rounded to 6 decimals before any downstream
-    cosine — both engines then see bit-equal centroids. Seeds whose
-    cluster is empty drop out (both engines derive centroids from the
-    assignment's groups).
+    The mean is rounded to 6 decimals before any downstream cosine —
+    numerically it agrees with `_lloyd_refine_pinned` at that rounding
+    on any non-adversarial data (asserted exactly equal on testdata in
+    tests/test_llm_ops.py); only the oracle-replayed driver row needs
+    the pinned summation order.
 
     Scale shape: the explode is |corpus| × dim rows into a
-    (cent_id, dim)-keyed aggregation — one shuffle, ~n_centroids × dim
-    groups out. A production run would iterate this on a corpus sample
-    rather than assigning the full corpus per iteration.
+    (cent_id, dim)-keyed aggregation — one shuffle with map-side
+    partial aggregation, ~n_centroids × dim groups out, O(1) state per
+    group. A production run would additionally iterate on a corpus
+    sample rather than assigning the full corpus per iteration.
+    """
+    assign0 = _assign_nearest(emb, seeds)
+    vals = assign0.select(
+        "cent_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"),
+    )
+    per_dim = vals.groupBy("cent_id", "dim").agg(
+        F.round(F.avg("val"), 6).alias("m")
+    )
+    return (
+        per_dim.groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda x: x["m"]
+            ).alias("cent_e")
+        )
+        .withColumn("cent_n", norm(F.col("cent_e")))
+    )
+
+
+def _lloyd_refine_pinned(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """One deterministic Lloyd iteration, ORACLE-REPLAY path: the
+    per-dimension mean is a left fold over the vec_id-SORTED member
+    values (so the DuckDB replay sums in the identical order), divided
+    by the member count, and rounded to 6 decimals — both engines then
+    see bit-equal centroids. Seeds whose cluster is empty drop out
+    (both engines derive centroids from the assignment's groups).
+
+    NOT the default: collect_list holds every member value of a
+    (cent_id, dim) group in one aggregation buffer, which a 100×
+    cluster would blow through. Use `lloyd_refine` (plain avg) anywhere
+    bit-replay against a second engine isn't required; the two agree at
+    the 6-decimal rounding (pinned by test).
     """
     assign0 = _assign_nearest(emb, seeds)
     vals = assign0.select(
@@ -234,7 +269,7 @@ _SQL_SEED_CENTS = """,
 
 # One Lloyd iteration: assign to nearest seed, then per-dimension
 # cluster means in pinned (vec_id-sorted) fold order, rounded to 6
-# decimals — bit-equal to Spark's _lloyd_refine.
+# decimals — bit-equal to Spark's _lloyd_refine_pinned.
 _SQL_KMEANS_CENTS = """,
     assign0 AS (
       SELECT vec_id, cent_id, embedding FROM (
@@ -308,7 +343,9 @@ def _ivf_query(spark: SparkSession, sf_dir: str, refine: bool) -> DataFrame:
         F.col("embedding").alias("cent_e"),
         F.col("nrm").alias("cent_n"),
     )
-    cents = _lloyd_refine(emb, seeds) if refine else seeds
+    # The registered driver row must bit-replay in DuckDB → pinned fold;
+    # production callers train centroids with the avg-based lloyd_refine.
+    cents = _lloyd_refine_pinned(emb, seeds) if refine else seeds
     # Inverted lists: nearest centroid per vector.
     assign = _assign_nearest(emb, cents)
     # Queries probe their NPROBE nearest lists.
@@ -373,7 +410,8 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - 'seed': stride-sampled centroids — the headline configuration;
     - 'kmeans': one deterministic Lloyd iteration over the same seeds
-      (see _lloyd_refine) — the trainable-centroid scale path for
+      (see _lloyd_refine_pinned; production trains via the avg-based
+      lloyd_refine) — the trainable-centroid scale path for
       corpora WITH cluster structure.
 
     Approximate relative to the exact baseline (a true neighbor can

@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
-from hgn_spark.operators.dedup import dedup_canonical_groups
+from hgn_spark.operators.dedup import (
+    canonical_groups,
+    dedup_canonical_groups,
+    ngram_jaccard_pairs_capped,
+)
 from hgn_spark.operators.text import (
     CTX_LEN,
     DECON_BENCH_MOD,
@@ -50,10 +54,18 @@ DECON_FRAC_THRES = 0.05  # drop docs sharing >5% of their 7-grams with eval
 SAMPLE_RATE_HEX = "c0000000"  # keep ~75% by first-32-bit md5 threshold
 
 
-def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """→ curated, packed corpus: one row per surviving document with
-    (doc_id, lang, source, clean_text, n_tokens, shard, tok_start,
-    chunk_id, chunk_offset)."""
+def curate_corpus_stages(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> dict[str, DataFrame]:
+    """Every intermediate frame of the curation pipeline, keyed by
+    stage label (ordered: each stage is a strict filter/projection of
+    the previous, so doc counts are monotonically non-increasing).
+
+    ``df_cap``: when set, near-dup candidate generation routes through
+    `ngram_jaccard_pairs_capped` (document-frequency-capped shingle
+    buckets) — the hot-key guard an adversarial corpus needs (VERDICT
+    r5 #5); None keeps the uncapped exact-jaccard pairs.
+    """
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. quality gate (scan-side, no shuffle)
@@ -79,12 +91,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept = fp.join(keep_ids, "doc_id", "left_semi").drop("fp")
 
     # 4. near-dup: drop everything the canonical-group resolution marks
-    # non-canonical (the duplicate graph is tiny → broadcastable anti join)
-    non_canonical = (
-        dedup_canonical_groups(spark, sf_dir)
-        .filter(F.col("is_canonical") == 0)
-        .select("doc_id")
-    )
+    # non-canonical (the duplicate graph is tiny → broadcastable anti
+    # join). With df_cap set, candidates come from the df-capped index
+    # (mega-bucket guard); verify is exact either way.
+    if df_cap is None:
+        groups = dedup_canonical_groups(spark, sf_dir)
+    else:
+        groups = canonical_groups(
+            ngram_jaccard_pairs_capped(spark, sf_dir, df_cap)
+        )
+    non_canonical = groups.filter(F.col("is_canonical") == 0).select("doc_id")
     neardup_kept = exact_kept.join(
         F.broadcast(non_canonical), "doc_id", "left_anti"
     )
@@ -114,7 +130,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, -1
     )
-    return (
+    packed = (
         t.withColumn(
             "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )
@@ -134,27 +150,44 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_offset",
         )
     )
+    return {
+        "0_input": docs,
+        "1_quality_gated": gated,
+        "2_pii_scrubbed": scrubbed,
+        "3_exact_deduped": exact_kept,
+        "4_neardup_deduped": neardup_kept,
+        "5_decontaminated": decon_kept,
+        "6_sampled": sampled,
+        "7_curated_packed": packed,
+    }
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """→ curated, packed corpus: one row per surviving document with
+    (doc_id, lang, source, clean_text, n_tokens, shard, tok_start,
+    chunk_id, chunk_offset)."""
+    return curate_corpus_stages(spark, sf_dir, df_cap)["7_curated_packed"]
 
 
 @register("pipeline_curation_report", oracle=None, tags=("llm-pipeline", "e2e"))
 def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stage survivor counts for the full curation pipeline — the
-    run report a corpus job emits. One unioned aggregation plan; each
-    stage is a strict filter of the previous, so counts are
-    monotonically non-increasing (asserted in tests/test_llm_ops.py
-    together with end-state invariants: no residual exact dups, no
-    contaminated docs, deterministic repeat). Rows-only: composed of
-    individually-oracled stages, and the driver window holds the 50
-    oracled rows already."""
-    docs = load_table(spark, sf_dir, "documents")
-    curated = curate_corpus(spark, sf_dir)
+    """Per-stage survivor counts for the FULL curation pipeline — the
+    run report a corpus job emits, one row per stage 0-7 plus the final
+    token total, so a corpus owner can localize exactly where documents
+    died (VERDICT r5 #2). One unioned aggregation plan; each stage is a
+    strict filter/projection of the previous, so counts are
+    monotonically non-increasing across ALL stages (asserted in
+    tests/test_llm_ops.py together with end-state invariants: no
+    residual exact dups, no contaminated docs, deterministic repeat).
+    Rows-only: composed of individually-oracled stages, and the driver
+    window holds the 50 oracled rows already."""
+    stages = curate_corpus_stages(spark, sf_dir)
+    curated = stages["7_curated_packed"]
 
-    stages = [
-        ("0_input", docs.select("doc_id")),
-        ("7_curated_packed", curated.select("doc_id")),
-    ]
     out = None
-    for name, df in stages:
+    for name, df in stages.items():
         r = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
             F.lit(name).alias("stage"), "n_docs"
         )

@@ -159,9 +159,12 @@ def test_brandes_equals_path_enumeration(edges, k):
     path-enumeration default at every truncation depth (same edge set,
     values to 1e-9) — here on the two-triangle bridge fixture, whose
     diameter (3) exercises a non-trivial deepest layer at k=3."""
+    # method="paths" pins the enumerating side explicitly — auto would
+    # route k=3 through sigma too (measured crossover at k > 2), making
+    # the comparison vacuous.
     a = {
         (r["src"], r["dst"]): r["betweenness"]
-        for r in edge_betweenness(edges, max_sp_length=k).collect()
+        for r in edge_betweenness(edges, max_sp_length=k, method="paths").collect()
     }
     b = {
         (r["src"], r["dst"]): r["betweenness"]

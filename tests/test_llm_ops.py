@@ -272,6 +272,35 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert recall >= 0.8  # 0.92 observed with 20 lists / 3 probes
 
 
+def test_lloyd_avg_matches_pinned_fold(spark):
+    """The production avg() Lloyd path equals the oracle-replay pinned
+    fold at the 6-decimal centroid rounding (VERDICT r5 #4): same
+    cluster ids, same centroid arrays — so swapping the bounded-state
+    path in changes nothing downstream."""
+    from hgn_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        _lloyd_refine_pinned,
+        lloyd_refine,
+        load_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_embeddings(spark, SF_SMOKE)
+    seeds = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_e"),
+        F.col("nrm").alias("cent_n"),
+    )
+    prod = {r["cent_id"]: r["cent_e"] for r in lloyd_refine(emb, seeds).collect()}
+    pinned = {
+        r["cent_id"]: r["cent_e"]
+        for r in _lloyd_refine_pinned(emb, seeds).collect()
+    }
+    assert set(prod) == set(pinned)
+    for cid in prod:
+        assert prod[cid] == pinned[cid], cid
+
+
 def test_df_cap_preserves_high_jaccard_pairs(spark):
     """The hot-shingle cap must not lose any jaccard>=0.8 pair: planted
     near-dups share dozens of shingles, so even an aggressive cap keeps
@@ -630,7 +659,22 @@ def test_pipeline_curation_end_to_end(spark):
         r["stage"]: r["n_docs"]
         for r in SPECS["pipeline_curation_report"].fn(spark, SF_SMOKE).collect()
     }
-    assert report["0_input"] >= report["7_curated_packed"] > 0
+    # Every stage reports (ADVICE r5): 0-7 plus token total, and the
+    # full chain is monotonically non-increasing.
+    chain = [
+        "0_input",
+        "1_quality_gated",
+        "2_pii_scrubbed",
+        "3_exact_deduped",
+        "4_neardup_deduped",
+        "5_decontaminated",
+        "6_sampled",
+        "7_curated_packed",
+    ]
+    assert set(report) == set(chain) | {"8_total_tokens"}
+    for a, b in zip(chain, chain[1:]):
+        assert report[a] >= report[b], (a, b, report)
+    assert report["7_curated_packed"] > 0
     assert report["8_total_tokens"] > 0
 
     cur = curate_corpus(spark, SF_SMOKE)
@@ -650,6 +694,21 @@ def test_pipeline_curation_end_to_end(spark):
     # deterministic repeat
     again = {r["doc_id"]: r["tok_start"] for r in curate_corpus(spark, SF_SMOKE).collect()}
     assert again == {r["doc_id"]: r["tok_start"] for r in rows}
+
+
+def test_pipeline_df_cap_keeps_recall(spark):
+    """The df-capped near-dup route (hot-key guard, VERDICT r5 #5)
+    survives the pipeline: with a sane cap the curated doc set is
+    identical to the uncapped run — near-dup pairs share many shingles,
+    so capping only mega-buckets loses no recall on this corpus."""
+    from hgn_spark.pipeline import curate_corpus
+
+    uncapped = {r["doc_id"] for r in curate_corpus(spark, SF_SMOKE).collect()}
+    capped = {
+        r["doc_id"]
+        for r in curate_corpus(spark, SF_SMOKE, df_cap=50).collect()
+    }
+    assert capped == uncapped
 
 
 def test_pipeline_writes_partitioned_corpus(spark, tmp_path):

@@ -121,6 +121,35 @@ def test_window_energy_matches_numpy(spark):
     assert len(got) == n_windows
 
 
+def test_sniff_modality_signatures(spark):
+    """Magic-byte classification on hand-built payloads covers every
+    signature (incl. GIF, which the planted driver row doesn't use),
+    the RIFF-without-WAVE near-miss, and short/empty payloads."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.multimodal.ops import sniff_modality
+
+    cases = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"xx", "image/png"),
+        (2, b"\xff\xd8\xff\xe0rest", "image/jpeg"),
+        (3, b"GIF89a....", "image/gif"),
+        (4, b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (5, b"%PDF-1.7", "application/pdf"),
+        (6, b"RIFF\x10\x00\x00\x00AVI LIST", "application/octet-stream"),
+        (7, b"plain text here", "application/octet-stream"),
+        (8, b"", "application/octet-stream"),
+        (9, b"\x89PN", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "id long, payload binary"
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", sniff_modality(F.col("payload")).alias("m")).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
+
+
 def test_window_energy_empty_payload_row(spark):
     """An empty payload yields exactly one zero row instead of vanishing
     from the feature table (ADVICE r5), consistent with
