@@ -90,7 +90,12 @@ def core_numbers(edges: DataFrame, max_levels: int = 100) -> DataFrame:
         # max_levels, so any label emitted here would be a silent lower
         # bound (e.g. a 150-clique at the default guard). Fail loudly —
         # the caller raises max_levels, which is cheap (the loop already
-        # exits early at the degeneracy for any real graph).
+        # exits early at the degeneracy for any real graph). Release
+        # every persisted generation first: the advised re-run happens
+        # in the same session, and leaked blocks from failed attempts
+        # would accumulate across retries.
+        jan.release(cur_ids)
+        jan.release(alive_ids)
         raise RuntimeError(
             f"core_numbers: max_levels={max_levels} reached with vertices "
             "still alive — the graph's degeneracy exceeds the guard; "

@@ -47,6 +47,13 @@ gedges AS (
 sym AS (SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges)
 """
 
+# Materialized twin for the unrolled-loop oracles (HGN, PageRank, LPA —
+# each references the graph dozens of times; see _hgn_oracle's note on
+# DuckDB inlining plain CTEs per reference). DERIVED from GRAPH_CTE so
+# the graph-derivation rule exists exactly once.
+_GRAPH_CTE_MAT = GRAPH_CTE.replace(" AS (", " AS MATERIALIZED (")
+assert _GRAPH_CTE_MAT.count("MATERIALIZED") == 2
+
 
 # Derived edge list per (session, sf_dir): every graph query starts
 # from the same lineitem self-join, and its output is tiny relative to
@@ -348,21 +355,6 @@ def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Materialized twin of GRAPH_CTE for the unrolled-loop oracles below
-# (each references the graph dozens of times; see _hgn_oracle's note on
-# DuckDB inlining plain CTEs per reference).
-_GRAPH_CTE_MAT = """
-gedges AS MATERIALIZED (
-  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
-  WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
-    AND a.l_suppkey < b.l_suppkey
-    AND a.l_suppkey % 5 = b.l_suppkey % 5
-),
-sym AS MATERIALIZED (
-  SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges)
-"""
-
 PR_DAMPING = 0.85
 PR_ITER = 20
 
@@ -573,21 +565,8 @@ def _hgn_oracle() -> str:
         for i in range(HGN_MAX_STEPS)
     )
     final = f"e{HGN_MAX_STEPS}"
-    # Materialized twin of GRAPH_CTE: this oracle references the
-    # derived graph dozens of times across the unrolled iterations.
-    graph_cte_mat = """
-    gedges AS MATERIALIZED (
-      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-      FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
-      WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
-        AND a.l_suppkey < b.l_suppkey
-        AND a.l_suppkey % 5 = b.l_suppkey % 5
-    ),
-    sym AS MATERIALIZED (
-      SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges)
-    """
     return f"""
-    WITH RECURSIVE {graph_cte_mat},
+    WITH RECURSIVE {_GRAPH_CTE_MAT},
     sims AS MATERIALIZED (
       SELECT e.src, e.dst,
              CASE WHEN vs.s_nationkey = vd.s_nationkey

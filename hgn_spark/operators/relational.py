@@ -699,13 +699,20 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(metric).alias("metric"),
                 F.col(ex).cast("double").alias("exact"),
                 F.col(ap).cast("double").alias("approx"),
-                # Degenerate inputs (empty slice → exact aggregate 0 or
-                # null) get a defined rel_err instead of null/NaN rows.
+                # Degenerate inputs get defined semantics instead of
+                # NaN rows: a sketch that exactly matches a zero/null
+                # exact value has error 0.0; one that DEVIATES from a
+                # zero exact has no meaningful relative error and stays
+                # null (reporting 0.0 there would claim perfect accuracy
+                # precisely when the sketch is wrong).
                 F.when(
                     F.abs(F.col(ex)) > 0,
                     F.round(F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex)), 6),
                 )
-                .otherwise(F.lit(0.0))
+                .when(
+                    F.col(ap).eqNullSafe(F.col(ex)), F.lit(0.0)
+                )
+                .otherwise(F.lit(None).cast("double"))
                 .alias("rel_err"),
             )
             out = r if out is None else out.unionByName(r)

@@ -161,6 +161,32 @@ def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_exploded_vals(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Shared Lloyd prologue: assign to nearest seed, explode to
+    (cent_id, vec_id, dim, val) rows — |corpus| × dim rows into the
+    per-dimension aggregation, one shuffle."""
+    assign0 = _assign_nearest(emb, seeds)
+    return assign0.select(
+        "cent_id",
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"),
+    )
+
+
+def _lloyd_assemble(per_dim: DataFrame) -> DataFrame:
+    """Shared Lloyd epilogue: (cent_id, dim, m) rows → centroid arrays
+    with their norms."""
+    return (
+        per_dim.groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda x: x["m"]
+            ).alias("cent_e")
+        )
+        .withColumn("cent_n", norm(F.col("cent_e")))
+    )
+
+
 def lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     """One Lloyd iteration, PRODUCTION path: assign every vector to its
     nearest seed, then replace each seed with its cluster's
@@ -172,31 +198,20 @@ def lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     numerically it agrees with `_lloyd_refine_pinned` at that rounding
     on any non-adversarial data (asserted exactly equal on testdata in
     tests/test_llm_ops.py); only the oracle-replayed driver row needs
-    the pinned summation order.
+    the pinned summation order. Only the mean expression differs
+    between the two paths — prologue/epilogue are shared helpers.
 
-    Scale shape: the explode is |corpus| × dim rows into a
-    (cent_id, dim)-keyed aggregation — one shuffle with map-side
-    partial aggregation, ~n_centroids × dim groups out, O(1) state per
-    group. A production run would additionally iterate on a corpus
-    sample rather than assigning the full corpus per iteration.
+    Scale shape: map-side partial aggregation, ~n_centroids × dim
+    groups out, O(1) state per group. A production run would
+    additionally iterate on a corpus sample rather than assigning the
+    full corpus per iteration.
     """
-    assign0 = _assign_nearest(emb, seeds)
-    vals = assign0.select(
-        "cent_id",
-        F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"),
+    per_dim = (
+        _lloyd_exploded_vals(emb, seeds)
+        .groupBy("cent_id", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
     )
-    per_dim = vals.groupBy("cent_id", "dim").agg(
-        F.round(F.avg("val"), 6).alias("m")
-    )
-    return (
-        per_dim.groupBy("cent_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda x: x["m"]
-            ).alias("cent_e")
-        )
-        .withColumn("cent_n", norm(F.col("cent_e")))
-    )
+    return _lloyd_assemble(per_dim)
 
 
 def _lloyd_refine_pinned(emb: DataFrame, seeds: DataFrame) -> DataFrame:
@@ -213,14 +228,9 @@ def _lloyd_refine_pinned(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     bit-replay against a second engine isn't required; the two agree at
     the 6-decimal rounding (pinned by test).
     """
-    assign0 = _assign_nearest(emb, seeds)
-    vals = assign0.select(
-        "cent_id",
-        "vec_id",
-        F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"),
-    )
     per_dim = (
-        vals.groupBy("cent_id", "dim")
+        _lloyd_exploded_vals(emb, seeds)
+        .groupBy("cent_id", "dim")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "val"))).alias("vv"))
         .withColumn(
             "m",
@@ -234,16 +244,9 @@ def _lloyd_refine_pinned(emb: DataFrame, seeds: DataFrame) -> DataFrame:
                 6,
             ),
         )
+        .select("cent_id", "dim", "m")
     )
-    return (
-        per_dim.groupBy("cent_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda x: x["m"]
-            ).alias("cent_e")
-        )
-        .withColumn("cent_n", norm(F.col("cent_e")))
-    )
+    return _lloyd_assemble(per_dim)
 
 
 # ---------------------------------------------------------------------------

@@ -187,13 +187,13 @@ def streaming_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge (new session at gap >= 30 min) and end <= watermark.
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w < 1800000000
                   THEN 0 ELSE 1 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS sid
       FROM flagged

@@ -629,11 +629,14 @@ def test_sketch_accuracy_bounds(spark):
         assert rows[m]["rel_err"] <= 0.15, (m, rows[m])
     for m in ("events_p95_value", "lineitem_median_price"):
         assert rows[m]["rel_err"] <= 0.02, (m, rows[m])
-    # rel_err is always a defined double (the exact=0 degenerate branch
-    # maps to 0.0, never null/NaN).
+    # rel_err semantics: defined (never NaN) whenever exact is nonzero;
+    # 0.0 requires approx == exact when exact is 0; null is reserved
+    # for the genuinely undefined exact=0 ≠ approx case (not hit on
+    # this data — every exact here is nonzero, so all rel_err defined).
     import math
 
     for m, r in rows.items():
+        assert r["exact"] != 0, (m, r)
         assert r["rel_err"] is not None and not math.isnan(r["rel_err"]), (m, r)
 
     from pyspark.sql import functions as F
@@ -676,6 +679,13 @@ def test_pipeline_curation_end_to_end(spark):
         assert report[a] >= report[b], (a, b, report)
     assert report["7_curated_packed"] > 0
     assert report["8_total_tokens"] > 0
+    # The flag-based one-pass report must agree with the actual stage
+    # frames (pins the shared-predicate refactor: a drift between the
+    # report's flags and the pipeline's filters fails here).
+    from hgn_spark.pipeline import curate_corpus_stages
+
+    for name, df in curate_corpus_stages(spark, SF_SMOKE).items():
+        assert report[name] == df.count(), name
 
     cur = curate_corpus(spark, SF_SMOKE)
     rows = cur.collect()
