@@ -313,6 +313,76 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grp.unionByName(dupc).unionByName(delta)
 
 
+def neardup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_mod: int = 5,
+    batch_rem: int = 4,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup: the batch-vs-corpus shape of
+    `dedup_ngram_jaccard_pairs`, the daily-ingestion twin of
+    `dedup_exact_incremental`'s dup_vs_corpus branch (a production
+    corpus doesn't re-pair the whole standing corpus per feed — it
+    checks the incoming batch against it).
+
+    Docs with ``doc_id % batch_mod == batch_rem`` play the incoming
+    batch; the rest the standing corpus. → ``(op, d1, d2, jaccard)``
+    rows at jaccard >= JACCARD_THRES:
+
+    - ``vs_corpus``: batch doc d1 near-duplicates corpus doc d2 (drop
+      d1 before ingestion — the corpus copy is canonical);
+    - ``in_batch``: two batch docs near-duplicate each other
+      (d1 < d2; keep-min applies within the feed).
+
+    Scale shape: candidates form only inside shared shingle buckets —
+    the batch side of the join is the incoming feed's index (tiny
+    relative to the corpus), the corpus side is the standing
+    *inverted index* (S6-style append+dedupe parquet, bucketed by
+    shingle hash so the join is bucket-local and the raw corpus is
+    never re-read); exact verify joins the per-doc shingle-set table
+    at the doc level. ``df_cap`` drops shingles hotter than the cap
+    from candidate generation only (same mega-bucket guard and recall
+    caveat as `ngram_jaccard_pairs_capped`)."""
+    sets_ = _doc_shingle_sets(spark, sf_dir)
+    sh = _hashed_shingle_index(spark, sf_dir)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("h")
+        )
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    is_batch = F.col("doc_id") % batch_mod == batch_rem
+    bsh = sh.filter(is_batch)
+    csh = sh.filter(~is_batch)
+    b1 = bsh.select(F.col("doc_id").alias("d1"), "h")
+    vs_corpus = (
+        b1.join(
+            csh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2")),
+            F.col("h") == F.col("h2"),
+        )
+        .select(F.lit("vs_corpus").alias("op"), "d1", "d2")
+        .distinct()
+    )
+    in_batch = (
+        b1.join(
+            bsh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2")),
+            (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")),
+        )
+        .select(F.lit("in_batch").alias("op"), "d1", "d2")
+        .distinct()
+    )
+    cands = vs_corpus.unionByName(in_batch)
+    verified = _verified_jaccard(cands.select("d1", "d2").distinct(), sets_)
+    return (
+        cands.join(verified, ["d1", "d2"])
+        .filter(F.col("jaccard") >= JACCARD_THRES)
+        .select("op", "d1", "d2", "jaccard")
+    )
+
+
 # Shared oracle CTE block: exact-jaccard near-dup pairs from the
 # shingle inverted index. `jpairs` is the thresholded (d1 < d2) pair
 # list; dedup_canonical_groups builds its duplicate graph on top of it.

@@ -187,3 +187,44 @@ def apply_mixture_sample(
         )
     thr = thr.otherwise(F.lit("00000000")) if thr is not None else F.lit("00000000")
     return df.filter(_u8(F.col(id_col)) < thr)
+
+
+def assign_splits(
+    df: DataFrame, id_col: str, splits: dict[str, float]
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: adds a ``split``
+    column mapping each row to one of ``splits`` (name → weight,
+    normalized) by where the first 32 md5 bits of its id land among the
+    cumulative weight thresholds.
+
+    A row's split is a pure function of its OWN id — the property the
+    standard `randomSplit` lacks at corpus scale: assignments survive
+    retries, repartitioning, engine changes, and corpus growth (a newly
+    ingested document never flips an existing document's split, so a
+    held-out set stays held out across feeds). Scan-side expression,
+    no shuffle; splits are disjoint and exhaustive by construction
+    (the last bucket takes the remainder of the hash space).
+
+    Split order follows dict insertion order: the first name owns the
+    lowest hash range. Weights must be positive.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one bucket")
+    if any(w <= 0 for w in splits.values()):
+        raise ValueError("split weights must be positive")
+    total = sum(splits.values())
+    names = list(splits)
+    u8 = _u8(F.col(id_col))
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name] / total
+        hex_thr = format(min(int(cum * 2**32), 2**32 - 1), "08x")
+        expr = (
+            F.when(u8 < hex_thr, name)
+            if expr is None
+            else expr.when(u8 < hex_thr, name)
+        )
+    last = F.lit(names[-1])
+    col = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", col)

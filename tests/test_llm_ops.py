@@ -301,6 +301,45 @@ def test_lloyd_avg_matches_pinned_fold(spark):
         assert prod[cid] == pinned[cid], cid
 
 
+def test_neardup_incremental_matches_full_pair_split(spark):
+    """The batch-vs-corpus incremental near-dup equals the full
+    (oracle-checked) pair query restricted and re-oriented by the
+    batch split: vs_corpus = pairs with exactly one batch member
+    (batch doc as d1), in_batch = pairs with both members in the
+    batch — same jaccard values."""
+    from hgn_spark.operators.dedup import (
+        dedup_ngram_jaccard_pairs,
+        neardup_incremental,
+    )
+
+    full = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup_ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    is_b = lambda d: d % 5 == 4  # noqa: E731
+    want_vs, want_in = {}, {}
+    for (x, y), j in full.items():
+        if is_b(x) and is_b(y):
+            want_in[(x, y)] = j
+        elif is_b(x):
+            want_vs[(x, y)] = j
+        elif is_b(y):
+            want_vs[(y, x)] = j
+    got = neardup_incremental(spark, SF_SMOKE).collect()
+    got_vs = {(r["d1"], r["d2"]): r["jaccard"] for r in got if r["op"] == "vs_corpus"}
+    got_in = {(r["d1"], r["d2"]): r["jaccard"] for r in got if r["op"] == "in_batch"}
+    assert got_vs == want_vs
+    assert got_in == want_in
+    # every batch doc flagged vs_corpus is genuinely from the batch;
+    # its counterpart genuinely from the corpus
+    assert all(is_b(d1) and not is_b(d2) for d1, d2 in got_vs)
+    # the df-capped route keeps recall at a sane cap on this corpus
+    capped = neardup_incremental(spark, SF_SMOKE, df_cap=50).collect()
+    assert {(r["op"], r["d1"], r["d2"]) for r in capped} == {
+        (r["op"], r["d1"], r["d2"]) for r in got
+    }
+
+
 def test_df_cap_preserves_high_jaccard_pairs(spark):
     """The hot-shingle cap must not lose any jaccard>=0.8 pair: planted
     near-dups share dozens of shingles, so even an aggressive cap keeps
@@ -533,6 +572,49 @@ def test_mixture_rates_drops_unweighted_groups(spark):
     assert out.filter("g = 'a'").count() == 50
     with _pytest.raises(ValueError):
         mixture_rates(base, "g", {"nope": 1.0})
+
+
+def test_assign_splits_deterministic_disjoint_stable(spark):
+    """Split assignment is a pure function of the row's own id:
+    disjoint + exhaustive, proportions near the weights, repeatable,
+    and STABLE under corpus growth (existing docs never flip split
+    when new docs arrive — the property randomSplit lacks)."""
+    import pytest as _pytest
+
+    from hgn_spark.operators.sampling import assign_splits
+
+    base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 8.0, "val": 1.0, "test": 1.0}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(base, "doc_id", splits).collect()
+    }
+    assert len(got) == 2000  # exhaustive, one split per doc
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+    # repeatable
+    again = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(base, "doc_id", splits).collect()
+    }
+    assert again == got
+    # stable under growth: assignments on a 10x corpus agree on the
+    # original ids
+    grown = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    g2 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(grown, "doc_id", splits).collect()
+    }
+    assert all(g2[i] == got[i] for i in got)
+    with _pytest.raises(ValueError):
+        assign_splits(base, "doc_id", {})
+    with _pytest.raises(ValueError):
+        assign_splits(base, "doc_id", {"train": 1.0, "val": 0.0})
 
 
 def test_lsh_topk_recall_and_candidate_bound(spark):
