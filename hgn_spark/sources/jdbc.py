@@ -6,9 +6,14 @@ string-formatted SQL, row-at-a-time, driver-side. The Spark-native
 equivalent is the JDBC DataFrame source/sink: predicate pushdown,
 partitioned parallel reads, batched writes.
 
-No database server exists in this environment, so these wrappers are
-exercised only for plan construction in tests; against a real server
-they are the standard `spark.read.jdbc` path.
+No external database server exists in this environment, but Spark
+bundles Apache Derby (for the Hive metastore), whose EMBEDDED driver
+gives a real in-process JDBC database — so the full roundtrip (batched
+write → partitioned parallel read → filter pushdown into the source)
+is LIVE-tested in tests/test_sources.py against
+`jdbc:derby:memory:...`, not just plan-constructed. Against a server
+deployment these same wrappers are the standard `spark.read.jdbc`
+path.
 """
 
 from __future__ import annotations
