@@ -82,14 +82,20 @@ def sniff_modality(payload) -> "object":
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — unavailable in this container (no PIL/cv2).
+    """Image decode: REAL for non-interlaced 8-bit grayscale PNG (the
+    stdlib-only decoder in codecs.py — chunk walk, CRC check, inflate,
+    all five scanline filters); other formats (JPEG/GIF/...) still
+    raise — a deployment swaps the fallback for
+    PIL.Image.open(io.BytesIO(payload)) inside the same mapInPandas
+    batch loop. The stub branch keeps those call sites honest instead
+    of silently faking."""
+    from hgn_spark.multimodal.codecs import _PNG_SIG, decode_png_gray8
 
-    A deployment would swap this for PIL.Image.open(io.BytesIO(payload))
-    inside the same mapInPandas batch loop; the stub keeps the call
-    site honest instead of silently faking."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png_gray8(payload)
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use fake_decode for deterministic plumbing tests"
+        "only grayscale PNG decodes in this environment (no PIL/cv2); "
+        "use fake_decode for deterministic plumbing tests of other formats"
     )
 
 
@@ -219,6 +225,108 @@ def window_energy(df: DataFrame, window_bytes: int = 32) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(_energy, schema=out_schema)
+
+
+def audio_rms_features(df: DataFrame, frame_samples: int = 256) -> DataFrame:
+    """REAL audio feature extraction over PCM-WAV payloads: decode with
+    the stdlib codec, then per-frame RMS + peak over the actual int16
+    samples (not byte-value proxies) — the standard first stage of any
+    audio-quality / VAD pipeline. → (doc_id, frame_idx, n_samples,
+    rms, peak) rows, one per fixed-size sample frame.
+
+    mapInPandas over Arrow batches, partition-parallel, no shuffle;
+    codec functions serialize BY VALUE (register_pickle_by_value on
+    the codecs module) so workers need no hgn_spark on sys.path.
+    Payloads that are not 16-bit PCM WAV raise — callers route by
+    `sniff_modality` first, the whole point of the modality column.
+    """
+    import numpy as np
+    from pyspark import cloudpickle
+
+    from hgn_spark.multimodal import codecs
+
+    cloudpickle.register_pickle_by_value(codecs)
+    decode = codecs.decode_wav_pcm16
+
+    out_schema = (
+        "doc_id long, frame_idx int, n_samples int, rms double, peak int"
+    )
+
+    def _rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = decode(bytes(payload))
+                s = np.atleast_1d(samples).astype(np.float64)
+                if s.size == 0:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": 0,
+                            "n_samples": 0,
+                            "rms": 0.0,
+                            "peak": 0,
+                        }
+                    )
+                    continue
+                for f in range(0, s.size, frame_samples):
+                    win = s[f : f + frame_samples]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": f // frame_samples,
+                            "n_samples": int(win.size),
+                            "rms": round(float(np.sqrt(np.mean(win**2))), 4),
+                            "peak": int(np.abs(win).max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(_rms, schema=out_schema)
+
+
+def png_decode_resize_features(
+    df: DataFrame, out_h: int = 4, out_w: int = 4
+) -> DataFrame:
+    """REAL image preprocessing: decode grayscale-PNG payloads with the
+    stdlib codec, nearest-neighbor resize to (out_h, out_w), emit the
+    pixel grid + mean intensity — `decode_resize_features`' shape with
+    an actual format decode in place of the byte-tiling fake.
+    → (doc_id, height, width, pixels array<long>, mean_px).
+    """
+    import numpy as np
+    from pyspark import cloudpickle
+
+    from hgn_spark.multimodal import codecs
+
+    cloudpickle.register_pickle_by_value(codecs)
+    decode = codecs.decode_png_gray8
+
+    out_schema = (
+        "doc_id long, height int, width int, pixels array<long>, mean_px double"
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                grid = decode(bytes(payload))
+                h, w = grid.shape
+                r_idx = np.floor(np.arange(out_h) * h / out_h).astype(int)
+                c_idx = np.floor(np.arange(out_w) * w / out_w).astype(int)
+                small = grid[np.ix_(r_idx, c_idx)].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "height": int(h),
+                        "width": int(w),
+                        "pixels": small.ravel().tolist(),
+                        "mean_px": round(float(small.mean()), 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, schema=out_schema)
 
 
 def decode_resize_features(

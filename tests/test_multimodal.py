@@ -121,6 +121,159 @@ def test_window_energy_matches_numpy(spark):
     assert len(got) == n_windows
 
 
+def test_wav_codec_roundtrip():
+    """PCM-WAV encode→decode is exact for random int16 signals."""
+    import numpy as np
+
+    from hgn_spark.multimodal.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=1000, dtype=np.int16)
+    payload = encode_wav_pcm16(samples, sample_rate=8000)
+    rate, back = decode_wav_pcm16(payload)
+    assert rate == 8000
+    assert np.array_equal(back, samples)
+
+
+def test_png_codec_roundtrip_and_crc():
+    """Grayscale-PNG encode→decode is exact; a corrupted byte fails the
+    CRC check instead of decoding garbage."""
+    import numpy as np
+    import pytest
+
+    from hgn_spark.multimodal.codecs import decode_png_gray8, encode_png_gray8
+
+    rng = np.random.default_rng(11)
+    grid = rng.integers(0, 256, size=(13, 7), dtype=np.uint8)
+    payload = encode_png_gray8(grid)
+    assert np.array_equal(decode_png_gray8(payload), grid)
+    corrupted = bytearray(payload)
+    corrupted[40] ^= 0xFF  # inside IHDR/IDAT body
+    with pytest.raises(ValueError):
+        decode_png_gray8(bytes(corrupted))
+
+
+def test_png_unfilter_types_hand_computed():
+    """Each PNG scanline filter (Sub/Up/Average/Paeth) unfilters to the
+    hand-computed pixel values — built from raw scanline bytes, not our
+    own encoder, so encoder and decoder cannot share a bug."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hgn_spark.multimodal.codecs import _PNG_SIG, _chunk, decode_png_gray8
+
+    def build(raw_scanlines: bytes, w: int, h: int) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw_scanlines))
+            + _chunk(b"IEND", b"")
+        )
+
+    # Row 0 filter None: [10, 20, 30]
+    # Row 1 filter Sub:  raw [5, 7, 9]  -> 5, 12, 21 (adds left)
+    # Row 2 filter Up:   raw [1, 1, 1]  -> 6, 13, 22 (adds above)
+    raw = bytes([0, 10, 20, 30]) + bytes([1, 5, 7, 9]) + bytes([2, 1, 1, 1])
+    got = decode_png_gray8(build(raw, 3, 3))
+    assert got.tolist() == [[10, 20, 30], [5, 12, 21], [6, 13, 22]]
+
+    # Average: row0 None [100, 50]; row1 Average raw [10, 20]:
+    #   px0 = 10 + 100//2 = 60; px1 = 20 + (60 + 50)//2 = 75
+    raw = bytes([0, 100, 50]) + bytes([3, 10, 20])
+    got = decode_png_gray8(build(raw, 2, 2))
+    assert got.tolist() == [[100, 50], [60, 75]]
+
+    # Paeth: row0 None [100, 200]; row1 Paeth raw [10, 20]:
+    #   px0: paeth(0, 100, 0) = 100 -> 110
+    #   px1: a=110 b=200 c=100; p=210; pa=100 pb=10 pc=110 -> b=200
+    #        -> (20+200)%256 = 220
+    raw = bytes([0, 100, 200]) + bytes([4, 10, 20])
+    got = decode_png_gray8(build(raw, 2, 2))
+    assert got.tolist() == [[100, 200], [110, 220]]
+
+
+def test_audio_rms_features_real_wav(spark):
+    """Real WAV payloads through the Spark extractor: per-frame RMS and
+    peak equal a direct numpy computation on the source samples."""
+    import numpy as np
+
+    from hgn_spark.multimodal.codecs import encode_wav_pcm16
+    from hgn_spark.multimodal.ops import audio_rms_features
+
+    rng = np.random.default_rng(3)
+    sigs = {
+        1: (1000.0 * np.sin(np.arange(600) * 0.1)).astype(np.int16),
+        2: rng.integers(-2000, 2000, size=100, dtype=np.int16),
+        3: np.zeros(0, dtype=np.int16),  # empty stream
+    }
+    df = spark.createDataFrame(
+        [(i, encode_wav_pcm16(s)) for i, s in sigs.items()],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in audio_rms_features(df, frame_samples=256).collect()
+    }
+    n_frames = 0
+    for i, s in sigs.items():
+        if s.size == 0:
+            assert got[(i, 0)]["n_samples"] == 0 and got[(i, 0)]["rms"] == 0.0
+            n_frames += 1
+            continue
+        for f in range(0, s.size, 256):
+            win = s[f : f + 256].astype(np.float64)
+            r = got[(i, f // 256)]
+            assert r["n_samples"] == win.size
+            assert r["rms"] == round(float(np.sqrt(np.mean(win**2))), 4)
+            assert r["peak"] == int(np.abs(win).max())
+            n_frames += 1
+    assert len(got) == n_frames
+
+
+def test_png_decode_resize_features_real_png(spark):
+    """Real PNG payloads through the Spark extractor: decoded +
+    resized grids match a direct numpy computation."""
+    import numpy as np
+
+    from hgn_spark.multimodal.codecs import encode_png_gray8
+    from hgn_spark.multimodal.ops import png_decode_resize_features
+
+    rng = np.random.default_rng(5)
+    grids = {
+        1: rng.integers(0, 256, size=(8, 8), dtype=np.uint8),
+        2: rng.integers(0, 256, size=(16, 12), dtype=np.uint8),
+    }
+    df = spark.createDataFrame(
+        [(i, encode_png_gray8(g)) for i, g in grids.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in png_decode_resize_features(df).collect()}
+    for i, g in grids.items():
+        h, w = g.shape
+        r_idx = np.floor(np.arange(4) * h / 4).astype(int)
+        c_idx = np.floor(np.arange(4) * w / 4).astype(int)
+        small = g[np.ix_(r_idx, c_idx)].astype(np.int64)
+        assert (got[i]["height"], got[i]["width"]) == (h, w)
+        assert got[i]["pixels"] == small.ravel().tolist()
+        assert got[i]["mean_px"] == round(float(small.mean()), 4)
+
+
+def test_decode_image_routes_png_and_rejects_others():
+    import numpy as np
+    import pytest
+
+    from hgn_spark.multimodal.codecs import encode_png_gray8
+    from hgn_spark.multimodal.ops import decode_image
+
+    grid = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(decode_image(encode_png_gray8(grid)), grid)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+
+
 def test_sniff_modality_signatures(spark):
     """Magic-byte classification on hand-built payloads covers every
     signature (incl. GIF, which the planted driver row doesn't use),
