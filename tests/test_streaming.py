@@ -35,6 +35,104 @@ def test_session_windows_subset_of_batch(spark):
     assert len(emitted) >= 0.9 * len(batch)
 
 
+def test_session_windows_incremental_multibatch(spark, tmp_path):
+    """Sessionization across REAL incremental micro-batches: the event
+    stream arrives as three chronological feeds, each processed by its
+    own availableNow run against a SHARED checkpoint — so session
+    state (including sessions spanning feed boundaries) survives
+    restart via the state store, the watermark advances per run, and
+    append emission accumulates. The union of emitted sessions must
+    equal the batch sessionizer filtered by the final watermark — the
+    same rule the single-batch driver oracle replays. This is the
+    deployment shape (a daily feed into a standing checkpoint), not
+    the single-batch degenerate case."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    mid1, mid2 = events.approxQuantile("ts_us", [0.34, 0.67], 0.0)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunks = [
+        events.filter(F.col("ts_us") <= mid1).drop("ts_us"),
+        events.filter((F.col("ts_us") > mid1) & (F.col("ts_us") <= mid2)).drop(
+            "ts_us"
+        ),
+        events.filter(F.col("ts_us") > mid2).drop("ts_us"),
+    ]
+    schema = chunks[0].schema
+    events = events.drop("ts_us")
+    for i, chunk in enumerate(chunks):
+        chunk.write.mode("append").parquet(src)
+        s = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+            .withWatermark("ts", "1 hour")
+        )
+        agg = s.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        q = (
+            agg.select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                "n_events",
+                "session_value",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    emitted = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(emitted) > 0
+
+    # Expected: batch gap-sessionization, sessions whose window end
+    # (last event + 30 min) the final watermark (max ts - 1 h) passed.
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    sess = (
+        events.withColumn(
+            "new_s", F.when(us - F.lag(us).over(w) < 1_800_000_000, 0).otherwise(1)
+        )
+        .withColumn("sid", F.sum("new_s").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) + 1_800_000_000).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+    wm = events.agg(F.unix_micros(F.max("ts")) - 3_600_000_000).first()[0]
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in sess.filter(F.col("end_us") <= wm).collect()
+    }
+    assert emitted == want
+    # the run count is real multi-batch: at least one session must span
+    # a feed boundary if any user has events in adjacent chunks within
+    # 30 min — regardless, the equality above proves cross-run state
+    # merge + per-run watermark advance produced exactly the batch
+    # semantics.
+
+
 def test_streaming_dedup_matches_batch(spark):
     from pyspark.sql import functions as F
 
