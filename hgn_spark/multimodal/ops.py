@@ -329,6 +329,39 @@ def png_decode_resize_features(
     return df.select("doc_id", "payload").mapInPandas(_resize, schema=out_schema)
 
 
+def route_by_modality(df: DataFrame) -> dict[str, DataFrame]:
+    """The catalog-scan routing step `sniff_modality` exists for: one
+    scan classifies every payload by magic bytes, then each modality
+    slice feeds its own extractor —
+
+    - ``audio/wav``  → `audio_rms_features` (real PCM decode);
+    - ``image/png``  → `png_decode_resize_features` (real PNG decode);
+    - everything else → `byte_histogram_features` (format-agnostic).
+
+    Returns the three labeled feature frames. Each slice is a FILTER
+    over the same scan (predicate on the sniffed column — no shuffle,
+    no second pass over the payload bytes for routing); at 100 TB this
+    is one pass over the binary table fanning into per-modality
+    mapInPandas stages. Mixed corpora never hit the wrong decoder, so
+    the decoders can stay strict (raise on foreign formats) instead of
+    guessing.
+    """
+    classified = df.withColumn("modality", sniff_modality(F.col("payload")))
+    return {
+        "audio/wav": audio_rms_features(
+            classified.filter(F.col("modality") == "audio/wav")
+        ),
+        "image/png": png_decode_resize_features(
+            classified.filter(F.col("modality") == "image/png")
+        ),
+        "other": byte_histogram_features(
+            classified.filter(
+                ~F.col("modality").isin("audio/wav", "image/png")
+            )
+        ),
+    }
+
+
 def decode_resize_features(
     df: DataFrame, height: int = 8, width: int = 8, out_h: int = 4, out_w: int = 4
 ) -> DataFrame:

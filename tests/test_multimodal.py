@@ -261,6 +261,35 @@ def test_png_decode_resize_features_real_png(spark):
         assert got[i]["mean_px"] == round(float(small.mean()), 4)
 
 
+def test_route_by_modality_mixed_corpus(spark):
+    """A mixed binary corpus (real WAV + real PNG + raw text bytes)
+    routes each payload to the right extractor off one sniffed scan:
+    every doc lands in exactly one slice, the strict decoders never see
+    a foreign format, and the features are the real decoded ones."""
+    import numpy as np
+
+    from hgn_spark.multimodal.codecs import encode_png_gray8, encode_wav_pcm16
+    from hgn_spark.multimodal.ops import route_by_modality
+
+    rng = np.random.default_rng(9)
+    wav = encode_wav_pcm16(
+        rng.integers(-500, 500, size=300, dtype=np.int16)
+    )
+    png = encode_png_gray8(rng.integers(0, 256, size=(8, 8), dtype=np.uint8))
+    rows = [(1, wav), (2, png), (3, b"plain old text payload")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    routed = route_by_modality(df)
+    audio = routed["audio/wav"].collect()
+    image = routed["image/png"].collect()
+    other = routed["other"].collect()
+    assert {r["doc_id"] for r in audio} == {1}
+    assert {r["doc_id"] for r in image} == {2}
+    assert {r["doc_id"] for r in other} == {3}
+    assert len(audio) == 2  # 300 samples / 256-sample frames
+    assert image[0]["height"] == 8 and len(image[0]["pixels"]) == 16
+    assert other[0]["n_bytes"] == len(b"plain old text payload")
+
+
 def test_decode_image_routes_png_and_rejects_others():
     import numpy as np
     import pytest
