@@ -1324,22 +1324,38 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum orders by (ts, event_id) so the plan is deterministic under ties.
     """
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    us = F.unix_micros(F.col("ts"))
-    flagged = e.withColumn(
-        "new_session",
-        F.when(us - F.lag(us).over(w) <= 1_800_000_000, 0).otherwise(1),
-    )
-    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    numbered = sessionize(e, "user_id", "ts", ["event_id"])
     return numbered.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("session_value"),
         (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
             "duration_sec"
         ),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str],
+    gap_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Gap-based session numbering: adds ``session_id`` (1-based per
+    key) — a new session starts when the microsecond gap to the
+    previous event exceeds ``gap_us``. The reusable core of
+    `sessionize_events` (same lag + running-sum shape); the order
+    within a key is (ts, *tiebreak_cols) so numbering is deterministic
+    under ties. Property-tested against a pure-Python sessionizer on
+    random streams (tests/test_llm_ops.py)."""
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = W.partitionBy(key_col).orderBy(*order)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    flagged = df.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) <= gap_us, 0).otherwise(1),
+    )
+    return flagged.withColumn("session_id", F.sum("new_session").over(wrun)).drop(
+        "new_session"
     )

@@ -574,6 +574,61 @@ def test_mixture_rates_drops_unweighted_groups(spark):
         mixture_rates(base, "g", {"nope": 1.0})
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_event_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=20_000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_event_streams)
+def test_sessionize_matches_pure_python(spark, rows):
+    """The lag + running-sum sessionizer agrees with a pure-Python
+    sessionizer on arbitrary per-user event streams (30-min gap,
+    boundary-inclusive: a gap of exactly gap_us stays in-session)."""
+    import datetime as dt
+
+    from hgn_spark.operators.relational import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in sessionize(df, "user_id", "ts", ["event_id"], gap_us=1_800_000_000)
+        .collect()
+    }
+    # pure-Python reference
+    want = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for s, i in evs:
+            if prev is None or (s - prev) * 1_000_000 > 1_800_000_000:
+                sid += 1
+            want[i] = (u, sid)
+            prev = s
+    assert got == want
+
+
 def test_assign_splits_deterministic_disjoint_stable(spark):
     """Split assignment is a pure function of the row's own id:
     disjoint + exhaustive, proportions near the weights, repeatable,
