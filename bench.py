@@ -60,6 +60,7 @@ HEADLINE = [
     "graph_label_propagation",
     "hgn_communities",
     "streaming_tumbling_daily",
+    "streaming_session_windows",
 ]
 
 

@@ -735,6 +735,60 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    sample_rate_hex: str = "40000000",
+    oversample: int = 4,
+) -> DataFrame:
+    """Top-k most frequent values with BOUNDED shuffle: the
+    sample-then-verify pattern a 100 TB engine uses when the key space
+    is too large for a full groupBy count.
+
+    Pass 1 counts only a deterministic md5-row-sample (first 32 bits of
+    a per-row hash under ``sample_rate_hex`` ≈ 25% by default) — the
+    shuffle carries sampled keys only — and keeps the top
+    ``k * oversample`` candidates. Pass 2 exactly counts JUST the
+    candidates via a broadcast semi-join filter pushed to the scan, so
+    the final numbers are exact, not estimates. A true heavy hitter
+    appears in the sample with overwhelming probability (frequency
+    f → Binomial(f, rate) sample hits); oversampling absorbs
+    borderline ranks. Deterministic end to end (hash sample + (count
+    desc, value asc) tie-break) — no randomSplit/Math.random.
+
+    Scope: correct top-k requires the distribution to HAVE heavy
+    hitters (Zipf-ish). On near-uniform counts (every key within
+    sampling noise of rank k), no sampling scheme can rank and ranks
+    may swap with the full groupBy — which is the regime where a plain
+    groupBy count is affordable anyway (shuffle ∝ distinct keys, all
+    of which you are about to return).
+
+    → (value, n) rows, exact counts, top-k by (n desc, value asc).
+    """
+    v = F.col(col)
+    # Per-row hash: value + a per-row disambiguator would need a row id;
+    # sampling on the VALUE would keep all-or-none of a key's rows, so
+    # sample on the row content hash (monotonically_increasing_id is
+    # partition-stable but not content-stable; xxhash64 over the whole
+    # row's value + a salt column set is content-deterministic).
+    row_u8 = F.substring(F.md5(F.concat_ws("\x1f", *df.columns)), 1, 8)
+    sampled = df.filter(row_u8 < sample_rate_hex)
+    cands = (
+        sampled.groupBy(v.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+        .orderBy(F.col("n_sample").desc(), F.col("value"))
+        .limit(k * oversample)
+        .select("value")
+    )
+    exact = (
+        df.join(F.broadcast(cands), v == F.col("value"), "left_semi")
+        .groupBy(v.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.orderBy(F.col("n").desc(), F.col("value")).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

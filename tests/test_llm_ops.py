@@ -574,6 +574,42 @@ def test_mixture_rates_drops_unweighted_groups(spark):
         mixture_rates(base, "g", {"nope": 1.0})
 
 
+def test_heavy_hitters_exact_topk_zipf(spark):
+    """Sample-then-verify heavy hitters returns the EXACT top-k (same
+    set, same exact counts, same tie-break) as a full groupBy on a
+    Zipf-distributed key stream — the operator's actual setting (the
+    candidate sample only bounds the shuffle, never the answer, when
+    true heavy keys exist; on near-uniform data no sampling scheme can
+    rank, which is why the docstring scopes it to heavy-hitter
+    distributions)."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.relational import heavy_hitters
+
+    rows = []
+    rid = 0
+    for i in range(1, 201):  # key_i appears ~2000/i times
+        for _ in range(2000 // i):
+            rows.append((rid, f"key_{i:03d}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "row_id long, k string")
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "k", k=10).collect()]
+    want = [
+        (r["k"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("k"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+    assert got[0] == ("key_001", 2000)
+    # deterministic repeat
+    assert got == [
+        (r["value"], r["n"]) for r in heavy_hitters(df, "k", k=10).collect()
+    ]
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
