@@ -338,13 +338,15 @@ def route_by_modality(df: DataFrame) -> dict[str, DataFrame]:
     - ``image/png``  → `png_decode_resize_features` (real PNG decode);
     - everything else → `byte_histogram_features` (format-agnostic).
 
-    Returns the three labeled feature frames. Each slice is a FILTER
-    over the same scan (predicate on the sniffed column — no shuffle,
-    no second pass over the payload bytes for routing); at 100 TB this
-    is one pass over the binary table fanning into per-modality
-    mapInPandas stages. Mixed corpora never hit the wrong decoder, so
-    the decoders can stay strict (raise on foreign formats) instead of
-    guessing.
+    Returns the three labeled feature frames. Routing is a scan-side
+    predicate on the sniffed column — no shuffle, no decode during
+    routing. Each returned frame is lazy, so acting on all three
+    independently re-reads the source; a 100 TB job materializes the
+    routing once (persist `classified`, or better: one
+    partitionBy("modality") write, after which each extractor reads
+    only its own partition — partition pruning does the routing).
+    Mixed corpora never hit the wrong decoder, so the decoders stay
+    strict (raise on foreign formats) instead of guessing.
     """
     classified = df.withColumn("modality", sniff_modality(F.col("payload")))
     return {

@@ -765,6 +765,8 @@ def heavy_hitters(
     of which you are about to return).
 
     → (value, n) rows, exact counts, top-k by (n desc, value asc).
+    (The sample hash concatenates every column of ``df`` — project to
+    the key column(s) first when rows carry heavy payloads.)
     """
     v = F.col(col)
     # Per-row hash: value + a per-row disambiguator would need a row id;
