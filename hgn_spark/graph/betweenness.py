@@ -69,11 +69,18 @@ def shortest_path_lengths(edges: DataFrame, max_len: int = 2) -> DataFrame:
             .withColumn("distance", F.lit(d))
         )
         # Level d's checkpoint copies the whole known set forward, so
-        # level d-1's blocks are superseded — free them eagerly.
+        # level d-1's blocks are superseded — free them eagerly. The
+        # next frontier must be RE-DERIVED from the new checkpoint, not
+        # kept as the lazy `nxt` plan: `nxt`'s anti-join references the
+        # previous `known` generation, whose blocks are released below —
+        # re-evaluating it next round would read truncated-lineage
+        # checkpoint blocks and crash (observed at max_len >= 4; the
+        # shipped k=2/3 depths never re-evaluate a released generation,
+        # which is how the bug stayed latent).
         known, new_ids = jan.checkpoint(known.unionByName(nxt))
+        frontier = known.filter(F.col("distance") == d).drop("distance")
         jan.release(live)
         live = new_ids
-        frontier = nxt.drop("distance")
     return known
 
 

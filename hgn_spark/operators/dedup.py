@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
 from hgn_spark.checkpoint import tracked_local_checkpoint
-from hgn_spark.operators.similarity import cosine
 from hgn_spark.operators.text import DUCK_SHINGLES, DUCK_TOKENS, shingles, tokens
 from hgn_spark.registry import register
 
@@ -142,14 +141,16 @@ _CACHE_BLOCK_IDS: dict[tuple[str, str], set[int]] = {}
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hs: sorted array<long>, sz) — one row per document,
-    hs = xxhash64 of each distinct 3-gram shingle, materialized once
-    per (session, sf_dir).
+    hs = the engine-portable 48-bit md5 hash (`_h48`) of each distinct
+    3-gram shingle, materialized once per (session, sf_dir).
 
     Built entirely scan-side (tokenize → shingle → hash inside one
     projection — no explode, no shuffle), then checkpointed so every
     downstream sketch reads materialized arrays instead of re-running
-    the text pipeline. 64-bit collisions across ~27k distinct shingles
-    are ~1e-11 — irrelevant next to the exact-verify step.
+    the text pipeline. 48-bit collisions across ~27k distinct shingles
+    are ~1e-6 (see the portable-hashing note above) — irrelevant next
+    to the exact-verify step, and the md5 derivation is what lets the
+    DuckDB oracles replay every sketch bit-for-bit.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _DOC_SETS_CACHE.get(key)
@@ -193,13 +194,31 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hashed_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h) inverted index with h = xxhash64(shingle), derived
-    from the per-doc shingle-set checkpoint — the explode re-runs per
-    consumer, but over materialized 8-byte longs, never re-tokenizing.
-    Join/shuffle keys are longs instead of ~25-byte strings."""
+    """(doc_id, h) inverted index with h = the portable 48-bit md5
+    shingle hash, derived from the per-doc shingle-set checkpoint — the
+    explode re-runs per consumer, but over materialized 8-byte longs,
+    never re-tokenizing. Join/shuffle keys are longs instead of
+    ~25-byte strings."""
     return _doc_shingle_sets(spark, sf_dir).select(
         "doc_id", F.explode("hs").alias("h")
     )
+
+
+def _drop_hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Mega-bucket guard, single definition: drop shingles appearing in
+    more than ``df_cap`` docs from CANDIDATE generation (verify always
+    recomputes exact jaccard over the full index, so surviving pairs
+    keep their true score). Recall caveat: a pair whose shared shingles
+    are ALL hotter than the cap is missed — at jaccard >= 0.8 a pair
+    shares dozens of shingles, so a sane cap loses nothing (asserted
+    in tests/test_llm_ops.py)."""
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("h")
+    )
+    return sh.join(F.broadcast(hot), "h", "left_anti")
 
 
 def _verified_jaccard(cands: DataFrame, sets_: DataFrame) -> DataFrame:
@@ -347,13 +366,7 @@ def neardup_incremental(
     sets_ = _doc_shingle_sets(spark, sf_dir)
     sh = _hashed_shingle_index(spark, sf_dir)
     if df_cap is not None:
-        hot = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("h")
-        )
-        sh = sh.join(F.broadcast(hot), "h", "left_anti")
+        sh = _drop_hot_shingles(sh, df_cap)
     is_batch = F.col("doc_id") % batch_mod == batch_rem
     bsh = sh.filter(is_batch)
     csh = sh.filter(~is_batch)
@@ -394,12 +407,13 @@ _NGRAM_PAIR_CTES = f"""tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     jpairs AS (
-      SELECT d1, d2,
-             round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
-      FROM cpairs
-      JOIN sizes s1 ON s1.doc_id = d1
-      JOIN sizes s2 ON s2.doc_id = d2
-      WHERE common * 1.0 / (s1.sz + s2.sz - common) >= {JACCARD_THRES})"""
+      SELECT d1, d2, jaccard FROM (
+        SELECT d1, d2,
+               round(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+        FROM cpairs
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2)
+      WHERE jaccard >= {JACCARD_THRES})"""
 
 
 @register(
@@ -476,14 +490,7 @@ def ngram_jaccard_pairs_capped(
     shingles, so a sane cap loses nothing (asserted against the
     uncapped query in tests/test_llm_ops.py)."""
     sets_ = _doc_shingle_sets(spark, sf_dir)
-    sh = _hashed_shingle_index(spark, sf_dir)
-    hot = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("h")
-    )
-    capped = sh.join(F.broadcast(hot), "h", "left_anti")
+    capped = _drop_hot_shingles(_hashed_shingle_index(spark, sf_dir), df_cap)
     a = capped.select(F.col("doc_id").alias("d1"), "h")
     b = capped.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
     cands = (
@@ -780,7 +787,7 @@ def _srp_oracle(dim: int = EMB_DIM) -> str:
     """DuckDB replay of the SRP pipeline. The hyperplanes are
     deterministic md5 literals, so they inline into the SQL; sign bits,
     band codes, bucket join and cosine verify are all exact replays
-    (testdata embeddings are {dim}-dimensional at every sf)."""
+    (testdata embeddings are EMB_DIM (64)-dimensional at every sf)."""
     planes = _srp_planes(SRP_BITS, dim)
     plane_lits = [
         "[" + ",".join("1.0" if v > 0 else "-1.0" for v in row) + "]"
@@ -856,21 +863,22 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(F.round(_proj(j), 6) > 0, 1).otherwise(0).alias(f"b{j}")
         for j in range(SRP_BITS)
     ]
-    sig = emb.select("vec_id", "embedding", *bit_cols)
+    # Bands carry vec_id ONLY: shipping the 64-float arrays through the
+    # 2x band explode and both sides of the bucket join would multiply
+    # the shuffled bytes for nothing — candidates rejoin the embedding
+    # table (with its precomputed norm) at the pair level instead, and
+    # the verify uses cosine_prenormed (bit-identical to cosine; the
+    # per-pair norm folds were 2/3 of every pairwise cosine).
+    sig = emb.select("vec_id", *bit_cols)
     half = SRP_BITS // 2
     lo = sum(F.col(f"b{j}") * (1 << j) for j in range(half))
     hi = sum(F.col(f"b{j}") * (1 << (j - half)) for j in range(half, SRP_BITS))
     banded = sig.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(F.array(lo, hi)).alias("band", "bh"),
+        "vec_id", F.posexplode(F.array(lo, hi)).alias("band", "bh")
     )
-    left = banded.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "band", "bh"
-    )
+    left = banded.select(F.col("vec_id").alias("v1"), "band", "bh")
     right = banded.select(
         F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("e2"),
         F.col("band").alias("band2"),
         F.col("bh").alias("bh2"),
     )
@@ -881,10 +889,33 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("bh") == F.col("bh2"))
             & (F.col("v1") < F.col("v2")),
         )
-        .dropDuplicates(["v1", "v2"])
+        .select("v1", "v2")
+        .distinct()
     )
+    e1 = emb.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    from hgn_spark.operators.similarity import cosine_prenormed
+
     return (
-        cands.withColumn("cosine", F.round(cosine(F.col("e1"), F.col("e2")), 6))
+        cands.join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenormed(
+                    F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= EMB_COS_THRES)
         .select("v1", "v2", "cosine")
     )

@@ -60,8 +60,19 @@ DUCK_SHINGLES = (
 DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
+def _sql_str_list(items: tuple[str, ...]) -> str:
+    """Explicit SQL string-list literal. Python tuple repr happens to
+    look like SQL for >= 2 elements but emits a trailing comma for one
+    (``('the',)``) — render explicitly so a future 1-element marker or
+    stopword set cannot produce invalid oracle SQL."""
+    return "(" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + ")"
+
+
+_SQL_STOPWORDS = _sql_str_list(STOPWORDS)
+
+
 def _duck_lang_score(markers: tuple[str, ...]) -> str:
-    return f"len(list_filter(l, t -> t IN {markers}))"
+    return f"len(list_filter(l, t -> t IN {_sql_str_list(markers)}))"
 
 
 @register(
@@ -82,10 +93,10 @@ def _duck_lang_score(markers: tuple[str, ...]) -> str:
            len(list_distinct(l)) AS n_distinct,
            round(list_sum(list_transform(l, t -> len(t))) * 1.0 / len(l), 4)
              AS avg_token_len,
-           round(len(list_filter(l, t -> t IN {STOPWORDS})) * 1.0 / len(l), 4)
+           round(len(list_filter(l, t -> t IN {_SQL_STOPWORDS})) * 1.0 / len(l), 4)
              AS stopword_ratio,
            (len(l) BETWEEN 20 AND 2000
-            AND len(list_filter(l, t -> t IN {STOPWORDS})) * 1.0 / len(l) < 0.3)
+            AND len(list_filter(l, t -> t IN {_SQL_STOPWORDS})) * 1.0 / len(l) < 0.3)
              AS is_quality,
            best.lang AS pred_lang,
            best.score AS lang_score,
@@ -196,12 +207,12 @@ N_SHARDS = 8    # parallel packing streams
 def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing — the standard LLM-pretraining
     step that lays tokenized documents head-to-tail and slices the
-    stream into fixed {CTX_LEN}-token chunks. Per document: its shard,
+    stream into fixed CTX_LEN (512)-token chunks. Per document: its shard,
     token count, stream offset, owning chunk and offset within it (a
     doc whose tokens straddle a boundary spans chunks, as in real
     packing).
 
-    Scale shape: documents are split into {N_SHARDS} deterministic
+    Scale shape: documents are split into N_SHARDS (8) deterministic
     shards (production: hash(doc_id) % shards) packed independently —
     the running-offset window is per-shard, so the only shuffle is the
     shard partitioning and no global order exists anywhere. Chunk ids
@@ -262,8 +273,8 @@ DECON_BENCH_MOD = 29  # doc_id % MOD == 0 plays the held-out benchmark set
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — flag training documents that share
-    {DECON_N}-grams with a held-out benchmark set (here the deterministic
-    doc_id % {DECON_BENCH_MOD} == 0 slice plays the eval suite). Output:
+    DECON_N (7)-grams with a held-out benchmark set (here the deterministic
+    doc_id % DECON_BENCH_MOD (29) == 0 slice plays the eval suite). Output:
     one row per contaminated document with its distinct shared-gram
     count and contamination fraction; clean documents never leave the
     map side.
@@ -555,7 +566,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(l) AS n_tok,
              md5(array_to_string(l, ' ')) AS fp,
              (len(l) BETWEEN 20 AND 2000
-              AND len(list_filter(l, t -> t IN {STOPWORDS})) * 1.0
+              AND len(list_filter(l, t -> t IN {_SQL_STOPWORDS})) * 1.0
                   / greatest(len(l), 1) < 0.3) AS is_quality
       FROM d)
     SELECT source, lang,
@@ -645,7 +656,7 @@ TFIDF_TOPK = 3  # distinctive terms kept per document
     tags=("text", "ir", "llm-pipeline"),
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOPK} distinctive terms per document by TF-IDF —
+    """Top-TFIDF_TOPK (3) distinctive terms per document by TF-IDF —
     the standard corpus-statistics operator behind keyword extraction,
     topic labeling and quality heuristics in a training-data pipeline.
 

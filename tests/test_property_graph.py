@@ -99,6 +99,28 @@ def test_sp_lengths_match_bfs(spark, edges):
     assert got == _bfs_dists(real, max_len=3)
 
 
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_sp_lengths_deep_truncation(spark, edges):
+    """max_len >= 4 regression: the loop used to release the checkpoint
+    generation the next frontier's lazy plan still referenced, crashing
+    on any depth that re-evaluates a released generation (depths 2-3
+    never did, which kept it latent)."""
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): r["distance"]
+        for r in shortest_path_lengths(df, max_len=5).collect()
+    }
+    assert got == _bfs_dists(real, max_len=5)
+
+
 def _brute_triangles(edges: list[tuple[int, int]]) -> dict[int, int]:
     adj = defaultdict(set)
     for u, v in edges:
