@@ -196,7 +196,7 @@ def window_energy(df: DataFrame, window_bytes: int = 32) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
                 if len(buf) == 0:
                     # Keep empty payloads visible in the feature table
                     # (one zero-window row), consistent with
@@ -329,14 +329,32 @@ def png_decode_resize_features(
     return df.select("doc_id", "payload").mapInPandas(_resize, schema=out_schema)
 
 
+def _png_decodable(payload) -> "object":
+    """Scan-side CAPABILITY check for the stdlib PNG decoder: 8-bit
+    depth + grayscale color type (IHDR bytes 25-26 = 0x08 0x00) and
+    non-interlaced (byte 29 = 0x00). Routing must not send an RGB /
+    palette / interlaced PNG to the strict decoder — it would raise
+    inside mapInPandas and fail the job."""
+    from pyspark.sql import functions as F
+
+    return (F.substring(payload, 25, 2) == F.lit(b"\x08\x00")) & (
+        F.substring(payload, 29, 1) == F.lit(b"\x00")
+    )
+
+
 def route_by_modality(df: DataFrame) -> dict[str, DataFrame]:
     """The catalog-scan routing step `sniff_modality` exists for: one
     scan classifies every payload by magic bytes, then each modality
     slice feeds its own extractor —
 
     - ``audio/wav``  → `audio_rms_features` (real PCM decode);
-    - ``image/png``  → `png_decode_resize_features` (real PNG decode);
-    - everything else → `byte_histogram_features` (format-agnostic).
+    - ``image/png`` the stdlib decoder can handle (grayscale 8-bit
+      non-interlaced, checked scan-side via `_png_decodable` so a
+      routing mistake can never crash the strict decoder mid-job) →
+      `png_decode_resize_features` (real PNG decode);
+    - everything else — including PNG variants beyond the stdlib
+      decoder (RGB/palette/interlaced) → `byte_histogram_features`
+      (format-agnostic).
 
     Returns the three labeled feature frames. Routing is a scan-side
     predicate on the sniffed column — no shuffle, no decode during
@@ -349,16 +367,17 @@ def route_by_modality(df: DataFrame) -> dict[str, DataFrame]:
     strict (raise on foreign formats) instead of guessing.
     """
     classified = df.withColumn("modality", sniff_modality(F.col("payload")))
+    png_ok = (F.col("modality") == "image/png") & _png_decodable(
+        F.col("payload")
+    )
     return {
         "audio/wav": audio_rms_features(
             classified.filter(F.col("modality") == "audio/wav")
         ),
-        "image/png": png_decode_resize_features(
-            classified.filter(F.col("modality") == "image/png")
-        ),
+        "image/png": png_decode_resize_features(classified.filter(png_ok)),
         "other": byte_histogram_features(
             classified.filter(
-                ~F.col("modality").isin("audio/wav", "image/png")
+                (F.col("modality") != "audio/wav") & ~png_ok
             )
         ),
     }

@@ -80,10 +80,15 @@ def _u8(col: Column) -> Column:
     bind AS (SELECT min(n / (w / w_total)) AS binding_total
              FROM cnt JOIN mix_w USING (g) CROSS JOIN wt WHERE w > 0),
     thr AS (
-      SELECT g, printf('%08x', least(CAST(trunc(
-               least(CAST(1.0 AS DOUBLE),
-                     ((coalesce(w, CAST(0.0 AS DOUBLE)) / w_total) * binding_total) / n)
-               * 4294967296.0) AS BIGINT), 4294967295)) AS t
+      SELECT g, CASE
+               WHEN ((coalesce(w, CAST(0.0 AS DOUBLE)) / w_total)
+                     * binding_total) / n >= 1.0
+               THEN 'g'
+               ELSE printf('%08x', least(CAST(trunc(
+                      ((coalesce(w, CAST(0.0 AS DOUBLE)) / w_total)
+                       * binding_total) / n
+                      * 4294967296.0) AS BIGINT), 4294967295))
+             END AS t
       FROM cnt LEFT JOIN mix_w USING (g) CROSS JOIN wt CROSS JOIN bind),
     mx AS (
       SELECT 'mixture_remix' AS op, doc_id, lang, u8
@@ -176,10 +181,20 @@ def apply_mixture_sample(
     id fall under its group's rate threshold — the same scan-side,
     shuffle-free hash filter as the rate sampler, so remixes are
     reproducible across engines, retries and appends.
+
+    Rate >= 1.0 (the binding group) maps to the sentinel threshold
+    "g", which sorts above every hex digest — keep EVERYTHING. The
+    capped hex form ("ffffffff" under strict <) would drop rows whose
+    32-bit md5 prefix is exactly 0xffffffff (~1 in 4.3 B — expected
+    hits at corpus scale), quietly breaking the keep-all contract.
     """
     thr = None
     for g, rate in rates.items():
-        hex_thr = F.lit(format(min(int(rate * 2**32), 2**32 - 1), "08x"))
+        hex_thr = F.lit(
+            "g"
+            if rate >= 1.0
+            else format(min(int(rate * 2**32), 2**32 - 1), "08x")
+        )
         thr = (
             F.when(F.col(group_col) == g, hex_thr)
             if thr is None

@@ -161,11 +161,13 @@ def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_exploded_vals(emb: DataFrame, seeds: DataFrame) -> DataFrame:
-    """Shared Lloyd prologue: assign to nearest seed, explode to
+def _lloyd_exploded_vals(assign0: DataFrame) -> DataFrame:
+    """Shared Lloyd prologue: explode a nearest-seed assignment to
     (cent_id, vec_id, dim, val) rows — |corpus| × dim rows into the
-    per-dimension aggregation, one shuffle."""
-    assign0 = _assign_nearest(emb, seeds)
+    per-dimension aggregation, one shuffle. Takes the ASSIGNMENT (not
+    emb+seeds) so callers that already computed it — the IVF seed
+    variant's inverted lists are exactly this frame — can share it
+    instead of re-running the broadcast argmax."""
     return assign0.select(
         "cent_id",
         "vec_id",
@@ -207,14 +209,16 @@ def lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     full corpus per iteration.
     """
     per_dim = (
-        _lloyd_exploded_vals(emb, seeds)
+        _lloyd_exploded_vals(_assign_nearest(emb, seeds))
         .groupBy("cent_id", "dim")
         .agg(F.round(F.avg("val"), 6).alias("m"))
     )
     return _lloyd_assemble(per_dim)
 
 
-def _lloyd_refine_pinned(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+def _lloyd_refine_pinned(
+    emb: DataFrame, seeds: DataFrame, assign0: DataFrame | None = None
+) -> DataFrame:
     """One deterministic Lloyd iteration, ORACLE-REPLAY path: the
     per-dimension mean is a left fold over the vec_id-SORTED member
     values (so the DuckDB replay sums in the identical order), divided
@@ -228,8 +232,10 @@ def _lloyd_refine_pinned(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     bit-replay against a second engine isn't required; the two agree at
     the 6-decimal rounding (pinned by test).
     """
+    if assign0 is None:
+        assign0 = _assign_nearest(emb, seeds)
     per_dim = (
-        _lloyd_exploded_vals(emb, seeds)
+        _lloyd_exploded_vals(assign0)
         .groupBy("cent_id", "dim")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "val"))).alias("vv"))
         .withColumn(
@@ -338,19 +344,41 @@ _SQL_TAIL = f""",
     """
 
 
-def _ivf_query(spark: SparkSession, sf_dir: str, refine: bool) -> DataFrame:
-    """Shared IVF pipeline: centroids → assign → probe → exact re-rank."""
+def _ivf_seed_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(emb, seeds, seed_assign) — the corpus with norms, the stride
+    seeds, and the nearest-SEED assignment. The seed variant's inverted
+    lists and the kmeans variant's Lloyd input are the SAME frame, so a
+    caller building both variants computes the broadcast argmax once
+    (and may materialize it) instead of three times."""
     emb = load_embeddings(spark, sf_dir)
     seeds = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_e"),
         F.col("nrm").alias("cent_n"),
     )
-    # The registered driver row must bit-replay in DuckDB → pinned fold;
-    # production callers train centroids with the avg-based lloyd_refine.
-    cents = _lloyd_refine_pinned(emb, seeds) if refine else seeds
-    # Inverted lists: nearest centroid per vector.
-    assign = _assign_nearest(emb, cents)
+    return emb, seeds, _assign_nearest(emb, seeds)
+
+
+def _ivf_query(
+    spark: SparkSession,
+    sf_dir: str,
+    refine: bool,
+    frames: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Shared IVF pipeline: centroids → assign → probe → exact re-rank.
+    ``frames`` lets a caller inject pre-(computed|materialized)
+    `_ivf_seed_frames` output."""
+    emb, seeds, seed_assign = frames or _ivf_seed_frames(spark, sf_dir)
+    if refine:
+        # The registered driver row must bit-replay in DuckDB → pinned
+        # fold; production callers train centroids with the avg-based
+        # lloyd_refine. The Lloyd input IS the seed assignment.
+        cents = _lloyd_refine_pinned(emb, seeds, assign0=seed_assign)
+        assign = _assign_nearest(emb, cents)
+    else:
+        cents, assign = seeds, seed_assign
     # Queries probe their NPROBE nearest lists.
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -429,10 +457,18 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no cluster structure to learn) — the expected no-structure
     outcome, documented rather than hidden.
     """
-    seed = simsearch_ivf_seed_topk(spark, sf_dir).select(
+    # Both variants share the seed-assignment frame, materialized once:
+    # the seed variant's inverted lists and the kmeans variant's Lloyd
+    # input are the same broadcast-argmax pass, and a lazy union would
+    # re-run it per branch (Catalyst shares no subplans across union
+    # arms).
+    emb, seeds, seed_assign = _ivf_seed_frames(spark, sf_dir)
+    seed_assign = seed_assign.localCheckpoint(eager=True)
+    frames = (emb, seeds, seed_assign)
+    seed = _ivf_query(spark, sf_dir, refine=False, frames=frames).select(
         F.lit("seed").alias("variant"), "*"
     )
-    km = simsearch_ivf_kmeans_topk(spark, sf_dir).select(
+    km = _ivf_query(spark, sf_dir, refine=True, frames=frames).select(
         F.lit("kmeans").alias("variant"), "*"
     )
     return seed.unionByName(km)
@@ -510,7 +546,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_BITS = 5        # SRP bucket width → 2^5 inverted lists
-LSH_MULTIPROBE = 1  # probe own bucket + every 1-bit flip
+LSH_MULTIPROBE = 1  # probe own bucket + every flip of <= this many bits
 
 
 def simsearch_lsh_topk(
@@ -518,15 +554,18 @@ def simsearch_lsh_topk(
     sf_dir: str,
     n_bits: int = LSH_BITS,
     k: int = TOP_K,
+    multiprobe: int = LSH_MULTIPROBE,
 ) -> DataFrame:
     """LSH-bucketed ANN top-k — the hash-partitioned alternative to the
     IVF scale path: corpus vectors land in 2^n_bits signed-random-
     projection buckets (deterministic md5 planes shared with the SRP
-    dedup sketch), a query probes its own bucket plus every 1-bit-flip
-    neighbor (multiprobe — SRP sign bits flip most easily where the
-    projection is near zero, which is exactly where true neighbors
-    land across the plane), and probed candidates re-rank by exact
-    cosine. Probed fraction ≈ (1 + n_bits) / 2^n_bits of the corpus.
+    dedup sketch), a query probes its own bucket plus every bucket
+    within ``multiprobe`` bit flips (SRP sign bits flip most easily
+    where the projection is near zero, which is exactly where true
+    neighbors land across the plane), and probed candidates re-rank by
+    exact cosine. Probed fraction ≈ Σ_{r<=multiprobe} C(n_bits, r)
+    / 2^n_bits of the corpus (≈ (1 + n_bits) / 2^n_bits at the default
+    1-bit multiprobe).
 
     Same plan skeleton as IVF: equi-join on the bucket id (no
     all-pairs), window top-k per query; at cluster scale the corpus
@@ -570,17 +609,20 @@ def simsearch_lsh_topk(
         F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
+    import itertools
+
+    flip_masks = [0] + [
+        sum(1 << j for j in combo)
+        for r in range(1, multiprobe + 1)
+        for combo in itertools.combinations(range(n_bits), r)
+    ]
     probes = queries.select(
         "q_id",
         "q_emb",
         "q_nrm",
         F.explode(
             F.array(
-                F.col("q_bucket"),
-                *[
-                    F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
-                    for j in range(n_bits)
-                ],
+                *[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in flip_masks]
             )
         ).alias("bucket"),
     )

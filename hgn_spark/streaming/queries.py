@@ -109,7 +109,11 @@ def _run_to_parquet(df: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.read.parquet(path)
+    # Read back with the sink's declared schema: an append sink that
+    # emitted zero rows leaves only _spark_metadata in the directory,
+    # and schema inference would raise instead of returning the empty
+    # frame the caller expects.
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 @register(
@@ -235,12 +239,21 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("streaming_dedup_events", oracle=None, tags=("streaming", "stateful"))
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates on event_id with a
-    watermark bounding the dedup state (late duplicates beyond 1 hour
-    age out of the state store — the only way dedup state stays finite
-    on an unbounded stream). Result re-aggregated batch-side."""
+    """Streaming exact dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark on event_id, so a key's dedup state
+    ages out once the watermark passes it. Plain
+    dropDuplicates(["event_id"]) would look the same on a finite
+    replay but keeps every key ever seen — a watermark only expires
+    dedup state through the WithinWatermark variant (or by putting the
+    event-time column in the key), so on an unbounded stream the plain
+    form grows until executors OOM. Tradeoff, stated: duplicates
+    arriving farther apart than the 1-hour delay may both survive —
+    the standard bounded-state dedup contract. Result re-aggregated
+    batch-side."""
     s = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    deduped = s.dropDuplicates(["event_id"]).select("event_id", "event_type")
+    deduped = s.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type"
+    )
     table = _run_to_parquet(deduped, "append")
     return table.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -296,10 +309,14 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("lifetime_purchases"))
     )
     s = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
-    enriched = s.join(user_dim, "user_id").withColumn(
+    # LEFT join: a user with zero purchases has no dim row, and an
+    # inner join would silently drop their events from every bucket —
+    # the tier ladder says they are 'light', so the fact stream must
+    # survive the enrichment (coalesce fills the missing count).
+    enriched = s.join(user_dim, "user_id", "left").withColumn(
         "buyer_tier",
-        F.when(F.col("lifetime_purchases") >= 10, "heavy")
-        .when(F.col("lifetime_purchases") >= 3, "mid")
+        F.when(F.coalesce("lifetime_purchases", F.lit(0)) >= 10, "heavy")
+        .when(F.coalesce("lifetime_purchases", F.lit(0)) >= 3, "mid")
         .otherwise("light"),
     )
     agg = enriched.groupBy(

@@ -733,6 +733,13 @@ def test_lsh_topk_recall_and_candidate_bound(spark):
         lsh_df.groupBy("q_id").agg(F.collect_set("rank").alias("r")).collect()
     )
     assert all(sorted(row["r"]) == [1, 2, 3, 4, 5] for row in ranks)
+    # the multiprobe knob is live: probing <=2-bit flips widens the
+    # candidate set, so recall must not drop vs the 1-bit default
+    lsh2 = {
+        (r["q_id"], r["vec_id"])
+        for r in simsearch_lsh_topk(spark, SF_SMOKE, multiprobe=2).collect()
+    }
+    assert len(bf & lsh2) >= len(bf & lsh)
 
 
 def test_tfidf_topterms_invariants(spark):

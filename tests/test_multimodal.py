@@ -271,12 +271,26 @@ def test_route_by_modality_mixed_corpus(spark):
     from hgn_spark.multimodal.codecs import encode_png_gray8, encode_wav_pcm16
     from hgn_spark.multimodal.ops import route_by_modality
 
+    import struct
+    import zlib
+
+    from hgn_spark.multimodal.codecs import _PNG_SIG, _chunk
+
     rng = np.random.default_rng(9)
     wav = encode_wav_pcm16(
         rng.integers(-500, 500, size=300, dtype=np.int16)
     )
     png = encode_png_gray8(rng.integers(0, 256, size=(8, 8), dtype=np.uint8))
-    rows = [(1, wav), (2, png), (3, b"plain old text payload")]
+    # A REAL-looking RGB PNG (color type 2): sniffs as image/png but the
+    # stdlib decoder can't handle it — capability routing must send it
+    # to the format-agnostic slice instead of crashing the decoder.
+    rgb_png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _chunk(b"IEND", b"")
+    )
+    rows = [(1, wav), (2, png), (3, b"plain old text payload"), (4, rgb_png)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     routed = route_by_modality(df)
     audio = routed["audio/wav"].collect()
@@ -284,10 +298,12 @@ def test_route_by_modality_mixed_corpus(spark):
     other = routed["other"].collect()
     assert {r["doc_id"] for r in audio} == {1}
     assert {r["doc_id"] for r in image} == {2}
-    assert {r["doc_id"] for r in other} == {3}
+    assert {r["doc_id"] for r in other} == {3, 4}
     assert len(audio) == 2  # 300 samples / 256-sample frames
     assert image[0]["height"] == 8 and len(image[0]["pixels"]) == 16
-    assert other[0]["n_bytes"] == len(b"plain old text payload")
+    by_id = {r["doc_id"]: r for r in other}
+    assert by_id[3]["n_bytes"] == len(b"plain old text payload")
+    assert by_id[4]["n_bytes"] == len(rgb_png)
 
 
 def test_decode_image_routes_png_and_rejects_others():

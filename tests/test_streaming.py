@@ -218,14 +218,15 @@ def test_static_enrich_matches_batch(spark):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("lifetime_purchases"))
     )
+    # left join + coalesce: zero-purchase users are 'light', not dropped
     tier = (
-        F.when(F.col("lifetime_purchases") >= 10, "heavy")
-        .when(F.col("lifetime_purchases") >= 3, "mid")
+        F.when(F.coalesce("lifetime_purchases", F.lit(0)) >= 10, "heavy")
+        .when(F.coalesce("lifetime_purchases", F.lit(0)) >= 3, "mid")
         .otherwise("light")
     )
     want = {
         (r["day"], r["buyer_tier"]): (r["n_events"], r["total_value"])
-        for r in e.join(dim, "user_id")
+        for r in e.join(dim, "user_id", "left")
         .withColumn("buyer_tier", tier)
         .groupBy(F.date_trunc("day", "ts").alias("day"), "buyer_tier")
         .agg(
