@@ -45,11 +45,27 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - TIMESTAMP_NTZ (isAdjustedToUTC=false, Spark ≥3.4 inference): pin
       the session to UTC and cast, so the instant equals the wall-clock
       value DuckDB reads natively and oracle hashes stay exact.
+
+    The ``nanosAsLong`` conf is set ONLY if the plain read rejects the
+    file (the NANOS flavor), not unconditionally: the conf is
+    session-global and flips the schema of EVERY later parquet read
+    carrying nanos timestamps, so setting it eagerly would make other
+    tables' schemas depend on whether events loaded first. When the
+    data IS nanos-flavored the conf must stay set for the frame's whole
+    lifetime (executors consult it at scan time), so it is sticky in
+    that case by necessity — scoped to sessions that provably read
+    nanos data.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Plain read rejects TIMESTAMP(NANOS) — enable the legacy long
+        # mapping and re-read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

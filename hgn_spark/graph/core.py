@@ -65,6 +65,8 @@ def neighbor_pairs(edges: DataFrame, level: int = 1) -> DataFrame:
     midpoint key and AQE handles skewed hubs; a motif engine would
     build the same join chain with less control.
     """
+    if level not in (1, 2):
+        raise ValueError(f"neighbor_pairs supports level 1 or 2, got {level}")
     sym = symmetrize(edges)
     if level == 1:
         return sym
@@ -97,13 +99,18 @@ def neighbors(
     )
     if vertices is None:
         return agg
+    # Empty-set fill typed from the edge schema, not hardcoded bigint —
+    # vertex ids may be strings on ad-hoc graphs.
+    from pyspark.sql.types import ArrayType
+
+    dst_type = ArrayType(pairs.schema["dst"].dataType)
     return (
         vertices.select("id")
         .join(agg, "id", "left")
         .select(
             "id",
             F.coalesce("count", F.lit(0)).alias("count"),
-            F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
+            F.coalesce("neighbors", F.array().cast(dst_type)).alias("neighbors"),
         )
     )
 

@@ -17,7 +17,7 @@ import argparse
 import os
 
 from hgn_spark.config import load_config
-from hgn_spark.graph.components import filter_small_components
+from hgn_spark.graph.components import component_sizes
 from hgn_spark.graph.hgn import HGNParams, hgn_communities
 from hgn_spark.session import get_spark
 from hgn_spark.sources.csv import load_edges_csv, load_nodes_csv
@@ -66,10 +66,13 @@ def run(config_path: str, out_dir: str) -> dict[str, int]:
     if params.min_comp_size > 1:
         # The reference defined this filter but never wired it (SURVEY
         # §8.4); wiring it is the point of having the config knob.
-        surviving, _ = filter_small_components(
-            communities.select("id"), edges, params.min_comp_size
-        )
-        communities = communities.join(surviving, "id", "left_semi")
+        # Sizes come from the COMMUNITY labels themselves: HGN
+        # communities are components of the PRUNED edge set, so
+        # re-running components on the original edges would measure the
+        # enclosing original-graph component (always >= the community)
+        # and the filter would be a silent no-op on connected inputs.
+        big = component_sizes(communities, min_size=params.min_comp_size)
+        communities = communities.join(big.select("component"), "component", "left_semi")
     communities = communities.localCheckpoint(eager=True)
 
     write_parquet(communities, os.path.join(out_dir, "communities.parquet"))

@@ -741,6 +741,7 @@ def heavy_hitters(
     k: int = 10,
     sample_rate_hex: str = "40000000",
     oversample: int = 4,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Top-k most frequent values with BOUNDED shuffle: the
     sample-then-verify pattern a 100 TB engine uses when the key space
@@ -757,6 +758,17 @@ def heavy_hitters(
     borderline ranks. Deterministic end to end (hash sample + (count
     desc, value asc) tie-break) — no randomSplit/Math.random.
 
+    The sample hash MUST distinguish duplicate occurrences of one key,
+    or a key's rows sample all-or-none and a heavy hitter can vanish
+    from the candidate set wholesale (P = 1 - rate per key). Pass
+    ``id_cols`` naming a row-identity set (an event id, a
+    (doc_id, position) pair, …) — the hash then covers key + identity
+    only, so payload columns stay out of it. With ``id_cols=None`` the
+    hash falls back to every column of ``df`` and the function REFUSES
+    a frame whose only column is the key itself (the guaranteed
+    all-or-none regime) rather than silently dropping ~75% of the
+    answer.
+
     Scope: correct top-k requires the distribution to HAVE heavy
     hitters (Zipf-ish). On near-uniform counts (every key within
     sampling noise of rank k), no sampling scheme can rank and ranks
@@ -765,26 +777,29 @@ def heavy_hitters(
     of which you are about to return).
 
     → (value, n) rows, exact counts, top-k by (n desc, value asc).
-    (The sample hash concatenates every column of ``df`` — project to
-    the key column(s) first when rows carry heavy payloads.)
     """
     v = F.col(col)
-    # Per-row hash: value + a per-row disambiguator would need a row id;
-    # sampling on the VALUE would keep all-or-none of a key's rows, so
-    # sample on the row content hash (monotonically_increasing_id is
-    # partition-stable but not content-stable; xxhash64 over the whole
-    # row's value + a salt column set is content-deterministic).
-    row_u8 = F.substring(F.md5(F.concat_ws("\x1f", *df.columns)), 1, 8)
+    hash_cols = [col, *id_cols] if id_cols else list(df.columns)
+    if set(hash_cols) == {col}:
+        raise ValueError(
+            "heavy_hitters: the sample hash would cover only the key "
+            f"column {col!r}, making each key's rows sample all-or-none "
+            "— pass id_cols naming a row-identity column set"
+        )
+    row_u8 = F.substring(F.md5(F.concat_ws("\x1f", *hash_cols)), 1, 8)
     sampled = df.filter(row_u8 < sample_rate_hex)
+    # Candidate column aliased to a reserved name: pass 2 joins it back
+    # against df, and a key column literally named `value` would make
+    # the condition ambiguous.
     cands = (
-        sampled.groupBy(v.alias("value"))
+        sampled.groupBy(v.alias("__cand"))
         .agg(F.count(F.lit(1)).alias("n_sample"))
-        .orderBy(F.col("n_sample").desc(), F.col("value"))
+        .orderBy(F.col("n_sample").desc(), F.col("__cand"))
         .limit(k * oversample)
-        .select("value")
+        .select("__cand")
     )
     exact = (
-        df.join(F.broadcast(cands), v == F.col("value"), "left_semi")
+        df.join(F.broadcast(cands), v == F.col("__cand"), "left_semi")
         .groupBy(v.alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -38,6 +38,13 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC source as the literal
+            # "None" and die in a NumberFormatException far from here.
+            raise ValueError(
+                "read_jdbc: partition_column requires both lower_bound "
+                "and upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

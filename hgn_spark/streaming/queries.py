@@ -44,9 +44,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream; same timestamp normalization as the
     batch catalog (hgn_spark/catalog.py:_load_events) — withWatermark
     rejects TIMESTAMP_NTZ, so ts must be plain TIMESTAMP."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        # TIMESTAMP(NANOS) flavor: needs the legacy long mapping. Set
+        # only on demand — the conf is session-global and would
+        # otherwise flip the schema of every later nanos parquet read
+        # (see catalog._load_events).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
     # The file-stream source wants a directory: stream the sf dir with a
     # glob that selects just the events file.
     s = (

@@ -593,7 +593,10 @@ def test_heavy_hitters_exact_topk_zipf(spark):
             rows.append((rid, f"key_{i:03d}"))
             rid += 1
     df = spark.createDataFrame(rows, "row_id long, k string")
-    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "k", k=10).collect()]
+    got = [
+        (r["value"], r["n"])
+        for r in heavy_hitters(df, "k", k=10, id_cols=["row_id"]).collect()
+    ]
     want = [
         (r["k"], r["n"])
         for r in df.groupBy("k")
@@ -606,8 +609,26 @@ def test_heavy_hitters_exact_topk_zipf(spark):
     assert got[0] == ("key_001", 2000)
     # deterministic repeat
     assert got == [
+        (r["value"], r["n"])
+        for r in heavy_hitters(df, "k", k=10, id_cols=["row_id"]).collect()
+    ]
+    # the all-columns fallback works too (row_id makes rows distinct)
+    assert got == [
         (r["value"], r["n"]) for r in heavy_hitters(df, "k", k=10).collect()
     ]
+    # a key-only frame is the guaranteed all-or-none sampling regime —
+    # refused loudly instead of silently dropping heavy keys
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="all-or-none"):
+        heavy_hitters(df.select("k"), "k", k=10)
+    # key column named 'value' must not make the pass-2 join ambiguous
+    renamed = df.withColumnRenamed("k", "value")
+    got_v = [
+        (r["value"], r["n"])
+        for r in heavy_hitters(renamed, "value", k=10, id_cols=["row_id"]).collect()
+    ]
+    assert got_v == got
 
 
 from hypothesis import HealthCheck, given, settings

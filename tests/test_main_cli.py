@@ -52,6 +52,20 @@ def test_cli_run_end_to_end(spark, conf_file):
     # Bridge deleted → two triangle communities; isolated vertex 7
     # dropped; min_comp_size=2 keeps both size-3 communities.
     assert stats == {"n_vertices": 6, "n_communities": 2}
+    # The filter must size COMMUNITIES (post-pruning), not the original
+    # graph's components: with min_comp_size=4 both size-3 communities
+    # die even though the original graph is one size-7 component (the
+    # old wiring re-ran CC on the unpruned edges and was a silent no-op
+    # on any connected input).
+    import yaml
+
+    conf = yaml.safe_load(open(conf_path))
+    conf["run_options"]["min_comp_size"] = 4
+    strict = conf_path + ".strict.yml"
+    with open(strict, "w") as f:
+        yaml.safe_dump(conf, f)
+    stats4 = run(strict, out_dir + "_strict")
+    assert stats4 == {"n_vertices": 0, "n_communities": 0}
     assert os.path.exists(os.path.join(out_dir, "communities.parquet"))
     csv_dir = os.path.join(out_dir, "communities_csv")
     comps = [d for d in os.listdir(csv_dir) if d.startswith("component=")]
