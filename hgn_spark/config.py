@@ -19,6 +19,12 @@ from typing import Any
 import yaml
 
 _ENV_PATTERN = re.compile(r"\$\{([^}^{]+)\}")
+# Implicit-resolver pattern: PyYAML anchors resolvers with
+# regexp.match, so without the leading .* a value like
+# "/prefix/${VAR}/nodes.csv" would NOT be tagged !ENV and would load
+# as the literal string — a silently unsubstituted path. The
+# substitution itself still uses _ENV_PATTERN (findall, any position).
+_ENV_RESOLVER = re.compile(r".*\$\{[^}^{]+\}.*")
 _ENV_TAG = "!ENV"
 
 
@@ -33,7 +39,7 @@ def _loader() -> type[yaml.SafeLoader]:
     class EnvLoader(yaml.SafeLoader):
         pass
 
-    EnvLoader.add_implicit_resolver(_ENV_TAG, _ENV_PATTERN, None)
+    EnvLoader.add_implicit_resolver(_ENV_TAG, _ENV_RESOLVER, None)
     EnvLoader.add_constructor(_ENV_TAG, _env_constructor)
     return EnvLoader
 
@@ -90,6 +96,15 @@ RUN_SCHEMA: dict[str, Any] = {
                 "max_steps": {"type": "integer", "minimum": 1},
                 "max_sp_length": {"type": "integer", "minimum": 1},
                 "min_comp_size": {"type": "integer", "minimum": 1},
+                # main.py consumes this: without the property entry a
+                # wrongly-typed value (a bare string iterates as
+                # characters) would validate silently — the exact
+                # silent-pass failure mode this module exists to fix.
+                "features_to_check": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "minItems": 1,
+                },
             },
         },
     },

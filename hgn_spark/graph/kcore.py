@@ -48,6 +48,7 @@ def core_numbers(edges: DataFrame, max_levels: int = 100) -> DataFrame:
         cur.select(F.col("src").alias("id")).distinct()
     )
     done: list[DataFrame] = []
+    done_ids: set[int] = set()
 
     k = 1
     while k <= max_levels:
@@ -69,6 +70,7 @@ def core_numbers(edges: DataFrame, max_levels: int = 100) -> DataFrame:
                 break
             # Removed while peeling level k → survived level k-1.
             done.append(low.select("id", F.lit(k - 1).alias("core")))
+            done_ids |= set(low_ids)
             new_alive, new_alive_ids = jan.checkpoint(
                 alive.join(low, "id", "left_anti")
             )
@@ -91,11 +93,13 @@ def core_numbers(edges: DataFrame, max_levels: int = 100) -> DataFrame:
         # bound (e.g. a 150-clique at the default guard). Fail loudly —
         # the caller raises max_levels, which is cheap (the loop already
         # exits early at the degeneracy for any real graph). Release
-        # every persisted generation first: the advised re-run happens
-        # in the same session, and leaked blocks from failed attempts
-        # would accumulate across retries.
+        # every persisted generation first — INCLUDING the per-level
+        # `low` frames behind the discarded `done` list: the advised
+        # re-run happens in the same session, and leaked blocks from
+        # failed attempts would accumulate across retries.
         jan.release(cur_ids)
         jan.release(alive_ids)
+        jan.release(frozenset(done_ids))
         raise RuntimeError(
             f"core_numbers: max_levels={max_levels} reached with vertices "
             "still alive — the graph's degeneracy exceeds the guard; "

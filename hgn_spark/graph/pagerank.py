@@ -78,14 +78,19 @@ def pagerank(
         sym.join(out_deg.withColumnRenamed("id", "src"), "src")
     )
     jan.release(sym_ids)
-    n = links.select("src").distinct().count()
+    # One distinct over the links table, materialized once: it feeds
+    # both the vertex count and the uniform initial ranks (computing it
+    # twice would run the edge-set-sized shuffle twice at startup).
+    verts, vert_ids = jan.checkpoint(links.select("src").distinct())
+    n = verts.count()
     if n == 0:
+        jan.release(vert_ids)
+        jan.release(links_ids)
         return spark.createDataFrame([], "id long, pagerank double")
 
-    pr = links.select("src").distinct().select(
-        F.col("src").alias("id"), F.lit(1.0 / n).alias("pr")
-    )
+    pr = verts.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("pr"))
     pr, pr_ids = jan.checkpoint(pr)
+    jan.release(vert_ids)
     base = (1.0 - damping) / n
     for it in range(1, n_iter + 1):
         contrib = (

@@ -61,7 +61,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, "np.ndarray"]:
         n = w.getnframes()
         raw = w.readframes(n)
         arr = np.frombuffer(raw, dtype=np.int16).reshape(n, w.getnchannels())
-    return rate, arr.squeeze()
+    # Squeeze ONLY the channel axis: a bare .squeeze() on a
+    # single-frame mono file would also collapse the frame axis and
+    # return a 0-d scalar, breaking the documented 1-D-for-mono shape.
+    return rate, arr[:, 0] if arr.shape[1] == 1 else arr
 
 
 # ---------------------------------------------------------------------------

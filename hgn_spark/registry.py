@@ -107,11 +107,16 @@ def clear_session_caches() -> None:
     from hgn_spark.operators import dedup
 
     spark = SparkSession.getActiveSession()
-    if spark is not None:
-        for store in (dedup._CACHE_BLOCK_IDS, graph_queries._CACHE_BLOCK_IDS):
+    # The id stores are cleared even when no session is active
+    # (stopped context / non-owner thread): a NEW SparkContext restarts
+    # RDD ids at 0, so stale ids merged with fresh ones would later
+    # release live, unrelated checkpoint blocks — whose lineage is
+    # truncated and unrecoverable.
+    for store in (dedup._CACHE_BLOCK_IDS, graph_queries._CACHE_BLOCK_IDS):
+        if spark is not None:
             for ids in store.values():
                 release_rdds(spark, ids)
-            store.clear()
+        store.clear()
     dedup._DOC_SETS_CACHE.clear()
     dedup._NGRAM_PAIRS_CACHE.clear()
     graph_queries._EDGES_CACHE.clear()

@@ -90,10 +90,24 @@ def read_table(
 
 def checkpoint_df(df: DataFrame, durable_path: str | None = None) -> DataFrame:
     """S5: truncate lineage. localCheckpoint by default; pass a path for
-    the durable parquet round-trip (resume-after-restart semantics)."""
+    the durable parquet round-trip (resume-after-restart semantics).
+
+    The durable write goes to a sibling temp directory and is swapped
+    in afterwards, so the SAME path can be reused across steps — the
+    per-step reload pattern this replaces. A direct overwrite would
+    plan a write to a path the input frame is simultaneously reading
+    from (step 2 onward) and raise. The swap is local-filesystem
+    rename; on an object store use alternating paths instead.
+    """
     if durable_path is None:
         return df.localCheckpoint(eager=True)
-    write_parquet(df, durable_path, mode="overwrite")
+    import shutil
+
+    tmp = durable_path.rstrip("/") + ".__tmp__"
+    write_parquet(df, tmp, mode="overwrite")
+    if os.path.exists(durable_path):
+        shutil.rmtree(durable_path)
+    os.rename(tmp, durable_path)
     return read_parquet(df.sparkSession, durable_path)
 
 
@@ -109,6 +123,14 @@ def append_dedupe_reload(
     write_parquet(df, pre, mode="append")
     merged = read_parquet(spark, pre).dropDuplicates(subset)
     write_parquet(merged, final, mode="overwrite")
+    out = read_parquet(spark, final)
+    # Compact the accumulator: replace the raw append history with the
+    # deduped copy, so storage under pre/ and the next call's
+    # read+dedupe stay bounded by the DISTINCT row count. Without this
+    # every historical duplicate is re-read and re-deduped on every
+    # call — O(calls²) total IO (the reference's overwrite-in-place
+    # kept its accumulator deduped between calls too).
+    write_parquet(out, pre, mode="overwrite")
     return read_parquet(spark, final)
 
 

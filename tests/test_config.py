@@ -41,6 +41,39 @@ def test_missing_env_becomes_empty(tmp_path, monkeypatch):
     assert load_config(str(p))["input"]["nodes"]["path"] == "/nodes.csv"
 
 
+def test_env_substitution_mid_string(tmp_path, monkeypatch):
+    """${VAR} anywhere in the value resolves — PyYAML implicit
+    resolvers anchor at the string START, so the resolver pattern needs
+    a .* prefix or '/prefix/${VAR}/x' loads as the literal string."""
+    monkeypatch.setenv("HGN_DATA_DIR", "run42")
+    p = tmp_path / "conf.yml"
+    # no explicit !ENV tag: this exercises the IMPLICIT resolver
+    p.write_text(
+        GOOD.replace(
+            "path: !ENV ${HGN_DATA_DIR}/nodes.csv",
+            "path: /prefix/${HGN_DATA_DIR}/nodes.csv",
+        )
+    )
+    conf = load_config(str(p))
+    assert conf["input"]["nodes"]["path"] == "/prefix/run42/nodes.csv"
+
+
+def test_schema_rejects_bad_features_to_check(tmp_path):
+    """features_to_check is schema-checked: a bare string (which would
+    silently iterate as characters in main.py) is rejected."""
+    import jsonschema
+    import pytest
+
+    p = tmp_path / "conf.yml"
+    p.write_text(GOOD + "\n")
+    conf_ok = load_config(str(p))
+    assert conf_ok  # baseline valid
+    p2 = tmp_path / "bad.yml"
+    p2.write_text(GOOD.replace("max_steps: 5", "max_steps: 5\n  features_to_check: attr"))
+    with pytest.raises(jsonschema.ValidationError):
+        load_config(str(p2))
+
+
 def test_schema_rejects_bad_config(tmp_path):
     """The reference's schema silently accepted invalid array items
     (SURVEY §5); ours must actually reject."""

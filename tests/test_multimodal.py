@@ -133,6 +133,9 @@ def test_wav_codec_roundtrip():
     rate, back = decode_wav_pcm16(payload)
     assert rate == 8000
     assert np.array_equal(back, samples)
+    # single-frame mono stays 1-D (a bare squeeze would collapse to 0-d)
+    _, one = decode_wav_pcm16(encode_wav_pcm16([123]))
+    assert one.ndim == 1 and one.tolist() == [123]
 
 
 def test_png_codec_roundtrip_and_crc():

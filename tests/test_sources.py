@@ -86,12 +86,36 @@ def test_checkpoint_truncates_lineage(spark):
 
 
 def test_append_dedupe_reload(spark, tmp_path):
+    import os
+
+    from hgn_spark.sources.sinks import read_parquet
+
     base = str(tmp_path / "acc")
     a = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     b = spark.createDataFrame([(2, 3), (3, 4)], "src long, dst long")
     append_dedupe_reload(a, base)
     merged = append_dedupe_reload(b, base)
     assert merged.count() == 3  # (2,3) deduped across appends
+    # accumulator compaction: pre/ holds the deduped set, not the raw
+    # append history — storage and per-call IO stay bounded by the
+    # distinct count instead of growing O(calls)
+    assert read_parquet(spark, os.path.join(base, "pre")).count() == 3
+    # a third call with all-duplicate input stays at 3
+    assert append_dedupe_reload(a, base).count() == 3
+    assert read_parquet(spark, os.path.join(base, "pre")).count() == 3
+
+
+def test_checkpoint_df_durable_path_reuse(spark, tmp_path):
+    """The durable round-trip can reuse ONE path across steps (the
+    per-step reload pattern it replaces): a direct overwrite of a path
+    the input is reading from would raise on step 2."""
+    from hgn_spark.sources.sinks import checkpoint_df
+
+    path = str(tmp_path / "ck")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    ck1 = checkpoint_df(df, durable_path=path)
+    ck2 = checkpoint_df(ck1.withColumn("x", F.col("x") + 1), durable_path=path)
+    assert sorted(r["x"] for r in ck2.collect()) == [1, 2, 3, 4, 5]
 
 
 def test_to_pandas_sample_caps_rows(spark):
