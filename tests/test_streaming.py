@@ -133,6 +133,67 @@ def test_session_windows_incremental_multibatch(spark, tmp_path):
     # semantics.
 
 
+def test_tumbling_incremental_multibatch(spark, tmp_path):
+    """Complete-mode tumbling aggregation across three incremental
+    feeds, each its own availableNow run against a SHARED checkpoint
+    with the foreachBatch-overwrite sink (the production pattern for
+    complete output): after the last feed the overwritten result table
+    equals the full batch aggregation — aggregation state survives
+    restarts and each trigger's overwrite replaces, never appends."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    mid1, mid2 = events.approxQuantile("ts_us", [0.34, 0.67], 0.0)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    chunks = [
+        events.filter(F.col("ts_us") <= mid1).drop("ts_us"),
+        events.filter((F.col("ts_us") > mid1) & (F.col("ts_us") <= mid2)).drop(
+            "ts_us"
+        ),
+        events.filter(F.col("ts_us") > mid2).drop("ts_us"),
+    ]
+    schema = chunks[0].schema
+    for chunk in chunks:
+        chunk.write.mode("append").parquet(src)
+        s = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+            .withWatermark("ts", "1 day")
+        )
+        agg = s.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.select(F.col("w.start").alias("day"), "event_type", "n")
+            .writeStream.foreachBatch(
+                lambda batch, _e: batch.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_matches_batch(spark):
     from pyspark.sql import functions as F
 
