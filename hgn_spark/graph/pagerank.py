@@ -110,3 +110,93 @@ def pagerank(
     # link table's blocks are dead weight from here.
     jan.release(links_ids)
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    checkpoint_interval: int = 10,
+) -> DataFrame:
+    """Personalized (seeded) PageRank → ``(id, pagerank)``: the
+    teleport mass returns to the SEED set instead of spreading
+    uniformly, so ranks measure relevance TO the seeds — the standard
+    seed-expansion primitive (related-item discovery, community seeds,
+    contamination spread). ``seeds``: a frame with an ``id`` column;
+    teleport splits uniformly across the seeds present in the graph.
+
+        pr'(v) = (1-d)·[v ∈ S]/|S| + d · Σ_{u→v} pr(u)/outdeg(u)
+
+    Matches ``networkx.pagerank(personalization=...)`` on undirected
+    graphs at equal iteration count (parity pinned in
+    tests/test_graph.py). Non-seed vertices unreachable from any seed
+    converge to 0 and still appear (one row per non-isolated vertex).
+
+    Same scale shape as `pagerank`: one equi-join + one
+    map-side-combinable aggregation per round, one materialized
+    generation carried, lineage cut every ``checkpoint_interval``
+    rounds. The seed frame joins in as a (usually broadcastable)
+    left-join flag — no driver-side seed list.
+    """
+    spark = edges.sparkSession
+    jan = CheckpointJanitor(spark)
+    sym, sym_ids = jan.checkpoint(symmetrize(edges))
+    out_deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    links, links_ids = jan.checkpoint(
+        sym.join(out_deg.withColumnRenamed("id", "src"), "src")
+    )
+    jan.release(sym_ids)
+    verts, vert_ids = jan.checkpoint(
+        links.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"))
+        .join(
+            seeds.select("id").distinct().withColumn("is_seed", F.lit(1)),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    )
+    n_seeds = verts.agg(F.sum("is_seed")).first()[0] or 0
+    if n_seeds == 0:
+        jan.release(vert_ids)
+        jan.release(links_ids)
+        raise ValueError(
+            "personalized_pagerank: no seed id appears in the graph"
+        )
+    # Start from the teleport distribution itself.
+    base = F.col("is_seed") * F.lit((1.0 - damping) / n_seeds)
+    pr = verts.select(
+        "id", "is_seed", (F.col("is_seed") / F.lit(float(n_seeds))).alias("pr")
+    )
+    pr, pr_ids = jan.checkpoint(pr)
+    for it in range(1, n_iter + 1):
+        contrib = (
+            links.join(
+                pr.select(F.col("id").alias("src"), "pr"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("in_sum"))
+        )
+        pr = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                "is_seed",
+                (
+                    base
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if it % checkpoint_interval == 0 or it == n_iter:
+            pr, new_ids = jan.checkpoint(pr)
+            jan.release(pr_ids)
+            pr_ids = new_ids
+    out = pr.select("id", F.col("pr").alias("pagerank"))
+    jan.release(vert_ids)
+    jan.release(links_ids)
+    return out

@@ -369,6 +369,49 @@ def test_pagerank_reference_power_iteration_parity(spark):
         assert abs(v - pr[k]) < 1e-9, (k, v, pr[k])
 
 
+def test_personalized_pagerank_matches_pure_python(spark):
+    """Seeded teleport: same update, same seed-mass start, same
+    iteration count → matches an independent pure-Python loop; seed
+    relevance concentrates near the seeds and an empty seed set
+    raises."""
+    import pytest as _pytest
+
+    from hgn_spark.graph.pagerank import personalized_pagerank
+    from hgn_spark.graph.queries import derived_edges
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    adj: dict[int, set[int]] = {}
+    for r in e.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    seeds = sorted(adj)[:2]
+    spark_seeds = spark.createDataFrame([(s,) for s in seeds], "id long")
+    d, n_iter = 0.85, 40
+    ns = len(seeds)
+    pr = {v: (1.0 / ns if v in seeds else 0.0) for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in adj:
+            s = sum(pr[u] / len(adj[u]) for u in adj[v])
+            tele = (1.0 - d) / ns if v in seeds else 0.0
+            nxt[v] = tele + d * s
+        pr = nxt
+    got = _as_dict(
+        personalized_pagerank(e, spark_seeds, n_iter=n_iter), "id", "pagerank"
+    )
+    assert set(got) == set(pr)
+    for k, v in got.items():
+        assert abs(v - pr[k]) < 1e-9, (k, v, pr[k])
+    # seeds hold the teleport mass → rank at a seed beats the median
+    ranked = sorted(got.values())
+    assert all(got[s] > ranked[len(ranked) // 2] for s in seeds)
+    with _pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(
+            e, spark.createDataFrame([(999999,)], "id long")
+        )
+
+
 def test_core_numbers_fixture(edges):
     """Two triangles + bridge: every triangle vertex is 2-core, and
     adding a pendant vertex demotes nothing but itself."""
