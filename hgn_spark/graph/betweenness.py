@@ -139,7 +139,11 @@ def shortest_paths(edges: DataFrame, max_len: int = 2) -> DataFrame:
     return out
 
 
-def edge_betweenness_brandes(edges: DataFrame, max_sp_length: int = 2) -> DataFrame:
+def edge_betweenness_brandes(
+    edges: DataFrame,
+    max_sp_length: int = 2,
+    sources: DataFrame | None = None,
+) -> DataFrame:
     """Fractional-GN edge betweenness via truncated Brandes σ/δ
     accumulation — identical output to ``edge_betweenness`` (default
     semantics, pinned in tests) but built for LARGE truncation depths.
@@ -164,15 +168,23 @@ def edge_betweenness_brandes(edges: DataFrame, max_sp_length: int = 2) -> DataFr
     truncated all-pairs betweenness), every stage shuffles on (s, key)
     equi-keys, each level localCheckpoints — no path arrays, no driver
     collect, survives depths where path enumeration detonates.
+
+    ``sources``: optional frame of vertex ids restricting the forward
+    pass to those BFS sources (ordered pairs (s, *) with s in the set)
+    — the hook `edge_betweenness_sampled` uses for Brandes–Pich
+    source sampling when even per-pair all-source state is too much.
     """
     sym = symmetrize(edges)
-    layers: list[DataFrame] = [
-        sym.select(
-            F.col("src").alias("s"),
-            F.col("dst").alias("v"),
-            F.lit(1.0).alias("sig"),
-        ).localCheckpoint(eager=True)
-    ]
+    layer0 = sym.select(
+        F.col("src").alias("s"),
+        F.col("dst").alias("v"),
+        F.lit(1.0).alias("sig"),
+    )
+    if sources is not None:
+        layer0 = layer0.join(
+            sources.select(F.col("id").alias("s")), "s", "left_semi"
+        )
+    layers: list[DataFrame] = [layer0.localCheckpoint(eager=True)]
     known = layers[0].select("s", "v")
     for _d in range(2, max_sp_length + 1):
         a = layers[-1].alias("a")
@@ -245,6 +257,51 @@ def edge_betweenness_brandes(edges: DataFrame, max_sp_length: int = 2) -> DataFr
     for c in credits[1:]:
         out = out.unionByName(c)
     return out.groupBy("src", "dst").agg(F.sum("c").alias("betweenness"))
+
+
+def edge_betweenness_sampled(
+    edges: DataFrame,
+    max_sp_length: int = 2,
+    source_fraction: float = 0.25,
+) -> DataFrame:
+    """Brandes–Pich source-SAMPLED approximate edge betweenness: run
+    the σ/δ accumulation from a deterministic md5-sampled fraction of
+    sources and scale contributions by n_vertices / n_sampled — an
+    unbiased estimator of the full truncated betweenness (each ordered
+    pair (s, ·) contributes iff its source is sampled).
+
+    The scale path BELOW `edge_betweenness_brandes`: per-pair state is
+    the inherent cost of all-source truncated betweenness, and on a
+    graph where Σ_s |ball_K(s)| itself explodes, sampling sources is
+    the standard remedy (Brandes & Pich 2007) — state shrinks
+    proportionally to the fraction. Deterministic (hash sample, no
+    RNG): repeated runs return identical estimates.
+
+    Exactness contract, pinned by test: restricted to the sampled
+    sources the credits are EXACT (same semantics as the full run from
+    those sources), and `source_fraction >= 1` returns bit-identical
+    results to `edge_betweenness_brandes`. Edges only reachable from
+    unsampled sources are absent (estimate 0), like any source-sampled
+    estimator.
+    """
+    sym_src = symmetrize(edges).select(F.col("src").alias("id")).distinct()
+    if source_fraction >= 1.0:
+        return edge_betweenness_brandes(edges, max_sp_length)
+    thr = format(min(int(source_fraction * 2**32), 2**32 - 1), "08x")
+    sampled = sym_src.filter(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8) < thr
+    ).localCheckpoint(eager=True)
+    n = sym_src.count()
+    k = sampled.count()
+    if k == 0:
+        raise ValueError(
+            f"edge_betweenness_sampled: source_fraction={source_fraction} "
+            "sampled zero sources — raise the fraction"
+        )
+    raw = edge_betweenness_brandes(edges, max_sp_length, sources=sampled)
+    return raw.withColumn(
+        "betweenness", F.col("betweenness") * F.lit(n / k)
+    )
 
 
 def edge_betweenness(

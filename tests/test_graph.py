@@ -175,6 +175,84 @@ def test_brandes_equals_path_enumeration(edges, k):
         assert abs(b[e] - v) < 1e-9, (e, b[e], v)
 
 
+def test_sampled_betweenness_exact_on_sampled_sources(spark, edges):
+    """Source-sampled betweenness: fraction >= 1 is bit-identical to
+    the full Brandes run; a partial fraction equals a pure-Python GN
+    accumulation restricted to the SAME md5-sampled sources, scaled by
+    n/k — the estimator is exact per sampled source, not just unbiased
+    in expectation."""
+    import hashlib
+    from collections import deque
+
+    from hgn_spark.graph.betweenness import (
+        edge_betweenness_brandes,
+        edge_betweenness_sampled,
+    )
+
+    full = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_brandes(edges, max_sp_length=2).collect()
+    }
+    same = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_sampled(
+            edges, max_sp_length=2, source_fraction=1.0
+        ).collect()
+    }
+    assert same == full
+
+    frac = 0.5
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_sampled(
+            edges, max_sp_length=2, source_fraction=frac
+        ).collect()
+    }
+    # pure-Python mirror: GN fractional credits from ordered pairs
+    # whose source is in the same md5 sample, scaled by n/k
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    thr = format(int(frac * 2**32), "08x")
+    sampled = {
+        v
+        for v in adj
+        if hashlib.md5(str(v).encode()).hexdigest()[:8] < thr
+    }
+    assert 0 < len(sampled) < len(adj)
+    want: dict[tuple[int, int], float] = {}
+    for s in sampled:
+        # truncated BFS with sigma, depth <= 2
+        dist, sig, parents = {s: 0}, {s: 1.0}, {}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 2:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sig[w] = 0.0
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sig[w] += sig[u]
+                    parents.setdefault(w, []).append(u)
+        # backward delta accumulation
+        delta = {v: 0.0 for v in dist}
+        for w in sorted(dist, key=lambda v: -dist[v]):
+            for u in parents.get(w, []):
+                c = sig[u] / sig[w] * (1.0 + delta[w])
+                e = (min(u, w), max(u, w))
+                want[e] = want.get(e, 0.0) + c
+                delta[u] += c
+    scale = len(adj) / len(sampled)
+    want = {e: v * scale for e, v in want.items()}
+    assert set(got) == set(want)
+    for e, v in got.items():
+        assert abs(v - want[e]) < 1e-9, (e, v, want[e])
+
+
 def test_brandes_multi_path_split(spark):
     """Square 1-2-4-3-1: pair (1,4) has σ=2, so Brandes must split the
     credit — the case where single-path shortcuts diverge."""
