@@ -136,6 +136,19 @@ def test_wav_codec_roundtrip():
     # single-frame mono stays 1-D (a bare squeeze would collapse to 0-d)
     _, one = decode_wav_pcm16(encode_wav_pcm16([123]))
     assert one.ndim == 1 and one.tolist() == [123]
+    # stereo round-trips as (n_frames, 2) through a hand-built payload
+    import io
+    import wave
+
+    stereo = np.array([[1, -2], [3, -4], [5, -6]], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(stereo.tobytes())
+    _, st = decode_wav_pcm16(buf.getvalue())
+    assert st.shape == (3, 2) and np.array_equal(st, stereo)
 
 
 def test_png_codec_roundtrip_and_crc():
