@@ -204,6 +204,59 @@ def apply_mixture_sample(
     return df.filter(_u8(F.col(id_col)) < thr)
 
 
+def apply_mixture_repeat(
+    df: DataFrame, id_col: str, group_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Mixture application with UPSAMPLING: rates may exceed 1.0, the
+    epochs-per-source knob real training mixes use (small high-quality
+    domains repeat; large ones downsample). Each row emits
+    ``floor(rate)`` full copies plus one more iff its hash falls under
+    the fractional remainder — so a group's expected multiplicity is
+    exactly its rate, deterministically (same id → same copies, every
+    run). Output adds ``copy_idx`` (0-based) so downstream packing can
+    distinguish repeats.
+
+    Scan-side: one `explode(sequence(...))` per row, no shuffle —
+    rows with zero copies never leave the map side. `fractional part
+    < 1` reuses the same md5-threshold filter as every other sampler
+    here; rate <= 1.0 reproduces `apply_mixture_sample`'s membership
+    (with copy_idx = 0).
+    """
+    whole = None
+    frac_thr = None
+    for g, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"negative rate for group {g!r}: {rate}")
+        n_whole = int(rate)
+        frac = rate - n_whole
+        hex_thr = (
+            "g" if frac >= 1.0
+            else format(min(int(frac * 2**32), 2**32 - 1), "08x")
+        )
+        cond = F.col(group_col) == g
+        whole = (
+            F.when(cond, n_whole) if whole is None else whole.when(cond, n_whole)
+        )
+        frac_thr = (
+            F.when(cond, hex_thr)
+            if frac_thr is None
+            else frac_thr.when(cond, hex_thr)
+        )
+    if whole is None:
+        return df.filter(F.lit(False)).withColumn("copy_idx", F.lit(0))
+    whole = whole.otherwise(F.lit(0))
+    frac_thr = frac_thr.otherwise(F.lit("00000000"))
+    n_copies = whole + (_u8(F.col(id_col)) < frac_thr).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )
+
+
 def assign_splits(
     df: DataFrame, id_col: str, splits: dict[str, float]
 ) -> DataFrame:

@@ -686,6 +686,50 @@ def test_sessionize_matches_pure_python(spark, rows):
     assert got == want
 
 
+def test_mixture_repeat_upsamples_deterministically(spark):
+    """Upsampling mixture application: rate 2.5 yields ~2.5x copies
+    (exactly 2 or 3 per row, deterministic per id), rate <= 1
+    reproduces apply_mixture_sample membership, rate 0 drops, and
+    copy_idx enumerates repeats."""
+    from hgn_spark.operators.sampling import (
+        apply_mixture_repeat,
+        apply_mixture_sample,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "hq" if i % 3 == 0 else ("lq" if i % 3 == 1 else "junk"))
+         for i in range(3000)],
+        ["doc_id", "g"],
+    )
+    rates = {"hq": 2.5, "lq": 0.5, "junk": 0.0}
+    out = apply_mixture_repeat(base, "doc_id", "g", rates).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert all(r["g"] != "junk" for r in out)
+    hq_counts = [len(v) for d, v in by_doc.items() if d % 3 == 0]
+    assert set(hq_counts) <= {2, 3}
+    avg = sum(hq_counts) / len(hq_counts)
+    assert abs(avg - 2.5) < 0.1
+    # copy_idx enumerates 0..n-1
+    for copies in by_doc.values():
+        assert sorted(copies) == list(range(len(copies)))
+    # rate <= 1 branch matches apply_mixture_sample membership
+    lq_repeat = {d for d in by_doc if d % 3 == 1}
+    lq_sample = {
+        r["doc_id"]
+        for r in apply_mixture_sample(
+            base.filter("g = 'lq'"), "doc_id", "g", {"lq": 0.5}
+        ).collect()
+    }
+    assert lq_repeat == lq_sample
+    # deterministic repeat
+    again = apply_mixture_repeat(base, "doc_id", "g", rates).collect()
+    assert {(r["doc_id"], r["copy_idx"]) for r in again} == {
+        (r["doc_id"], r["copy_idx"]) for r in out
+    }
+
+
 def test_assign_splits_deterministic_disjoint_stable(spark):
     """Split assignment is a pure function of the row's own id:
     disjoint + exhaustive, proportions near the weights, repeatable,
