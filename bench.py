@@ -84,39 +84,45 @@ def main() -> None:
     #     on first use — ~10 s on local[32] that would otherwise land on
     #     the first Arrow-batched query)
     #   - the noop datasource used as the drain
-    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-    nation.groupBy("n_regionkey").count().write.format("noop").mode(
-        "overwrite"
-    ).save()
-    spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(lambda it: (pdf for pdf in it), schema="id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    #   - the higher-order-function evaluator (zip_with/aggregate/
-    #     transform lambdas run interpreted + trigger a one-time ~5 s
-    #     JIT/codegen warm-up that would otherwise bill to the first
-    #     embedding query) and the window-exec path
-    from pyspark.sql import Window as _W
-    from pyspark.sql import functions as _F
+    try:
+        nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        nation.groupBy("n_regionkey").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(lambda it: (pdf for pdf in it), schema="id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        #   - the higher-order-function evaluator (zip_with/aggregate/
+        #     transform lambdas run interpreted + trigger a one-time ~5 s
+        #     JIT/codegen warm-up that would otherwise bill to the first
+        #     embedding query) and the window-exec path
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
 
-    _v = spark.range(64).agg(
-        _F.collect_list(_F.col("id").cast("double")).alias("a")
-    )
-    _v.select(
-        _F.aggregate(
-            _F.zip_with("a", "a", lambda x, y: x * y),
-            _F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("dot"),
-        _F.transform("a", lambda x: x * 2).alias("t"),
-    ).write.format("noop").mode("overwrite").save()
-    spark.range(256).withColumn(
-        "rn",
-        _F.row_number().over(
-            _W.partitionBy(_F.col("id") % 8).orderBy(_F.col("id").desc())
-        ),
-    ).write.format("noop").mode("overwrite").save()
+        _v = spark.range(64).agg(
+            _F.collect_list(_F.col("id").cast("double")).alias("a")
+        )
+        _v.select(
+            _F.aggregate(
+                _F.zip_with("a", "a", lambda x, y: x * y),
+                _F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            _F.transform("a", lambda x: x * 2).alias("t"),
+        ).write.format("noop").mode("overwrite").save()
+        spark.range(256).withColumn(
+            "rn",
+            _F.row_number().over(
+                _W.partitionBy(_F.col("id") % 8).orderBy(_F.col("id").desc())
+            ),
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
+        # The contract is ONE JSON line on stdout, exit 0 — a warm-up
+        # failure (e.g. a missing table in a custom SF dir) only means
+        # first-query timings carry the one-time session costs.
+        print(f"# WARMUP FAILED (continuing cold): {exc}", file=sys.stderr)
 
     # N_RUNS full passes over the suite, session caches cleared between
     # passes, per-query minimum across passes. Within a pass the
@@ -131,7 +137,7 @@ def main() -> None:
 
     per_pass: list[dict[str, float]] = []
     missing = []
-    errors: dict[str, str] = {}
+    pass_errors: dict[str, str] = {}
     for pass_i in range(N_RUNS):
         if pass_i > 0:
             clear_session_caches()
@@ -143,8 +149,11 @@ def main() -> None:
                 missing.append(name)
                 print(f"# MISSING headline query: {name}", file=sys.stderr)
                 continue
-            if name in errors:
-                continue
+            # No skip on a prior-pass error: the min-across-passes
+            # exists to absorb transient host noise, and a transiently
+            # erroring query (contention OOM in pass 1) deserves its
+            # retry — otherwise it silently vanishes from the total and
+            # round-over-round comparisons read as a speedup.
             # Force a JVM GC before each timed query. The iterative
             # queries (HGN loop, connected components, dedup family)
             # release dozens of localCheckpoint block sets whose actual
@@ -166,7 +175,7 @@ def main() -> None:
                 # past the driver's stdout capture window, making it
                 # unparseable.
                 msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
-                errors[name] = msg
+                pass_errors[name] = msg
                 print(f"# ERROR {name}: {msg}", file=sys.stderr)
                 continue
             timings_pass[name] = time.perf_counter() - t0
@@ -181,6 +190,10 @@ def main() -> None:
         for name in HEADLINE
         if any(name in p for p in per_pass)
     }
+    # A query is an ERROR only if no pass succeeded; a success in any
+    # pass yields a timing and drops the transient error record — one
+    # unambiguous story per query for consumers of the JSON.
+    errors = {n: m for n, m in pass_errors.items() if n not in timings}
 
     total = round(sum(timings.values()), 4)
     out = {

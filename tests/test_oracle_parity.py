@@ -4,8 +4,6 @@ values at the test scale factor."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 from hgn_spark.registry import load_all
@@ -22,7 +20,9 @@ def _normalize(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == "float64" or df[c].dtype == "float32":
-            df[c] = df[c].astype("float64").round(6)
+            # + 0.0 folds -0.0 into +0.0 so the exact compare below
+            # can't flake on the sign of a rounded zero
+            df[c] = df[c].astype("float64").round(6) + 0.0
         # duckdb can return int32 where spark gives int64 etc.
         if str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
@@ -67,23 +67,17 @@ def test_oracle_parity(spark, duck, spec):
     assert len(got) == len(want), f"{spec.name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        if g.dtype == "float64":
-            bad = ~(
-                (g.isna() & w.isna())
-                | (g.combine(w, lambda a, b: _close(a, b)))
-            )
-        else:
-            bad = ~((g.isna() & w.isna()) | (g == w))
+        # EXACT equality of the 6-dp-rounded values — the same strength
+        # as the driver's value hash. A tolerance here (the old
+        # rel_tol=1e-9 isclose) was strictly weaker for large
+        # aggregates: revenue sums ~1e9 admitted absolute diffs the
+        # driver's hash rejects, so the mirror could stay green on a
+        # driver failure.
+        bad = ~((g.isna() & w.isna()) | (g == w))
         assert not bad.any(), (
             f"{spec.name}: column {c} differs at rows "
             f"{got[bad].head(5).to_dict()} vs {want[bad].head(5).to_dict()}"
         )
-
-
-def _close(a, b):
-    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-        return (a is None or math.isnan(a)) and (b is None or math.isnan(b))
-    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
 
 
 def test_entry_smoke(spark):

@@ -28,18 +28,49 @@ BNLJ_ALLOWED = {
 BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]
 
 
+@pytest.fixture()
+def checkpoint_plans(monkeypatch, spark):
+    """Capture the physical plan of EVERY frame that goes through
+    localCheckpoint while a query builds. Without this the guard is
+    blind to the iterative algorithms: spec.fn() materializes loop
+    bodies eagerly (CheckpointJanitor / tracked_local_checkpoint), so
+    the final explained plan starts at a truncated checkpoint scan and
+    a CartesianProduct INSIDE the loop would never reach the
+    assertion."""
+    from pyspark.sql import DataFrame
+
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def patched(self, eager=True):
+        captured.append(
+            spark._jvm.PythonSQLUtils.explainString(
+                self._jdf.queryExecution(), "formatted"
+            )
+        )
+        return orig(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", patched)
+    return captured
+
+
 @pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
-def test_no_cartesian_or_stray_nested_loop(spark, spec):
+def test_no_cartesian_or_stray_nested_loop(spark, spec, checkpoint_plans):
     df = spec.fn(spark, SF_SMOKE)
-    plan = spark._jvm.PythonSQLUtils.explainString(
+    final = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "CartesianProduct" not in plan, f"{spec.name} plans a cartesian product"
-    if spec.name not in BNLJ_ALLOWED:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{spec.name} plans a BroadcastNestedLoopJoin — either add an "
-            f"equi key or justify it in BNLJ_ALLOWED"
+    for where, plan in [("final", final)] + [
+        (f"checkpoint#{i}", p) for i, p in enumerate(checkpoint_plans)
+    ]:
+        assert "CartesianProduct" not in plan, (
+            f"{spec.name} plans a cartesian product ({where})"
         )
+        if spec.name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{spec.name} plans a BroadcastNestedLoopJoin ({where}) — "
+                f"either add an equi key or justify it in BNLJ_ALLOWED"
+            )
 
 
 def test_decontamination_broadcasts_benchmark_grams(spark):
