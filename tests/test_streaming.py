@@ -214,6 +214,59 @@ def test_streaming_dedup_matches_batch(spark):
     assert got == want
 
 
+def test_dedup_incremental_multibatch(spark, tmp_path):
+    """Bounded-state streaming dedup across three chronological feeds
+    with a shared checkpoint: dropDuplicatesWithinWatermark keys age
+    out behind the watermark, yet on feeds with no cross-feed
+    duplicates beyond the horizon the accumulated append output equals
+    the batch dropDuplicates — the contract the bounded-state variant
+    promises."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    mid1, mid2 = events.approxQuantile("ts_us", [0.34, 0.67], 0.0)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    chunks = [
+        events.filter(F.col("ts_us") <= mid1).drop("ts_us"),
+        events.filter((F.col("ts_us") > mid1) & (F.col("ts_us") <= mid2)).drop(
+            "ts_us"
+        ),
+        events.filter(F.col("ts_us") > mid2).drop("ts_us"),
+    ]
+    schema = chunks[0].schema
+    for chunk in chunks:
+        chunk.write.mode("append").parquet(src)
+        s = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+            .withWatermark("ts", "1 hour")
+        )
+        deduped = s.dropDuplicatesWithinWatermark(["event_id"]).select(
+            "event_id", "event_type"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = spark.read.schema(
+        "event_id long, event_type string"
+    ).parquet(out)
+    want = load_table(spark, SF_SMOKE, "events").dropDuplicates(["event_id"])
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == want.count()
+
+
 def test_stream_stream_join_matches_batch(spark):
     from pyspark.sql import functions as F
 
