@@ -1066,6 +1066,30 @@ def json_date_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type: parse
+    ``events.props`` ONCE into a variant column, then pull typed fields
+    with ``variant_get`` → (event_id, k, inferred schema string).
+
+    The scale rationale vs per-path ``get_json_object``: every
+    get_json_object call re-parses the raw JSON string, so extracting
+    m fields costs m parses per row; a variant column parses once into
+    a binary encoding that every downstream variant_get reads
+    directly — the semi-structured analogue of columnarizing. At
+    100 TB the variant column is what lands in the silver table, not
+    the raw string. Equality with the per-path reads is pinned in
+    tests/test_llm_ops.py; not a driver row (DuckDB has no variant
+    twin, and the window holds 50 oracled rows) — the VARIANT surface
+    is covered at the pytest layer."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.schema_of_variant("v").alias("props_schema"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions, sort, limit (reference gaps — SURVEY §2.5)
 # ---------------------------------------------------------------------------

@@ -686,6 +686,31 @@ def test_sessionize_matches_pure_python(spark, rows):
     assert got == want
 
 
+def test_props_variant_extract_matches_json_paths(spark):
+    """The VARIANT path (parse once, variant_get per field) extracts
+    the same values as per-path get_json_object over events.props, and
+    the inferred variant schema names the k field."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from hgn_spark.operators.relational import props_variant_extract
+
+    got = {
+        r["event_id"]: (r["k"], r["props_schema"])
+        for r in props_variant_extract(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["event_id"]: r["k"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .collect()
+    }
+    assert {i: k for i, (k, _) in got.items()} == want
+    assert all("k" in sch for _, sch in got.values() if sch is not None)
+
+
 def test_mixture_repeat_upsamples_deterministically(spark):
     """Upsampling mixture application: rate 2.5 yields ~2.5x copies
     (exactly 2 or 3 per row, deterministic per id), rate <= 1
