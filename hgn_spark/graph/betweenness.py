@@ -308,6 +308,7 @@ def edge_betweenness(
     edges: DataFrame,
     max_sp_length: int = 2,
     compat_single_path: bool = False,
+    compat_max_length_only: bool = False,
     method: str = "auto",
 ) -> DataFrame:
     """→ (src, dst, betweenness) on canonical src < dst edges, for any
@@ -325,18 +326,32 @@ def edge_betweenness(
     sigma 22.9 s; k=4 paths 381.7 s vs sigma 26.1 s (14.6×) — path
     enumeration detonates multiplicatively with depth while σ/δ state
     stays per-pair (full numbers in ARCHITECTURE.md §betweenness).
-    Compat mode must pick a concrete surviving path, so it always
-    enumerates.
+    Compat modes (reference-fidelity quirks, each independently
+    toggleable; both at once reproduces the reference most closely):
+
+    - ``compat_single_path`` (SURVEY §8.2): one surviving path per
+      ordered pair instead of fractional 1/σ credit;
+    - ``compat_max_length_only`` (SURVEY §8.3): only paths of exactly
+      ``max_sp_length`` contribute — the reference's progressive-filter
+      bug reassigns sp_lengths inside its descending loop, emptying
+      every shorter length, so e.g. its k=2 betweenness never credits
+      the distance-1 pairs. Default-correct behavior counts all
+      lengths.
+
+    Compat modes need concrete paths, so they always enumerate.
     """
     if method not in ("auto", "paths", "sigma"):
         raise ValueError(f"unknown betweenness method: {method!r}")
-    if method == "sigma" and compat_single_path:
-        raise ValueError("compat_single_path needs concrete paths; use method='paths'")
+    any_compat = compat_single_path or compat_max_length_only
+    if method == "sigma" and any_compat:
+        raise ValueError("compat modes need concrete paths; use method='paths'")
     if method == "sigma" or (
-        method == "auto" and max_sp_length > 2 and not compat_single_path
+        method == "auto" and max_sp_length > 2 and not any_compat
     ):
         return edge_betweenness_brandes(edges, max_sp_length)
     sp = shortest_paths(edges, max_len=max_sp_length)
+    if compat_max_length_only:
+        sp = sp.filter(F.col("distance") == max_sp_length)
 
     if compat_single_path:
         # One surviving path per ordered pair, picked deterministically

@@ -134,6 +134,33 @@ def test_betweenness_compat_single_path(spark):
     assert compat[(3, 4)] == pytest.approx(2.0)  # loses both picks
 
 
+def test_betweenness_compat_max_length_only(spark):
+    """§8.3 compat: only max-length paths credit (the reference's
+    progressive-filter bug). Path graph 1-2-3 at k=2: default credits
+    distance-1 pairs (each edge +2) AND the distance-2 pair through
+    both edges (+2 over two ordered directions); compat drops the
+    distance-1 credit entirely."""
+    pg = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    full = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(pg, max_sp_length=2).collect()
+    }
+    assert full == {(1, 2): pytest.approx(4.0), (2, 3): pytest.approx(4.0)}
+    compat = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(
+            pg, max_sp_length=2, compat_max_length_only=True
+        ).collect()
+    }
+    # only the two ordered distance-2 paths (1→3, 3→1), each crossing
+    # both edges once
+    assert compat == {(1, 2): pytest.approx(2.0), (2, 3): pytest.approx(2.0)}
+    with pytest.raises(ValueError, match="compat"):
+        edge_betweenness(
+            pg, max_sp_length=2, compat_max_length_only=True, method="sigma"
+        )
+
+
 def test_betweenness_k3_path_graph(spark):
     # Path 1-2-3-4-5 truncated at k=3: every pair ≤3 has σ=1.
     # Edge {2,3} lies on ordered pairs (1,3),(1,4),(2,3),(2,4),(2,5)
