@@ -64,6 +64,10 @@ _EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 # registry.clear_session_caches).
 _CACHE_BLOCK_IDS: dict[tuple[str, str], set[int]] = {}
 
+from hgn_spark.registry import register_cache as _register_cache  # noqa: E402
+
+_register_cache("graph_edges", _EDGES_CACHE, block_ids=_CACHE_BLOCK_IDS)
+
 
 def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same graph in Spark: one lineitem self-join on the part key."""

@@ -138,6 +138,14 @@ _NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # instead of leaving them to async GC cleanup.
 _CACHE_BLOCK_IDS: dict[tuple[str, str], set[int]] = {}
 
+# Structural registration (instead of registry reaching into private
+# module state): clear_session_caches drops whatever is registered.
+from hgn_spark.registry import register_cache as _register_cache  # noqa: E402
+
+_register_cache(
+    "dedup", _DOC_SETS_CACHE, _NGRAM_PAIRS_CACHE, block_ids=_CACHE_BLOCK_IDS
+)
+
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hs: sorted array<long>, sz) — one row per document,
