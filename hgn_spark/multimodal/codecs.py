@@ -38,11 +38,14 @@ import numpy as np
 def encode_wav_pcm16(
     samples: "np.ndarray | list[int]", sample_rate: int = 16_000
 ) -> bytes:
-    """int16 mono samples → a complete PCM WAV payload."""
+    """int16 samples → a complete PCM WAV payload. A 1-D array writes
+    mono; a 2-D (n_frames, n_channels) array writes interleaved
+    multi-channel (the WAV frame layout, row-major == interleaved)."""
     arr = np.asarray(samples, dtype=np.int16)
+    n_channels = 1 if arr.ndim == 1 else int(arr.shape[1])
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(arr.tobytes())

@@ -232,7 +232,10 @@ def audio_rms_features(df: DataFrame, frame_samples: int = 256) -> DataFrame:
     the stdlib codec, then per-frame RMS + peak over the actual int16
     samples (not byte-value proxies) — the standard first stage of any
     audio-quality / VAD pipeline. → (doc_id, frame_idx, n_samples,
-    rms, peak) rows, one per fixed-size sample frame.
+    rms, peak) rows, one per fixed-size WINDOW of ``frame_samples``
+    WAV frames; multi-channel payloads window along the frame axis with
+    rms/peak over all channels in the window and ``n_samples`` counting
+    frames (stereo parity vs numpy pinned in tests/test_multimodal.py).
 
     mapInPandas over Arrow batches, partition-parallel, no shuffle;
     codec functions serialize BY VALUE (register_pickle_by_value on
@@ -257,8 +260,15 @@ def audio_rms_features(df: DataFrame, frame_samples: int = 256) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 _rate, samples = decode(bytes(payload))
+                # Frame along the FRAME axis, not the flat sample count:
+                # stereo decodes to (n_frames, 2), where iterating by
+                # s.size would overrun the row axis (empty windows →
+                # ValueError in .max()) and mix per-channel counts into
+                # n_samples. Mono reshapes to (n, 1); a window's rms/peak
+                # cover all channels, n_samples counts frames.
                 s = np.atleast_1d(samples).astype(np.float64)
-                if s.size == 0:
+                s = s.reshape(s.shape[0], -1) if s.size else s.reshape(0, 1)
+                if s.shape[0] == 0:
                     rows.append(
                         {
                             "doc_id": int(doc_id),
@@ -269,13 +279,13 @@ def audio_rms_features(df: DataFrame, frame_samples: int = 256) -> DataFrame:
                         }
                     )
                     continue
-                for f in range(0, s.size, frame_samples):
+                for f in range(0, s.shape[0], frame_samples):
                     win = s[f : f + frame_samples]
                     rows.append(
                         {
                             "doc_id": int(doc_id),
                             "frame_idx": f // frame_samples,
-                            "n_samples": int(win.size),
+                            "n_samples": int(win.shape[0]),
                             "rms": round(float(np.sqrt(np.mean(win**2))), 4),
                             "peak": int(np.abs(win).max()),
                         }
@@ -342,44 +352,92 @@ def _png_decodable(payload) -> "object":
     )
 
 
-def route_by_modality(df: DataFrame) -> dict[str, DataFrame]:
+def _wav_decodable(payload) -> "object":
+    """Scan-side CAPABILITY check for the stdlib WAV decoder, mirroring
+    `_png_decodable`: a RIFF/WAVE payload sniffs as audio/wav whatever
+    its encoding, but `decode_wav_pcm16` only accepts 16-bit PCM —
+    8/24/32-bit, IEEE-float and ADPCM variants would raise mid-job.
+    For the canonical layout ('fmt ' chunk directly after WAVE) the
+    fields sit at fixed offsets: audioFormat (bytes 21-22, LE) == 1
+    (PCM) and bitsPerSample (bytes 35-36, LE) == 16. Non-canonical
+    chunk orders fail the check and route to the format-agnostic
+    extractor — conservative by design (never feeds the strict decoder
+    something it might reject)."""
+    from pyspark.sql import functions as F
+
+    return (
+        (F.substring(payload, 13, 4) == F.lit(b"fmt "))
+        & (F.substring(payload, 21, 2) == F.lit(b"\x01\x00"))
+        & (F.substring(payload, 35, 2) == F.lit(b"\x10\x00"))
+    )
+
+
+def route_by_modality(
+    df: DataFrame, materialize: str | None = None
+) -> dict[str, DataFrame]:
     """The catalog-scan routing step `sniff_modality` exists for: one
     scan classifies every payload by magic bytes, then each modality
     slice feeds its own extractor —
 
-    - ``audio/wav``  → `audio_rms_features` (real PCM decode);
+    - ``audio/wav`` the stdlib decoder can handle (16-bit PCM, checked
+      scan-side via `_wav_decodable`) → `audio_rms_features` (real PCM
+      decode);
     - ``image/png`` the stdlib decoder can handle (grayscale 8-bit
-      non-interlaced, checked scan-side via `_png_decodable` so a
-      routing mistake can never crash the strict decoder mid-job) →
+      non-interlaced, checked scan-side via `_png_decodable`) →
       `png_decode_resize_features` (real PNG decode);
-    - everything else — including PNG variants beyond the stdlib
-      decoder (RGB/palette/interlaced) → `byte_histogram_features`
-      (format-agnostic).
+    - everything else — including WAV/PNG variants beyond the stdlib
+      decoders (float/ADPCM WAV, RGB/palette/interlaced PNG) →
+      `byte_histogram_features` (format-agnostic).
 
-    Returns the three labeled feature frames. Routing is a scan-side
+    Both capability checks run before routing, so a routing mistake can
+    never crash a strict decoder mid-job. Returns the three labeled
+    feature frames.
+
+    ``materialize=None`` (default): routing is a lazy scan-side
     predicate on the sniffed column — no shuffle, no decode during
-    routing. Each returned frame is lazy, so acting on all three
-    independently re-reads the source; a 100 TB job materializes the
-    routing once (persist `classified`, or better: one
-    partitionBy("modality") write, after which each extractor reads
-    only its own partition — partition pruning does the routing).
-    Mixed corpora never hit the wrong decoder, so the decoders stay
-    strict (raise on foreign formats) instead of guessing.
+    routing — but acting on all three frames independently re-reads
+    the source three times.
+
+    ``materialize=<path>``: the 100 TB layout — ONE source pass writes
+    a parquet table partitioned by the routing decision (a ``route``
+    partition column: audio_wav / image_png / other), then each
+    extractor reads back a partition-pruned scan of only its own
+    slice (PartitionFilters, asserted in tests/test_multimodal.py).
+    Total source traffic: one write + one read, instead of three scans
+    of the raw corpus.
     """
     classified = df.withColumn("modality", sniff_modality(F.col("payload")))
+    wav_ok = (F.col("modality") == "audio/wav") & _wav_decodable(
+        F.col("payload")
+    )
     png_ok = (F.col("modality") == "image/png") & _png_decodable(
         F.col("payload")
     )
+    if materialize is None:
+        return {
+            "audio/wav": audio_rms_features(classified.filter(wav_ok)),
+            "image/png": png_decode_resize_features(classified.filter(png_ok)),
+            "other": byte_histogram_features(
+                classified.filter(~wav_ok & ~png_ok)
+            ),
+        }
+    # Partition values avoid '/' (it would be %-escaped in directory
+    # names) and encode DECODABILITY, not just the sniffed modality —
+    # an undecodable WAV lands in `other`, so each partition is exactly
+    # one extractor's input.
+    route = (
+        F.when(wav_ok, "audio_wav").when(png_ok, "image_png").otherwise("other")
+    )
+    classified.withColumn("route", route).write.mode("overwrite").partitionBy(
+        "route"
+    ).parquet(materialize)
+    base = df.sparkSession.read.parquet(materialize)
     return {
-        "audio/wav": audio_rms_features(
-            classified.filter(F.col("modality") == "audio/wav")
+        "audio/wav": audio_rms_features(base.filter(F.col("route") == "audio_wav")),
+        "image/png": png_decode_resize_features(
+            base.filter(F.col("route") == "image_png")
         ),
-        "image/png": png_decode_resize_features(classified.filter(png_ok)),
-        "other": byte_histogram_features(
-            classified.filter(
-                (F.col("modality") != "audio/wav") & ~png_ok
-            )
-        ),
+        "other": byte_histogram_features(base.filter(F.col("route") == "other")),
     }
 
 
@@ -430,35 +488,73 @@ _RESIZE_POSITIONS = [r * 8 + c for r in (0, 2, 4, 6) for c in (0, 2, 4, 6)]
 
 @register(
     "multimodal_decode_resize",
+    # Byte-histogram columns absorbed from the former standalone
+    # `multimodal_byte_histogram` row (r7 window consolidation): both
+    # extractors are mapInPandas features over the same binary table at
+    # the same per-doc grain, joined on doc_id into one hash-checked
+    # row. The payloads are utf-8 encodings of ASCII text, so the
+    # oracle recomputes every byte as ascii(substr(text, i, 1));
+    # top_bin uses the same first-max tie-break as np.argmax
+    # (list_position finds the first match).
     oracle=f"""
     WITH px AS (
       SELECT doc_id,
              list_transform({_RESIZE_POSITIONS},
                             p -> ascii(substr(text, (p % len(text)) + 1, 1))) AS pixels
       FROM documents WHERE len(text) > 0
-    )
-    SELECT doc_id,
+    ),
+    hb AS (
+      SELECT doc_id,
+             list_transform(range(1, len(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS bytes
+      FROM documents WHERE len(text) > 0),
+    hh AS (
+      SELECT doc_id, bytes,
+             list_transform(range(0, 16),
+                            bin -> len(list_filter(bytes, x -> x // 16 = bin)))
+               AS hist
+      FROM hb)
+    SELECT px.doc_id,
            CAST(pixels[1] AS BIGINT) AS px0,
            CAST(list_sum(pixels) AS BIGINT) AS px_sum,
-           round(list_sum(pixels) / 16.0, 4) AS mean_px
-    FROM px
+           round(list_sum(pixels) / 16.0, 4) AS mean_px,
+           CAST(len(bytes) AS BIGINT) AS n_bytes,
+           CAST(len(list_distinct(bytes)) AS BIGINT) AS n_distinct_bytes,
+           CAST(list_position(hist, list_max(hist)) - 1 AS BIGINT) AS top_bin,
+           array_to_string(hist, ',') AS hist
+    FROM px JOIN hh ON px.doc_id = hh.doc_id
     """,
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode→resize pipeline with scalar outputs hash-checked vs
-    DuckDB (fake_decode is deterministic byte tiling, so the oracle can
-    recompute the sampled positions in SQL; the full pixel grid is
-    pinned against numpy in tests/test_multimodal.py)."""
+    """Two Arrow-batched multimodal extractors in one hash-checked row:
+    the decode→resize pipeline with scalar outputs (fake_decode is
+    deterministic byte tiling, so the oracle can recompute the sampled
+    positions in SQL; the full pixel grid is pinned against numpy in
+    tests/test_multimodal.py) joined per-doc with the byte-histogram
+    features (hist serialized for a stable schema; exact values also
+    pinned against numpy). Both extractors are partition-parallel
+    mapInPandas passes over the same binary table; the join is the only
+    shuffle and stays at the per-doc grain."""
     b = binary_documents(spark, sf_dir).filter(F.length("payload") > 0)
     feats = decode_resize_features(b)
     s = F.aggregate(F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x)
-    return feats.select(
+    resize = feats.select(
         "doc_id",
         F.element_at("pixels", 1).alias("px0"),
         s.alias("px_sum"),
         F.round(s / 16.0, 4).alias("mean_px"),
     )
+    hist = byte_histogram_features(b).select(
+        "doc_id",
+        "n_bytes",
+        "n_distinct_bytes",
+        "top_bin",
+        F.array_join(
+            F.transform("hist", lambda x: x.cast("string")), ","
+        ).alias("hist"),
+    )
+    return resize.join(hist, "doc_id")
 
 
 @register(
@@ -541,44 +637,3 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.unionByName(fr).unionByName(sniff)
 
 
-@register(
-    "multimodal_byte_histogram",
-    # The payloads are utf-8 encodings of ASCII text, so the oracle can
-    # recompute every byte as ascii(substr(text, i, 1)) and rebuild the
-    # 16-bin histogram in SQL; top_bin uses the same first-max
-    # tie-break as np.argmax (list_position finds the first match).
-    oracle="""
-    WITH b AS (
-      SELECT doc_id,
-             list_transform(range(1, len(text) + 1),
-                            i -> ascii(substr(text, i, 1))) AS bytes
-      FROM documents),
-    h AS (
-      SELECT doc_id, bytes,
-             list_transform(range(0, 16),
-                            bin -> len(list_filter(bytes, x -> x // 16 = bin)))
-               AS hist
-      FROM b)
-    SELECT doc_id,
-           CAST(len(bytes) AS BIGINT) AS n_bytes,
-           CAST(len(list_distinct(bytes)) AS BIGINT) AS n_distinct_bytes,
-           CAST(list_position(hist, list_max(hist)) - 1 AS BIGINT) AS top_bin,
-           array_to_string(hist, ',') AS hist
-    FROM h
-    """,
-    tags=("multimodal", "pandas-udf"),
-)
-def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram features via mapInPandas (Arrow batches),
-    hash-checked: the deterministic text→payload derivation lets DuckDB
-    rebuild the histogram in SQL; exact values are also pinned against
-    numpy in tests/test_multimodal.py. Hist serialized for a stable
-    schema."""
-    feats = byte_histogram_features(binary_documents(spark, sf_dir))
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        "n_distinct_bytes",
-        "top_bin",
-        F.array_join(F.transform("hist", lambda x: x.cast("string")), ",").alias("hist"),
-    )
