@@ -124,65 +124,65 @@ def _run_to_parquet(df: DataFrame, mode: str) -> DataFrame:
 
 
 @register(
-    "streaming_tumbling_daily",
+    "streaming_windowed_aggs",
     # Complete output mode + availableNow processes the whole input and
-    # emits every window at the final trigger, so the result is exactly
-    # the batch aggregation — deterministic, hence a real oracle (the
-    # other streaming queries stay rows-only: append-mode emission
-    # depends on watermark progression across micro-batches).
+    # emits every window at the final trigger, so each branch is
+    # exactly its batch aggregation — deterministic, hence a real
+    # oracle. Two labeled branches in one hash-checked row (the r7
+    # window consolidation that paid for the new streaming-dedup and
+    # stream-stream-join oracle rows): 'tumbling' = daily windows;
+    # 'sliding' = 2-day windows sliding by 1 day, where each event
+    # belongs to exactly two windows (starts at floor_day(ts) and
+    # floor_day(ts) - 1 day), which the oracle replays with an unnest.
     oracle="""
-    SELECT date_trunc('day', ts) AS day, event_type,
+    SELECT 'tumbling' AS branch, date_trunc('day', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS branch, window_start, event_type,
            count(*) AS n, round(sum(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    tags=("streaming",),
-)
-def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily tumbling-window counts/sums with a 1-day watermark — the
-    streaming twin of `json_date_daily` (exact parity asserted in
-    tests/test_streaming.py)."""
-    s = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
-    agg = s.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
-    )
-    out = agg.select(
-        F.col("w.start").alias("day"), "event_type", "n", "total_value"
-    )
-    return _run_to_parquet(out, "complete")
-
-
-@register(
-    "streaming_sliding_2d",
-    # Complete mode again → deterministic batch equivalence. Each event
-    # belongs to exactly two 2-day/1-day-slide windows (starts at
-    # floor_day(ts) and floor_day(ts) - 1 day), which the oracle
-    # replays with an unnest.
-    oracle="""
-    WITH ev AS (
+    FROM (
       SELECT unnest([date_trunc('day', ts),
                      date_trunc('day', ts) - INTERVAL 1 DAY]) AS window_start,
              event_type, value
       FROM events)
-    SELECT window_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS total_value
-    FROM ev GROUP BY 1, 2
+    GROUP BY 2, 3
     """,
     tags=("streaming",),
 )
-def streaming_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-day windows sliding by 1 day (each event counted in two
-    overlapping windows) with a 1-day watermark — the sliding-window
-    member of the streaming family (SURVEY §7 M5)."""
+def streaming_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed streaming aggregations, both shapes in one row:
+    daily tumbling-window counts/sums (the streaming twin of
+    `json_date_daily`, exact parity asserted in tests/test_streaming.py)
+    and 2-day/1-day-slide sliding windows (each event counted in two
+    overlapping windows — SURVEY §7 M5). Each branch runs as its own
+    availableNow drain through the checkpointed parquet file sink with
+    a 1-day watermark."""
     s = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
-    agg = s.groupBy(
+    tumbling = s.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    ).select(
+        F.lit("tumbling").alias("branch"),
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    s2 = _stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    sliding = s2.groupBy(
         F.window("ts", "2 days", "1 day").alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    ).select(
+        F.lit("sliding").alias("branch"),
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
     )
-    out = agg.select(
-        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    return _run_to_parquet(tumbling, "complete").unionByName(
+        _run_to_parquet(sliding, "complete")
     )
-    return _run_to_parquet(out, "complete")
 
 
 @register(
@@ -244,28 +244,66 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_parquet(out, "append")
 
 
-@register("streaming_dedup_events", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "streaming_dedup_events",
+    # Oracle-able by the availableNow argument (VERDICT r6 #1): the
+    # events table is one parquet file, so the availableNow trigger
+    # runs exactly one micro-batch; during it the watermark is still
+    # the initial 0, so no dedup state expires mid-batch and EVERY
+    # duplicate of a key is dropped regardless of time gap — the
+    # emitted set is exactly one row per distinct key. Projecting only
+    # the KEY columns makes that set independent of which physical row
+    # survived, so the emission is a pure function of the data. The
+    # key is (user_id, event_type) — event_id is unique at every SF
+    # (verified), so an event_id dedup would never fire; this key has
+    # real duplicates (a user repeats event types), making the row a
+    # dedup that actually drops ~90% of its input.
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "stateful"),
+)
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup with BOUNDED state:
-    dropDuplicatesWithinWatermark on event_id, so a key's dedup state
-    ages out once the watermark passes it. Plain
-    dropDuplicates(["event_id"]) would look the same on a finite
-    replay but keeps every key ever seen — a watermark only expires
-    dedup state through the WithinWatermark variant (or by putting the
-    event-time column in the key), so on an unbounded stream the plain
-    form grows until executors OOM. Tradeoff, stated: duplicates
-    arriving farther apart than the 1-hour delay may both survive —
-    the standard bounded-state dedup contract. Result re-aggregated
-    batch-side."""
+    """Streaming exact dedup with BOUNDED state — first event per
+    (user, event_type): dropDuplicatesWithinWatermark, so a key's
+    dedup state ages out once the watermark passes it. Plain
+    dropDuplicates would look the same on a finite replay but keeps
+    every key ever seen — a watermark only expires dedup state through
+    the WithinWatermark variant (or by putting the event-time column
+    in the key), so on an unbounded stream the plain form grows until
+    executors OOM. Tradeoff, stated: duplicates arriving farther apart
+    than the 1-hour delay may both survive — the standard
+    bounded-state dedup contract (exercised across 3 incremental feeds
+    + restart in tests/test_streaming.py). Result re-aggregated
+    batch-side per event_type."""
     s = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    deduped = s.dropDuplicatesWithinWatermark(["event_id"]).select(
-        "event_id", "event_type"
-    )
+    deduped = s.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
     table = _run_to_parquet(deduped, "append")
     return table.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("streaming_stream_stream_join", oracle=None, tags=("streaming", "join"))
+@register(
+    "streaming_stream_stream_join",
+    # Oracle-able (VERDICT r6 #1): stream-stream INNER join results are
+    # emitted in the micro-batch where both sides are present — unlike
+    # outer-join nulls, nothing is withheld for watermark progress —
+    # and with availableNow both sides arrive in batch 1 while the
+    # watermark is still 0 (nothing dropped as late). The append
+    # emission is therefore exactly the batch interval join.
+    oracle="""
+    SELECT p.user_id AS user_id, count(*) AS n_click_purchase_pairs
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join"),
+)
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases joined to the same user's
     clicks within the preceding 30 minutes. Both sides carry watermarks

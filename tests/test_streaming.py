@@ -8,16 +8,49 @@ from tests.conftest import SF_SMOKE
 SPECS = load_all()
 
 
-def test_tumbling_matches_batch(spark):
-    stream = {
-        (r["day"], r["event_type"]): (r["n"], r["total_value"])
-        for r in SPECS["streaming_tumbling_daily"].fn(spark, SF_SMOKE).collect()
+def test_windowed_aggs_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    rows = SPECS["streaming_windowed_aggs"].fn(spark, SF_SMOKE).collect()
+    stream_t = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rows
+        if r["branch"] == "tumbling"
     }
     batch = {
         (r["day"], r["event_type"]): (r["n"], r["total_value"])
         for r in SPECS["json_date_daily"].fn(spark, SF_SMOKE).collect()
     }
-    assert stream == batch
+    assert stream_t == batch
+    # sliding branch: each event lands in exactly two 2d/1d windows
+    stream_s = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rows
+        if r["branch"] == "sliding"
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    two = e.select(
+        F.explode(
+            F.array(
+                F.date_trunc("day", "ts"),
+                F.date_trunc("day", "ts") - F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_start"),
+        "event_type",
+        "value",
+    )
+    want_s = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in two.groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert stream_s == want_s
 
 
 def test_session_windows_subset_of_batch(spark):
@@ -203,15 +236,17 @@ def test_streaming_dedup_matches_batch(spark):
         r["event_type"]: r["n"]
         for r in SPECS["streaming_dedup_events"].fn(spark, SF_SMOKE).collect()
     }
+    e = load_table(spark, SF_SMOKE, "events")
     want = {
         r["event_type"]: r["n"]
-        for r in load_table(spark, SF_SMOKE, "events")
-        .dropDuplicates(["event_id"])
+        for r in e.dropDuplicates(["user_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
     assert got == want
+    # the dedup must actually fire: keys repeat in the synthetic feed
+    assert sum(want.values()) < e.count()
 
 
 def test_dedup_incremental_multibatch(spark, tmp_path):
