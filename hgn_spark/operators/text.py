@@ -70,6 +70,9 @@ def _sql_str_list(items: tuple[str, ...]) -> str:
 
 _SQL_STOPWORDS = _sql_str_list(STOPWORDS)
 
+CTX_LEN = 512   # tokens per packed training chunk
+N_SHARDS = 8    # parallel packing streams
+
 
 def _duck_lang_score(markers: tuple[str, ...]) -> str:
     return f"len(list_filter(l, t -> t IN {_sql_str_list(markers)}))"
@@ -77,6 +80,16 @@ def _duck_lang_score(markers: tuple[str, ...]) -> str:
 
 @register(
     "text_profile",
+    # Repetition-signal and packing columns absorbed from the former
+    # standalone `text_repetition_signals` / `pack_token_chunks` rows
+    # (r7 window consolidation, paying for the new streaming / heavy-
+    # hitter / curation-report oracle rows): all three are per-document
+    # frames over the same corpus scan, joined on doc_id into one
+    # hash-checked row. Repetition columns LEFT-join (defined for docs
+    # with >= 2 tokens); packing covers every doc and inner-joins —
+    # 0-token docs are excluded from the profile on both sides, and
+    # since they contribute 0 tokens to the running offsets, dropping
+    # their rows changes no other doc's tok_start.
     oracle=f"""
     WITH tok AS (SELECT doc_id, text, {DUCK_TOKENS} AS l FROM documents),
     scored AS (
@@ -87,7 +100,8 @@ def _duck_lang_score(markers: tuple[str, ...]) -> str:
                    for lang, m in sorted(LANG_MARKERS.items())
                )}
              ])[1] AS best
-      FROM tok WHERE len(l) > 0)
+      FROM tok WHERE len(l) > 0),
+    prof AS (
     SELECT doc_id,
            len(l) AS n_tokens,
            len(list_distinct(l)) AS n_distinct,
@@ -107,9 +121,56 @@ def _duck_lang_score(markers: tuple[str, ...]) -> str:
            len({DUCK_SHINGLES}) AS n_shingles,
            md5(array_to_string(l, ' ')) AS fp_exact,
            md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp_bag
-    FROM scored
+    FROM scored),
+    rbase AS (SELECT doc_id, l FROM tok WHERE len(l) >= 2),
+    rgrams AS (
+      SELECT doc_id, 'w' AS kind, u.g AS gram FROM rbase, unnest(l) AS u(g)
+      UNION ALL
+      SELECT doc_id, 'g2' AS kind, g2.g AS gram FROM rbase,
+        unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g2(g)
+    ),
+    rcnt AS (SELECT doc_id, kind, gram, count(*) AS c
+             FROM rgrams GROUP BY doc_id, kind, gram),
+    ragg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN kind = 'w' THEN c ELSE 0 END) AS BIGINT) AS rt,
+             CAST(max(CASE WHEN kind = 'w' THEN c END) AS BIGINT) AS top_c,
+             CAST(sum(CASE WHEN kind = 'w' AND c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c,
+             CAST(sum(CASE WHEN kind = 'g2' THEN c ELSE 0 END) AS BIGINT) AS n2,
+             CAST(count(CASE WHEN kind = 'g2' THEN 1 END) AS BIGINT) AS nd2,
+             CAST(max(CASE WHEN kind = 'g2' THEN c END) AS BIGINT) AS top2
+      FROM rcnt GROUP BY doc_id),
+    rep AS (
+      SELECT doc_id,
+             round(top_c * 1.0 / rt, 4) AS top_token_frac,
+             round(dup_c * 1.0 / rt, 4) AS dup_token_frac,
+             round((n2 - nd2) * 1.0 / n2, 4) AS dup_2gram_frac,
+             round(top2 * 1.0 / n2, 4) AS top_2gram_frac,
+             (top_c * 1.0 / rt > 0.2 OR (n2 - nd2) * 1.0 / n2 > 0.4)
+               AS is_repetitive
+      FROM ragg),
+    pt AS (
+      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+             CAST(len(l) AS BIGINT) AS nt
+      FROM tok),
+    pk AS (
+      SELECT doc_id, shard,
+             CAST(coalesce(sum(nt) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_start
+      FROM pt)
+    SELECT prof.*,
+           rep.top_token_frac, rep.dup_token_frac, rep.dup_2gram_frac,
+           rep.top_2gram_frac, rep.is_repetitive,
+           pk.shard, pk.tok_start,
+           CAST(floor(pk.tok_start / {CTX_LEN}.0) AS BIGINT) AS chunk_id,
+           pk.tok_start % {CTX_LEN} AS chunk_offset
+    FROM prof
+    LEFT JOIN rep USING (doc_id)
+    JOIN pk USING (doc_id)
     """,
-    tags=("text", "dedup"),
+    tags=("text", "dedup", "quality", "packing", "llm-pipeline"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile, all scan-side in one pass:
@@ -127,8 +188,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       word, so short words still cost 1) — the standard LLM-token
       budget heuristic.
 
-    One projection over the scan (plus the initial spread of the
-    one-file table across cores), everything in whole-stage codegen."""
+    The quality/langid/fingerprint block is one projection over the
+    scan (plus the initial spread of the one-file table across cores),
+    everything in whole-stage codegen; the absorbed repetition and
+    packing column families (`text_repetition_signals`,
+    `pack_token_chunks`) join back at the per-doc grain."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         max(spark.sparkContext.defaultParallelism, 8)
     )
@@ -176,38 +240,36 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.sort_array(F.array_distinct("l")), " ")).alias(
             "fp_bag"
         ),
+    ).join(
+        # Repetition signals: defined for docs with >= 2 tokens, LEFT
+        # join keeps single-token docs in the profile with null signals.
+        text_repetition_signals(spark, sf_dir).select(
+            "doc_id",
+            "top_token_frac",
+            "dup_token_frac",
+            "dup_2gram_frac",
+            "top_2gram_frac",
+            "is_repetitive",
+        ),
+        "doc_id",
+        "left",
+    ).join(
+        # Packing covers every doc; 0-token docs (absent from the
+        # profile) contribute 0 tokens to the running offsets, so the
+        # inner join drops only their own rows.
+        pack_token_chunks(spark, sf_dir).select(
+            "doc_id", "shard", "tok_start", "chunk_id", "chunk_offset"
+        ),
+        "doc_id",
     )
 
 
-CTX_LEN = 512   # tokens per packed training chunk
-N_SHARDS = 8    # parallel packing streams
-
-
-@register(
-    "pack_token_chunks",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
-             CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
-      FROM documents),
-    c AS (
-      SELECT shard, doc_id, n_tokens,
-             CAST(coalesce(sum(n_tokens) OVER (
-               PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS tok_start
-      FROM t)
-    SELECT shard, doc_id, n_tokens, tok_start,
-           CAST(floor(tok_start / {CTX_LEN}.0) AS BIGINT) AS chunk_id,
-           tok_start % {CTX_LEN} AS chunk_offset
-    FROM c
-    """,
-    tags=("text", "packing", "llm-pipeline"),
-)
 def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing — the standard LLM-pretraining
     step that lays tokenized documents head-to-tail and slices the
-    stream into fixed CTX_LEN (512)-token chunks. Per document: its shard,
+    stream into fixed CTX_LEN (512)-token chunks. Hash-checked inside
+    the merged `text_profile` driver row (r7 window consolidation);
+    this standalone frame remains the composable operator. Per document: its shard,
     token count, stream offset, owning chunk and offset within it (a
     doc whose tokens straddle a boundary spans chunks, as in real
     packing).
@@ -453,47 +515,14 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_repetition_signals",
-    # Gopher-style repetition filters (Rae et al. 2021, §A1.1): corpora
-    # scraped at scale are full of boilerplate whose token / n-gram
-    # frequency profiles are degenerate. Signals per document:
-    # fraction of token occurrences belonging to the single most
-    # frequent token, fraction belonging to any repeated token, and the
-    # duplicate-occurrence fraction of positional 2-grams.
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents),
-    base AS (SELECT doc_id, l FROM tok WHERE len(l) >= 2),
-    grams AS (
-      SELECT doc_id, 'w' AS kind, u.g AS gram FROM base, unnest(l) AS u(g)
-      UNION ALL
-      SELECT doc_id, 'g2' AS kind, g2.g AS gram FROM base,
-        unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g2(g)
-    ),
-    cnt AS (SELECT doc_id, kind, gram, count(*) AS c FROM grams GROUP BY doc_id, kind, gram),
-    agg AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN kind = 'w' THEN c ELSE 0 END) AS BIGINT) AS n_tokens,
-             CAST(count(CASE WHEN kind = 'w' THEN 1 END) AS BIGINT) AS n_distinct_tokens,
-             CAST(max(CASE WHEN kind = 'w' THEN c END) AS BIGINT) AS top_c,
-             CAST(sum(CASE WHEN kind = 'w' AND c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c,
-             CAST(sum(CASE WHEN kind = 'g2' THEN c ELSE 0 END) AS BIGINT) AS n2,
-             CAST(count(CASE WHEN kind = 'g2' THEN 1 END) AS BIGINT) AS nd2,
-             CAST(max(CASE WHEN kind = 'g2' THEN c END) AS BIGINT) AS top2
-      FROM cnt GROUP BY doc_id)
-    SELECT doc_id, n_tokens,
-           round(top_c * 1.0 / n_tokens, 4) AS top_token_frac,
-           round(dup_c * 1.0 / n_tokens, 4) AS dup_token_frac,
-           round((n2 - nd2) * 1.0 / n2, 4) AS dup_2gram_frac,
-           round(top2 * 1.0 / n2, 4) AS top_2gram_frac,
-           (top_c * 1.0 / n_tokens > 0.2 OR (n2 - nd2) * 1.0 / n2 > 0.4)
-             AS is_repetitive
-    FROM agg
-    """,
-    tags=("text", "quality", "llm-pipeline"),
-)
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals per document: top-token
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1):
+    corpora scraped at scale are full of boilerplate whose token /
+    n-gram frequency profiles are degenerate. Hash-checked inside the
+    merged `text_profile` driver row (r7 window consolidation); this
+    standalone frame remains the composable operator.
+
+    Signals per document: top-token
     occurrence fraction, repeated-token occurrence fraction, positional
     2-gram duplicate fraction and top-2-gram fraction, plus the
     composite repetitiveness gate.
