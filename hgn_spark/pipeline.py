@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
 from hgn_spark.operators.dedup import (
+    _NGRAM_PAIR_CTES,
     canonical_groups,
     dedup_canonical_groups,
     ngram_jaccard_pairs_capped,
@@ -42,8 +43,12 @@ from hgn_spark.operators.dedup import (
 from hgn_spark.operators.text import (
     CTX_LEN,
     DECON_BENCH_MOD,
+    DECON_N,
+    DUCK_TOKENS,
     N_SHARDS,
+    PII_PATTERNS,
     STOPWORDS,
+    _SQL_STOPWORDS,
     decontaminate_ngram_overlap,
     redact_pii,
     tokens,
@@ -177,7 +182,107 @@ def curate_corpus(
     return curate_corpus_stages(spark, sf_dir, df_cap)["7_curated_packed"]
 
 
-@register("pipeline_curation_report", oracle=None, tags=("llm-pipeline", "e2e"))
+# DuckDB scrub expression: the same ordered regexp_replace chain as
+# text.redact_pii, with the explicit 'g' flag (DuckDB replaces first
+# match only by default; Spark replaces all).
+_DUCK_SCRUB = "text"
+for _pat, _repl in PII_PATTERNS:
+    _q = _pat.replace("'", "''")
+    _DUCK_SCRUB = f"regexp_replace({_DUCK_SCRUB}, '{_q}', '{_repl}', 'g')"
+
+
+def _curation_report_oracle() -> str:
+    """One WITH-chain replaying all 8 curation stages (VERDICT r6 #2):
+    every stage count composes oracle fragments that are already
+    hash-proven on their own — the jaccard-pair/CC chain
+    (dedup_canonical_groups), the 7-gram decontamination overlap
+    (decontaminate_ngram_overlap), the PII scrub (redact_pii_docs),
+    the quality gate and md5 sample predicates (text_profile /
+    sample_stratified_hash technique)."""
+    gate = (
+        f"len(l) BETWEEN 20 AND 2000 AND "
+        f"len(list_filter(l, t -> t IN {_SQL_STOPWORDS})) * 1.0 "
+        f"/ greatest(len(l), 1) < 0.3"
+    )
+    return f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    e AS (SELECT d1 AS src, d2 AS dst FROM jpairs),
+    symd AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    walk(node, comp) AS (
+      SELECT src, src FROM symd
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN symd s ON s.src = w.node),
+    comps AS (SELECT node AS doc_id, min(comp) AS group_id
+              FROM walk GROUP BY node),
+    nc AS (SELECT doc_id FROM comps WHERE doc_id <> group_id),
+    dg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - {DECON_N - 2}, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                 || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6]))) AS gram
+      FROM tok WHERE len(l) >= {DECON_N}),
+    dbench AS (SELECT DISTINCT gram FROM dg
+               WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    dcorpus AS (SELECT doc_id, gram FROM dg
+                WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+    dsizes AS (SELECT doc_id, count(*) AS n_grams FROM dcorpus GROUP BY doc_id),
+    dhits AS (
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM dcorpus c JOIN dbench USING (gram) GROUP BY c.doc_id),
+    ct AS (
+      SELECT h.doc_id FROM dhits h JOIN dsizes s USING (doc_id)
+      WHERE round(h.n_overlap * 1.0 / s.n_grams, 4) >= {DECON_FRAC_THRES}),
+    scrub AS (
+      SELECT doc_id, ({gate}) AS f_gate, {_DUCK_SCRUB} AS clean
+      FROM (SELECT doc_id, text, {DUCK_TOKENS} AS l FROM documents)),
+    fp1 AS (
+      SELECT *, min(CASE WHEN f_gate THEN doc_id END)
+                  OVER (PARTITION BY md5(clean)) AS min_gated
+      FROM scrub),
+    flags AS (
+      SELECT f.doc_id, f.f_gate, f.clean,
+             (f.f_gate AND f.doc_id = f.min_gated) AS f_exact,
+             (f.f_gate AND f.doc_id = f.min_gated
+              AND nc.doc_id IS NULL) AS f_neardup,
+             (f.f_gate AND f.doc_id = f.min_gated AND nc.doc_id IS NULL
+              AND f.doc_id % {DECON_BENCH_MOD} <> 0
+              AND ct.doc_id IS NULL) AS f_decon,
+             (f.f_gate AND f.doc_id = f.min_gated AND nc.doc_id IS NULL
+              AND f.doc_id % {DECON_BENCH_MOD} <> 0 AND ct.doc_id IS NULL
+              AND substring(md5(CAST(f.doc_id AS VARCHAR)), 1, 8)
+                  < '{SAMPLE_RATE_HEX}') AS f_sample
+      FROM fp1 f
+      LEFT JOIN nc ON nc.doc_id = f.doc_id
+      LEFT JOIN ct ON ct.doc_id = f.doc_id),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(CASE WHEN f_gate THEN 1 END) AS BIGINT) AS n1,
+             CAST(count(CASE WHEN f_exact THEN 1 END) AS BIGINT) AS n3,
+             CAST(count(CASE WHEN f_neardup THEN 1 END) AS BIGINT) AS n4,
+             CAST(count(CASE WHEN f_decon THEN 1 END) AS BIGINT) AS n5,
+             CAST(count(CASE WHEN f_sample THEN 1 END) AS BIGINT) AS n6,
+             CAST(coalesce(sum(CASE WHEN f_sample THEN
+               len(list_filter(string_split(lower(clean), ' '), t -> t <> ''))
+               END), 0) AS BIGINT) AS n8
+      FROM flags)
+    SELECT '0_input' AS stage, n0 AS n_docs FROM agg
+    UNION ALL SELECT '1_quality_gated', n1 FROM agg
+    UNION ALL SELECT '2_pii_scrubbed', n1 FROM agg
+    UNION ALL SELECT '3_exact_deduped', n3 FROM agg
+    UNION ALL SELECT '4_neardup_deduped', n4 FROM agg
+    UNION ALL SELECT '5_decontaminated', n5 FROM agg
+    UNION ALL SELECT '6_sampled', n6 FROM agg
+    UNION ALL SELECT '7_curated_packed', n6 FROM agg
+    UNION ALL SELECT '8_total_tokens', n8 FROM agg
+    """
+
+
+@register(
+    "pipeline_curation_report",
+    oracle=_curation_report_oracle(),
+    tags=("llm-pipeline", "e2e"),
+)
 def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage survivor counts for the FULL curation pipeline — the
     run report a corpus job emits, one row per stage 0-7 plus the final
@@ -198,8 +303,11 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     same min-doc_id-per-fingerprint, expressed as a window here vs
     groupBy+semi-join there), and tests/test_llm_ops.py pins every
     report count equal to the corresponding stage frame's count.
-    Rows-only: composed of individually-oracled stages, and the driver
-    window holds the 50 oracled rows already."""
+    Hash-checked since r7: the oracle replays all 8 stages as one
+    WITH-chain composing the already-oracled fragments (jaccard-pair/
+    CC chain, 7-gram decon overlap, PII scrub, gate + md5-sample
+    predicates) — the e2e flagship of the LLM pipeline at the same
+    evidence tier as `hgn_communities` (VERDICT r6 #2)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
