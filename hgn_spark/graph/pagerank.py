@@ -128,10 +128,16 @@ def personalized_pagerank(
 
         pr'(v) = (1-d)·[v ∈ S]/|S| + d · Σ_{u→v} pr(u)/outdeg(u)
 
-    Matches ``networkx.pagerank(personalization=...)`` on undirected
-    graphs at equal iteration count (parity pinned in
-    tests/test_graph.py). Non-seed vertices unreachable from any seed
-    converge to 0 and still appear (one row per non-isolated vertex).
+    This is the standard PPR power iteration run for a FIXED ``n_iter``
+    starting from the teleport distribution itself — pinned exactly
+    (1e-9) against an independent pure-Python mirror of that recurrence
+    in tests/test_graph.py, and against the same recurrence unrolled in
+    SQL in tests/test_oracle_parity.py. networkx.pagerank differs by
+    protocol, not by formula: it starts from a uniform ``nstart`` and
+    iterates to a convergence tolerance, so at small fixed iteration
+    counts the two differ by O(damping^n_iter). Non-seed vertices
+    unreachable from any seed converge to 0 and still appear (one row
+    per non-isolated vertex).
 
     Same scale shape as `pagerank`: one equi-join + one
     map-side-combinable aggregation per round, one materialized

@@ -80,6 +80,70 @@ def test_oracle_parity(spark, duck, spec):
         )
 
 
+def test_personalized_pagerank_unrolled_sql_oracle(spark, duck):
+    """Personalized PageRank vs the fixed-iteration recurrence UNROLLED
+    in DuckDB SQL (VERDICT r6 #5) — the same independent-engine
+    technique as the registered `graph_pagerank` oracle, applied to the
+    seeded variant: teleport mass returns only to the seed set, the
+    start vector IS the teleport distribution, 20 rounds of one join +
+    one grouped sum. Seeds = the two lowest vertex ids (deterministic
+    on both sides). Not a driver row only because the 50-slot window is
+    full; same evidence strength."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.graph.pagerank import personalized_pagerank
+    from hgn_spark.graph.queries import _GRAPH_CTE_MAT, derived_edges
+    from hgn_spark.graph.core import symmetrize
+
+    d, n_iter = 0.85, 20
+    e = derived_edges(spark, SF_ORACLE)
+    seeds = (
+        symmetrize(e)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(2)
+    )
+    got = {
+        r["id"]: r["pagerank"]
+        for r in personalized_pagerank(e, seeds, damping=d, n_iter=n_iter).collect()
+    }
+
+    base = (
+        f"(CASE WHEN sd.id IS NOT NULL THEN {1.0 - d} / "
+        "(SELECT n FROM ns) ELSE 0.0 END)"
+    )
+    rounds = ",".join(
+        f"""
+    pr{i} AS MATERIALIZED (
+      SELECT s.dst AS id, {base} + {d} * sum(p.pr / o.od) AS pr
+      FROM sym s
+      JOIN pr{i - 1} p ON p.id = s.src
+      JOIN outdeg o ON o.id = s.src
+      LEFT JOIN seeds sd ON sd.id = s.dst
+      GROUP BY s.dst, sd.id)"""
+        for i in range(1, n_iter + 1)
+    )
+    sql = f"""
+    WITH {_GRAPH_CTE_MAT},
+    outdeg AS MATERIALIZED (
+      SELECT src AS id, count(*) AS od FROM sym GROUP BY src),
+    seeds AS MATERIALIZED (SELECT id FROM outdeg ORDER BY id LIMIT 2),
+    ns AS (SELECT count(*) AS n FROM seeds),
+    pr0 AS MATERIALIZED (
+      SELECT o.id,
+             CASE WHEN s.id IS NOT NULL
+                  THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS pr
+      FROM outdeg o LEFT JOIN seeds s ON s.id = o.id),
+    {rounds}
+    SELECT id, pr FROM pr{n_iter}
+    """
+    want = {int(r[0]): float(r[1]) for r in duck.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) <= 1e-9, (k, got[k], want[k])
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as mod
 

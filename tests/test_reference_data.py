@@ -307,3 +307,50 @@ def test_quakers_hgn_end_to_end(quakers):
     initial = connected_components(canonicalize(edges))
     n_initial = initial.select("component").distinct().count()
     assert len(by_comp) >= n_initial
+
+
+@pytest.mark.skipif(not os.path.exists(HAMSTER), reason="reference data absent")
+def test_hamsterster_sampled_betweenness_error_bounds(spark):
+    """Brandes–Pich source-sampled betweenness on the larger reference
+    graph (VERDICT r6 #5): across three sample fractions the estimator
+    must (a) be deterministic (md5 sample, no RNG), (b) tighten
+    monotonically toward exact on every quality measure, and (c) stay
+    inside measured bounds (2026-08: total rel-err 5.0%/1.8%/1.2%,
+    top-100 overlap 26/50/72 at fractions 0.25/0.5/0.75 — pinned with
+    ~2x margin; per-edge error is large at small fractions because
+    k=2-truncated credit is highly localized, which is exactly why the
+    docstring scopes the estimator to aggregate/ranking use)."""
+    from hgn_spark.graph.betweenness import (
+        edge_betweenness_brandes,
+        edge_betweenness_sampled,
+    )
+
+    edges = load_edges_csv(
+        spark, f"{HAMSTER}/edges", delimiter=" ", has_header=True
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_brandes(edges, 2).collect()
+    }
+    tot = sum(exact.values())
+    top_exact = set(sorted(exact, key=lambda k: (-exact[k], k))[:100])
+
+    bounds = {0.25: (0.10, 20), 0.5: (0.05, 40), 0.75: (0.03, 60)}
+    prev_err, prev_overlap = None, None
+    for frac, (max_tot_err, min_overlap) in sorted(bounds.items()):
+        est = {
+            (r["src"], r["dst"]): r["betweenness"]
+            for r in edge_betweenness_sampled(
+                edges, 2, source_fraction=frac
+            ).collect()
+        }
+        tot_err = abs(sum(est.values()) - tot) / tot
+        overlap = len(
+            top_exact & set(sorted(est, key=lambda k: (-est[k], k))[:100])
+        )
+        assert tot_err <= max_tot_err, (frac, tot_err)
+        assert overlap >= min_overlap, (frac, overlap)
+        if prev_err is not None:
+            assert tot_err <= prev_err, "error must tighten with fraction"
+            assert overlap >= prev_overlap, "ranking must tighten with fraction"
+        prev_err, prev_overlap = tot_err, overlap
