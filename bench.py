@@ -41,16 +41,15 @@ HEADLINE = [
     "dedup_canonical_groups",
     "dedup_exact_incremental",
     "sample_stratified_hash",
-    "pack_token_chunks",
+    "heavy_hitters_user_events",
     "simsearch_topk_cosine",
     "simsearch_ivf_topk",
     "embedding_quantize_int8",
     "text_profile",
-    "text_repetition_signals",
     "text_tfidf_topterms",
     "corpus_source_report",
     "redact_pii_docs",
-    "multimodal_byte_histogram",
+    "multimodal_decode_resize",
     "graph_degrees",
     "graph_triangles_clustering",
     "graph_rmetrics",
@@ -59,7 +58,9 @@ HEADLINE = [
     "graph_pagerank",
     "graph_label_propagation",
     "hgn_communities",
-    "streaming_tumbling_daily",
+    "pipeline_curation_report",
+    "streaming_windowed_aggs",
+    "streaming_dedup_events",
     "streaming_session_windows",
 ]
 
