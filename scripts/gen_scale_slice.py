@@ -1,0 +1,118 @@
+"""Generate an sf>=1 scale slice by k-fold replication of the sf0.1
+tables with REPLICA-NAMESPACED keys (VERDICT r6 #4: one data-bound
+benchmark point — the sf0.001→0.1 suite is overhead-bound, so the
+100 TB scaling claims need a measurement where per-query growth, not
+JVM fixed cost, dominates).
+
+Design: each replica is a key-disjoint copy of the sf0.1 data, so the
+combined slice has k× the rows with the SAME per-replica structure —
+work that is linear in the data (scans, bucketed joins, per-doc HOFs)
+scales ~k×, and anything superlinear shows up immediately.
+
+- lineitem / part / supplier / orders: integer keys offset per replica
+  by a pad that is a multiple of 10 (so l_suppkey % 5 — the derived
+  graph's edge rule — is preserved and each replica grows an
+  ISOMORPHIC copy of the sf0.1 graph). part's p_size is offset too:
+  sizes are the theta-join's equi key, and shared sizes across
+  replicas would grow that join quadratically instead of linearly.
+- documents: every token is suffixed with the replica index (replica 0
+  = verbatim), so replicas share NO tokens — shingle buckets,
+  7-gram sets and fingerprints stay replica-local, exactly like a real
+  corpus whose vocabulary grows with its size. Each replica keeps the
+  sf0.1 corpus's internal near-dup structure, so dedup verify work
+  scales linearly. (Replicating text verbatim instead would make every
+  doc a 10-way exact dup and every shingle bucket 10× hotter — the
+  adversarial mega-bucket regime, which is `ngram_jaccard_pairs_capped`'s
+  job, not a fair scaling baseline.)
+- region / nation / customer: copied verbatim (broadcast dims).
+
+Usage: python scripts/gen_scale_slice.py [k] [out_dir]
+       (defaults: k=10 → "sf1", out=/tmp/hgn_scale/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+SRC = "/root/testdata/sf0.1"
+
+
+def _pad(df: DataFrame, col: str) -> int:
+    """Replica key offset: max+1 rounded up to a multiple of 10 (keeps
+    key % 5 classes, hence the derived graph, intact per replica)."""
+    m = df.agg(F.max(col)).first()[0]
+    return ((int(m) + 10) // 10) * 10
+
+
+def replicate_keyed(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    pads = {c: _pad(df, c) for c in key_cols}
+    out = None
+    for i in range(k):
+        r = df
+        for c, p in pads.items():
+            r = r.withColumn(c, F.col(c) + F.lit(i * p))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def replicate_documents(df: DataFrame, k: int) -> DataFrame:
+    doc_pad = _pad(df, "doc_id")
+    out = None
+    for i in range(k):
+        r = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_pad))
+        if i > 0:
+            sfx = F.lit(str(i))
+            toks = F.filter(
+                F.split(F.col("text"), " "), lambda t: t != F.lit("")
+            )
+            r = r.withColumn(
+                "text", F.array_join(F.transform(toks, lambda t: F.concat(t, sfx)), " ")
+            )
+        r = r.withColumn("n_chars", F.length("text").cast("long"))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hgn_scale/sf1"
+    os.makedirs(out_dir, exist_ok=True)
+
+    from hgn_spark.session import get_spark
+
+    spark = get_spark(app_name="gen_scale_slice")
+
+    def read(t: str) -> DataFrame:
+        return spark.read.parquet(f"{SRC}/{t}.parquet")
+
+    plans = {
+        "lineitem": lambda: replicate_keyed(
+            read("lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"], k
+        ),
+        "orders": lambda: replicate_keyed(
+            read("orders"), ["o_orderkey", "o_custkey"], k
+        ),
+        "part": lambda: replicate_keyed(read("part"), ["p_partkey", "p_size"], k),
+        "supplier": lambda: replicate_keyed(read("supplier"), ["s_suppkey"], k),
+        "customer": lambda: replicate_keyed(read("customer"), ["c_custkey"], k),
+        "documents": lambda: replicate_documents(read("documents"), k),
+        "events": lambda: replicate_keyed(
+            read("events"), ["event_id", "user_id"], k
+        ),
+        "region": lambda: read("region"),
+        "nation": lambda: read("nation"),
+        "embeddings": lambda: read("embeddings"),
+    }
+    for t, fn in plans.items():
+        fn().write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(f"{t}: written", flush=True)
+    print(f"scale slice k={k} at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
