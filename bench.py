@@ -42,8 +42,10 @@ HEADLINE = [
     "dedup_exact_incremental",
     "sample_stratified_hash",
     "heavy_hitters_user_events",
+    # exact + IVF seed/kmeans variants merged into one driver row (r7
+    # window consolidation) — its timing is the sum of what the two
+    # pre-r7 rows measured.
     "simsearch_topk_cosine",
-    "simsearch_ivf_topk",
     "embedding_quantize_int8",
     "text_profile",
     "text_tfidf_topterms",
@@ -62,6 +64,9 @@ HEADLINE = [
     "streaming_windowed_aggs",
     "streaming_dedup_events",
     "streaming_session_windows",
+    # new r7 hash-checked driver rows (bench tracks driver rows)
+    "streaming_static_enrich",
+    "streaming_stateful_user_counts",
 ]
 
 

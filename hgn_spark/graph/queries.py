@@ -101,21 +101,14 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_degrees",
-    oracle=f"""
-    WITH {GRAPH_CTE}
-    SELECT src AS id, count(*) AS degree FROM sym GROUP BY src
-    """,
-    tags=("graph",),
-)
-def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex degree (G3's count half; graph_tools.py:354-357)."""
-    return degrees(derived_edges(spark, sf_dir))
-
-
-@register(
-    "graph_neighbors_lvl2",
+    # One per-vertex row for both G3 halves (degree count + level-2
+    # neighborhood) — the r7 window consolidation that paid for the
+    # streaming_stateful_user_counts oracle row. Every non-isolated
+    # vertex appears in both halves (lvl2 ⊇ 1-hop), so the inner join
+    # loses nothing.
     oracle=f"""
     WITH {GRAPH_CTE},
+    deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
     lvl2 AS (
       SELECT DISTINCT u, v FROM (
         SELECT src AS u, dst AS v FROM sym
@@ -123,17 +116,34 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src
         WHERE a.src <> b.dst
       )
+    ),
+    l2 AS (
+      SELECT u AS id, count(*) AS lvl2_count,
+             array_to_string(list_sort(list(v)), ',') AS lvl2_neighbors
+      FROM lvl2 GROUP BY u
     )
-    SELECT u AS id, count(*) AS count,
-           array_to_string(list_sort(list(v)), ',') AS neighbors
-    FROM lvl2 GROUP BY u
+    SELECT deg.id AS id, degree, lvl2_count, lvl2_neighbors
+    FROM deg JOIN l2 ON l2.id = deg.id
     """,
     tags=("graph",),
 )
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree plus level-2 neighborhood (1-hop ∪ 2-hop
+    endpoints, self excluded) — G3 complete (graph_tools.py:328-370).
+    Arrays serialized sorted for the order-insensitive hash."""
+    e = derived_edges(spark, sf_dir)
+    deg = degrees(e)
+    nb = neighbors(e, level=2).select(
+        "id",
+        F.col("count").alias("lvl2_count"),
+        F.array_join(F.sort_array("neighbors"), ",").alias("lvl2_neighbors"),
+    )
+    return deg.join(nb, "id")
+
+
 def graph_neighbors_lvl2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Level-2 neighborhoods: 1-hop ∪ 2-hop endpoints, self excluded
-    (G3, graph_tools/graph_tools.py:328-370). Arrays serialized sorted
-    for the order-insensitive hash."""
+    """Level-2 neighborhoods alone — the pre-merge driver row, kept
+    callable for tests and API compatibility."""
     nb = neighbors(derived_edges(spark, sf_dir), level=2)
     return nb.select(
         "id",

@@ -3,13 +3,18 @@
 Engine extension family (no reference counterpart — the reference's
 similarity is per-edge cosine on one-hot attributes, SURVEY §2.9 G9):
 
-- `simsearch_topk_cosine`: exact brute-force top-k — each query scans
-  the corpus once. This is the correctness baseline and the right
-  answer when queries ≪ corpus: the corpus-side scan parallelizes
-  perfectly and the per-query state is a k-row heap (here a window
-  top-k). Hash-checked against DuckDB computing the identical
-  left-fold double cosine.
-- `simsearch_ivf_topk`: the scale path — IVF-style bucketing. Vectors
+One driver row, `simsearch_topk_cosine`, carries all three strategies
+as labeled `variant` branches (exact / seed / kmeans — the r7 window
+consolidation):
+
+- 'exact' (`simsearch_exact_topk`): brute-force top-k — each query
+  scans the corpus once. This is the correctness baseline and the
+  right answer when queries ≪ corpus: the corpus-side scan
+  parallelizes perfectly and the per-query state is a k-row heap
+  (here a window top-k). Hash-checked against DuckDB computing the
+  identical left-fold double cosine.
+- 'seed'/'kmeans' (`simsearch_ivf_topk`): the scale path — IVF-style
+  bucketing. Vectors
   are assigned to their nearest centroid once (inverted lists); a query
   probes only the nearest `nprobe` lists and re-ranks exactly. Probed
   fraction ≈ nprobe/n_centroids of the corpus instead of all of it.
@@ -82,9 +87,7 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(as_double(a), as_double(b)) / (na * nb)
 
 
-@register(
-    "simsearch_topk_cosine",
-    oracle=f"""
+_SQL_EXACT = f"""
     WITH base AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
@@ -105,10 +108,10 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
                                 ORDER BY round(cos, 6) DESC, vec_id) AS rnk
       FROM pairs)
     SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
-    """,
-    tags=("similarity",),
-)
-def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def simsearch_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine per standing query (brute-force baseline).
 
     The query set is broadcast; norms precomputed per vector (see
@@ -415,15 +418,19 @@ def _ivf_query(
 
 
 @register(
-    "simsearch_ivf_topk",
+    "simsearch_topk_cosine",
     # Deterministic end to end (stride-sampled centroids, one pinned
     # Lloyd iteration for the kmeans branch, 6-decimal-rounded cosines
-    # before every window, id tie-breaks), so DuckDB replays both
-    # variants exactly — ANN with a hash-checked oracle, not just a
-    # recall bound. One driver row for both centroid strategies (same
-    # window-consolidation policy as setops_family / agg_rollup_pivot).
+    # before every window, id tie-breaks), so DuckDB replays every
+    # variant exactly — ANN with a hash-checked oracle, not just a
+    # recall bound. One driver row for the exact baseline AND both IVF
+    # centroid strategies (the r7 window consolidation that paid for
+    # the streaming_static_enrich oracle row — same policy as
+    # setops_family / agg_rollup_pivot / streaming_windowed_aggs).
     oracle=(
-        "SELECT 'seed' AS variant, * FROM ("
+        "SELECT 'exact' AS variant, * FROM ("
+        + _SQL_EXACT
+        + ") UNION ALL SELECT 'seed' AS variant, * FROM ("
         + _SQL_PRELUDE
         + _SQL_SEED_CENTS
         + _SQL_TAIL
@@ -435,21 +442,24 @@ def _ivf_query(
     ),
     tags=("similarity", "ann", "kmeans"),
 )
-def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k: assign → probe → exact re-rank,
-    under both centroid strategies in one driver row (`variant` column):
+def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine per standing query, all three strategies in one
+    driver row (`variant` column):
 
-    - 'seed': stride-sampled centroids — the headline configuration;
-    - 'kmeans': one deterministic Lloyd iteration over the same seeds
-      (see _lloyd_refine_pinned; production trains via the avg-based
-      lloyd_refine) — the trainable-centroid scale path for
+    - 'exact': brute-force scan — the baseline every ANN variant's
+      recall is measured against (simsearch_exact_topk);
+    - 'seed': IVF with stride-sampled centroids — the headline
+      approximate configuration;
+    - 'kmeans': IVF with one deterministic Lloyd iteration over the
+      same seeds (see _lloyd_refine_pinned; production trains via the
+      avg-based lloyd_refine) — the trainable-centroid scale path for
       corpora WITH cluster structure.
 
-    Approximate relative to the exact baseline (a true neighbor can
-    live in an unprobed list — recall asserted in tests/test_llm_ops),
-    but REPRODUCIBLE: every ranking uses 6-decimal-rounded cosines with
-    id tie-breaks, so the DuckDB oracle replays both pipelines exactly
-    and the driver hash-checks them.
+    The IVF branches are approximate relative to 'exact' (a true
+    neighbor can live in an unprobed list — recall asserted in
+    tests/test_llm_ops), but REPRODUCIBLE: every ranking uses
+    6-decimal-rounded cosines with id tie-breaks, so the DuckDB oracle
+    replays all three pipelines exactly and the driver hash-checks them.
 
     On the synthetic isotropic testdata the kmeans branch measures
     slightly below the seed branch (0.92 vs 0.96 recall at sf0.01,
@@ -457,11 +467,30 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no cluster structure to learn) — the expected no-structure
     outcome, documented rather than hidden.
     """
-    # Both variants share the seed-assignment frame, materialized once:
-    # the seed variant's inverted lists and the kmeans variant's Lloyd
-    # input are the same broadcast-argmax pass, and a lazy union would
-    # re-run it per branch (Catalyst shares no subplans across union
-    # arms).
+    exact = simsearch_exact_topk(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), "*"
+    )
+    # Both IVF variants share the seed-assignment frame, materialized
+    # once: the seed variant's inverted lists and the kmeans variant's
+    # Lloyd input are the same broadcast-argmax pass, and a lazy union
+    # would re-run it per branch (Catalyst shares no subplans across
+    # union arms).
+    emb, seeds, seed_assign = _ivf_seed_frames(spark, sf_dir)
+    seed_assign = seed_assign.localCheckpoint(eager=True)
+    frames = (emb, seeds, seed_assign)
+    seed = _ivf_query(spark, sf_dir, refine=False, frames=frames).select(
+        F.lit("seed").alias("variant"), "*"
+    )
+    km = _ivf_query(spark, sf_dir, refine=True, frames=frames).select(
+        F.lit("kmeans").alias("variant"), "*"
+    )
+    return exact.unionByName(seed).unionByName(km)
+
+
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both IVF variants (seed + kmeans) without the exact baseline —
+    the pre-merge `simsearch_ivf_topk` driver row, kept callable for
+    tests and API compatibility."""
     emb, seeds, seed_assign = _ivf_seed_frames(spark, sf_dir)
     seed_assign = seed_assign.localCheckpoint(eager=True)
     frames = (emb, seeds, seed_assign)

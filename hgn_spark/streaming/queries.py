@@ -8,8 +8,13 @@ query except the update-mode stateful one, which the append-only file
 sink cannot express and drains to a memory sink instead),
 and returns the materialized result as a batch DataFrame — so the
 driver contract (callable → DataFrame) holds. Batch twins
-(`json_date_daily`, `sessionize_events`) exist for parity testing;
-streaming queries are rows-only in the oracle gate (non-SQL surface).
+(`json_date_daily`, `sessionize_events`) exist for parity testing.
+Under availableNow every emission here is a pure function of the data
+(complete mode emits the full batch aggregation; append emissions are
+pinned by the final watermark = max(ts) − horizon), so 7 of the 8
+queries carry full DuckDB oracles — only the update-mode stateful
+row's INTERMEDIATE emissions are non-SQL, and its final accumulated
+state is oracle-checked against the batch count.
 
 Semantics notes:
 - tumbling window uses complete output mode (every window emitted at
@@ -332,7 +337,31 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_static_enrich", oracle=None, tags=("streaming", "join"))
+@register(
+    "streaming_static_enrich",
+    # Oracle-able by the complete-mode argument (same as
+    # streaming_windowed_aggs): the static side is re-planned into the
+    # single availableNow micro-batch as an ordinary batch join, and
+    # complete output emits every window at the final trigger — the
+    # emission IS the batch aggregation of the enriched join,
+    # deterministic end to end. Spark's 1-day tumbling windows align
+    # to the epoch, so w.start replays as date_trunc('day', ts) in UTC.
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, count(*) AS lifetime_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT date_trunc('day', e.ts) AS day,
+           CASE WHEN coalesce(d.lifetime_purchases, 0) >= 10 THEN 'heavy'
+                WHEN coalesce(d.lifetime_purchases, 0) >= 3 THEN 'mid'
+                ELSE 'light' END AS buyer_tier,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e LEFT JOIN dim d USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the standard streaming-ETL
     pattern the family still lacked: the event stream joins a static
@@ -342,9 +371,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch as an ordinary (broadcastable) batch join, so state
     stays bounded by the aggregation alone. Complete mode +
     availableNow emits exactly the batch aggregation — deterministic;
-    exact batch parity asserted in tests/test_streaming.py. Rows-only
-    in the driver gate only because the 50-slot window is already
-    fully oracle-backed."""
+    exact batch parity asserted in tests/test_streaming.py and
+    hash-checked against the DuckDB replay of the enriched join."""
     from hgn_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
@@ -376,12 +404,26 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_parquet(out, "complete")
 
 
-@register("streaming_stateful_user_counts", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "streaming_stateful_user_counts",
+    # Oracle-able: the GroupState counter accumulates monotonically
+    # across micro-batches and update mode emits one row per
+    # (user, batch), so max(n_events) per user is the state's FINAL
+    # value — which, once every event has been processed (availableNow
+    # drains the whole input), must equal the plain batch count. The
+    # oracle hash-checks the custom stateful operator end to end: a
+    # lost batch, double-counted state, or dropped key diverges it.
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     event counter held in explicit GroupState. Update mode appends one
     row per (user, batch); the final per-user value is the max —
-    asserted equal to the batch groupBy count in tests."""
+    the state's accumulated total, hash-checked against the batch
+    groupBy count (and asserted again in tests/test_streaming.py)."""
 
     def _count(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState

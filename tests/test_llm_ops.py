@@ -240,15 +240,9 @@ def test_embedding_neardup_subset_of_bruteforce(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    bf = {
-        (r["q_id"], r["vec_id"])
-        for r in SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
-    }
-    ivf = {
-        (r["q_id"], r["vec_id"])
-        for r in SPECS["simsearch_ivf_topk"].fn(spark, SF_SMOKE).collect()
-        if r["variant"] == "seed"
-    }
+    rows = SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
+    bf = {(r["q_id"], r["vec_id"]) for r in rows if r["variant"] == "exact"}
+    ivf = {(r["q_id"], r["vec_id"]) for r in rows if r["variant"] == "seed"}
     assert len(bf) == 50  # 10 queries × top-5
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8  # 0.96 observed with 20 lists / 3 probes
@@ -259,15 +253,9 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     isotropic corpus it measures 0.92 (vs 0.96 for stride seeds at the
     same probed candidate count) — the expected no-cluster-structure
     outcome, see simsearch_ivf_kmeans_topk's docstring."""
-    bf = {
-        (r["q_id"], r["vec_id"])
-        for r in SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
-    }
-    ivf = {
-        (r["q_id"], r["vec_id"])
-        for r in SPECS["simsearch_ivf_topk"].fn(spark, SF_SMOKE).collect()
-        if r["variant"] == "kmeans"
-    }
+    rows = SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
+    bf = {(r["q_id"], r["vec_id"]) for r in rows if r["variant"] == "exact"}
+    ivf = {(r["q_id"], r["vec_id"]) for r in rows if r["variant"] == "kmeans"}
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8  # 0.92 observed with 20 lists / 3 probes
 
@@ -848,13 +836,13 @@ def test_lsh_topk_recall_and_candidate_bound(spark):
 
     from hgn_spark.operators.similarity import (
         LSH_BITS,
+        simsearch_exact_topk,
         simsearch_lsh_topk,
-        simsearch_topk_cosine,
     )
 
     bf = {
         (r["q_id"], r["vec_id"])
-        for r in simsearch_topk_cosine(spark, SF_SMOKE).collect()
+        for r in simsearch_exact_topk(spark, SF_SMOKE).collect()
     }
     lsh_df = simsearch_lsh_topk(spark, SF_SMOKE)
     lsh = {(r["q_id"], r["vec_id"]) for r in lsh_df.collect()}

@@ -21,8 +21,10 @@ SPECS = load_all()
 # the broadcast side is provably small (40 query vectors / ~60 centroids)
 # and the stream side stays partition-parallel.
 BNLJ_ALLOWED = {
+    # exact + both IVF variants in one merged row: the broadcast side
+    # is provably small on every branch (40 query vectors / ~60
+    # centroids) and the stream side stays partition-parallel.
     "simsearch_topk_cosine",
-    "simsearch_ivf_topk",
 }
 
 BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]
