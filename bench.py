@@ -57,6 +57,7 @@ HEADLINE = [
     "graph_rmetrics",
     "graph_betweenness_k2",
     "graph_connected_components",
+    "graph_kcore",
     "graph_pagerank",
     "graph_label_propagation",
     "hgn_communities",

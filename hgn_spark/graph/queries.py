@@ -472,12 +472,63 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(derived_edges(spark, sf_dir), n_iter=LPA_ITER)
 
 
-@register("graph_kcore", oracle=None, tags=("graph", "iterative", "cohesion"))
+# Unroll bounds for the k-core oracle. The peel loop's shape is
+# data-dependent (outer levels = degeneracy, inner rounds = longest
+# removal cascade per level), but at the driver's scale factors it is
+# small and MEASURED: sf0.01 needs 6 levels x <=10 rounds, sf0.1 needs
+# 5 x <=9. The unroll bounds sit well above both; extra rounds are
+# no-ops at the fixpoint (the peel step is idempotent), and extra
+# levels emit empty survivor sets. If a future SF exceeded the bounds
+# the oracle would UNDER-count cores and the hash check would fail
+# loudly — never silently pass.
+_KCORE_LEVELS = 10
+_KCORE_ROUNDS = 16
+
+
+def _kcore_oracle(levels: int = _KCORE_LEVELS, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled-peeling k-core oracle (same technique as the HGN /
+    PageRank / LPA loop oracles): one CTE per peel round computing the
+    still-alive vertex set — a vertex survives the round iff its degree
+    among alive endpoints is >= k (endpoints with zero alive neighbors
+    drop out of the join, mirroring kcore.py's explicit alive frame) —
+    then core(v) = number of level fixpoints survived, since the
+    (k+1)-core is contained in the k-core and a vertex removed while
+    peeling level k survived exactly levels 1..k-1."""
+    ctes = []
+    prev = "alive0"
+    survivors = []
+    for k in range(1, levels + 1):
+        for j in range(rounds):
+            name = f"a{k}_{j + 1}"
+            ctes.append(f"""
+    {name} AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT s.src AS id, count(*) AS deg
+        FROM sym s JOIN {prev} p ON p.id = s.src
+        JOIN {prev} q ON q.id = s.dst
+        GROUP BY s.src)
+      WHERE deg >= {k})""")
+            prev = name
+        survivors.append(prev)
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT id FROM {s}" for s in survivors
+    )
+    return f"""
+    WITH {_GRAPH_CTE_MAT},
+    alive0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+    {",".join(ctes)}
+    SELECT id, CAST(count(*) AS INT) AS core FROM (
+      {union}
+    ) GROUP BY id
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle(), tags=("graph", "iterative", "cohesion"))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the derived graph (engine extension):
-    per-vertex core numbers by distributed peeling. Iterative fixpoint
-    with a data-dependent level count → rows-only in the driver gate;
-    exact networkx.core_number parity is pinned in tests/test_graph.py."""
+    per-vertex core numbers by distributed peeling — hash-checked
+    against the unrolled-peeling DuckDB replay (see _kcore_oracle) and
+    pinned to exact networkx.core_number parity in tests/test_graph.py."""
     from hgn_spark.graph.kcore import core_numbers
 
     return core_numbers(derived_edges(spark, sf_dir))

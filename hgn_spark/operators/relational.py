@@ -207,20 +207,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing.unionByName(pctl)
 
 
-@register(
-    "conditional_ratio_agg",
-    oracle="""
-    SELECT l_orderkey,
-           round(count(CASE WHEN l_discount > 0.05 THEN 1 END) * 1.0 / count(*), 4)
-             AS high_disc_ratio
-    FROM lineitem
-    GROUP BY l_orderkey
-    """,
-    tags=("agg",),
-)
 def conditional_ratio_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(when)/count ratio — the reference's edge-weight aggregate shape
-    (graph_tools/graph_tools.py:512-516)."""
+    (graph_tools/graph_tools.py:512-516). Driver evidence rides as the
+    'cond_ratio' branch of `agg_rollup_pivot` (merged r7 to free an
+    oracle slot in the 50-query window for the unrolled k-core
+    oracle)."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -295,6 +287,10 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'pivot', o_orderpriority, 'status_P', status_P,
            CAST(NULL AS DOUBLE) FROM pv
+    UNION ALL
+    SELECT 'cond_ratio', CAST(l_orderkey AS VARCHAR), NULL, CAST(NULL AS BIGINT),
+           round(count(CASE WHEN l_discount > 0.05 THEN 1 END) * 1.0 / count(*), 4)
+    FROM lineitem GROUP BY l_orderkey
     """,
     tags=("agg", "rollup", "pivot", "unpivot"),
 )
@@ -307,7 +303,9 @@ def agg_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``pivot``: orders pivoted to a fixed wide value list (no extra
       value-discovery pass), zero-filled, then unpivoted back to long
       form with ``stack`` — exercising pivot AND unpivot while keeping
-      one harmonized output schema.
+      one harmonized output schema;
+    - ``cond_ratio``: the per-order conditional count(when)/count ratio
+      (conditional_ratio_agg, merged r7), ratio carried in ``total``.
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -344,7 +342,14 @@ def agg_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("total"),
         )
     )
-    return ro.unionByName(pv)
+    cr = conditional_ratio_agg(spark, sf_dir).select(
+        F.lit("cond_ratio").alias("op"),
+        F.col("l_orderkey").cast("string").alias("dim1"),
+        F.lit(None).cast("string").alias("dim2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("high_disc_ratio").alias("total"),
+    )
+    return ro.unionByName(pv).unionByName(cr)
 
 
 # ---------------------------------------------------------------------------

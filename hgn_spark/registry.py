@@ -57,10 +57,11 @@ def register(
 
 # Among rows-only (no-oracle) queries, the strongest evidence orders
 # first in case window slots ever open up. (Historical: the flagship
-# HGN loop, PageRank, and LPA all sat here until their unrolled-SQL
-# oracles landed; all 50 window slots are oracle-backed and rows-only
-# entries sit entirely outside the window.)
-_ROWS_ONLY_PRIORITY = ["graph_kcore", "sketch_accuracy_report"]
+# HGN loop, PageRank, LPA, the streaming family, and k-core all sat
+# here until their oracles landed; the sole remaining rows-only entry
+# is the sketch report, whose HLL++/approx-percentile internals have
+# no DuckDB twin — error-bound tests pin it instead.)
+_ROWS_ONLY_PRIORITY = ["sketch_accuracy_report"]
 
 
 def load_all() -> dict[str, QuerySpec]:
