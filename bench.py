@@ -36,10 +36,13 @@ HEADLINE = [
     "explode_array_and_map",
     "decontaminate_ngram_overlap",
     "agg_rollup_pivot",
+    # minhash + simhash + SRP branches merged into one driver row (r7
+    # window consolidation)
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_canonical_groups",
     "dedup_exact_incremental",
+    "dedup_semantic_clusters",
     "sample_stratified_hash",
     "heavy_hitters_user_events",
     # exact + IVF seed/kmeans variants merged into one driver row (r7
@@ -48,6 +51,7 @@ HEADLINE = [
     "simsearch_topk_cosine",
     "embedding_quantize_int8",
     "text_profile",
+    "chunk_documents",
     "text_tfidf_topterms",
     "corpus_source_report",
     "redact_pii_docs",

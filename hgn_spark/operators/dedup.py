@@ -621,8 +621,7 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("dedup_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: 16 permutation minima per doc over
     the portable 48-bit shingle hashes, banded 4×4; only docs sharing a
     (band, band-key) bucket become candidates; exact jaccard verify at
@@ -712,7 +711,6 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("dedup_simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "lsh"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 48-bit signature per doc (sign of the
     per-bit ±1 sum over distinct portable shingle hashes), pigeonhole
@@ -841,9 +839,6 @@ def _srp_oracle(dim: int = EMB_DIM) -> str:
     """
 
 
-@register(
-    "dedup_embedding_neardup_pairs", oracle=_srp_oracle(), tags=("dedup", "ann")
-)
 def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH:
     16-bit sign signature, candidates share one of two 8-bit bands,
@@ -926,4 +921,171 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("cosine") >= EMB_COS_THRES)
         .select("v1", "v2", "cosine")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    # All three sketch-LSH candidate generators in one labeled driver
+    # row (the r7 window consolidation that paid for the
+    # chunk_documents and dedup_semantic_clusters oracle rows). Each
+    # branch remains hash-checked end to end — the md5-derived
+    # permutation/plane constants inline into the oracle, which replays
+    # every sketch exactly. `score` carries the branch's verify
+    # statistic: exact jaccard (minhash), hamming distance (simhash,
+    # cast to double), exact cosine (srp).
+    oracle=(
+        "SELECT 'minhash' AS method, d1 AS a, d2 AS b, jaccard AS score FROM ("
+        + _minhash_oracle()
+        + ") UNION ALL SELECT 'simhash', d1, d2, CAST(hamming AS DOUBLE) FROM ("
+        + _simhash_oracle()
+        + ") UNION ALL SELECT 'srp', v1, v2, cosine FROM ("
+        + _srp_oracle()
+        + ")"
+    ),
+    tags=("dedup", "lsh", "ann"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based near-dup pair generation, all three sketches as
+    labeled `method` branches of one driver row:
+
+    - 'minhash': MinHash-LSH over shingle sets (minhash_lsh_pairs);
+    - 'simhash': bit-packed SimHash with pigeonhole chunk bucketing
+      (dedup_simhash_pairs);
+    - 'srp': signed-random-projection LSH over embeddings
+      (dedup_embedding_neardup_pairs).
+
+    The branches share the scan-side-signature → bucket-equi-join →
+    exact-verify shape that keeps candidate generation linear in corpus
+    size at 100 TB; they differ in the sketch (set resemblance vs
+    bit-space hamming vs embedding angle), so one row exercises all
+    three verify statistics."""
+    mh = minhash_lsh_pairs(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        F.col("d1").alias("a"),
+        F.col("d2").alias("b"),
+        F.col("jaccard").alias("score"),
+    )
+    sh = dedup_simhash_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        F.col("d1").alias("a"),
+        F.col("d2").alias("b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    sp = dedup_embedding_neardup_pairs(spark, sf_dir).select(
+        F.lit("srp").alias("method"),
+        F.col("v1").alias("a"),
+        F.col("v2").alias("b"),
+        F.col("cosine").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(sp)
+
+
+def _semantic_oracle() -> str:
+    """DuckDB replay of cluster-bucketed semantic dedup: the same
+    stride seeds and argmax assignment as the IVF oracle (6-decimal
+    rounding + cent_id tie-break keeps it engine-portable), then the
+    any-earlier-neighbor drop rule within each cluster."""
+    from hgn_spark.operators.similarity import CENTROID_STRIDE
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+      FROM embeddings),
+    seeds AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM base
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cent_id, embedding, nrm FROM (
+        SELECT e.vec_id, c.cent_id, e.embedding, e.nrm,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+                          / (e.nrm * c.cn), 6) DESC, c.cent_id) AS rn
+        FROM base e CROSS JOIN seeds c)
+      WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS v
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm), 6) >= {EMB_COS_THRES})
+    SELECT a.vec_id AS vec_id, a.cent_id AS cent_id, (d.v IS NULL) AS kept
+    FROM assign a LEFT JOIN drops d ON d.v = a.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semantic_oracle(),
+    tags=("dedup", "ann", "kmeans", "llm-pipeline"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus's
+    embeddings (the IVF stride-seed assignment — broadcast centroids,
+    argmax, no shuffle), then within each cluster drop every vector
+    that has an EARLIER (lower-id) cluster-mate at cosine >=
+    EMB_COS_THRES. Emits one row per vector: (vec_id, cent_id, kept).
+
+    The drop rule is the parallel-safe variant of greedy dedup: v is
+    dropped iff ANY u < v in its cluster is a near-dup — one
+    within-cluster self-join, no sequential dependency (a chain
+    u<v<w where only adjacent pairs are near-dups drops both v and w;
+    greedy-sequential would keep w — at dedup thresholds the
+    difference is the transitive fringe the canonical-groups operator
+    handles exactly). Like SemDeDup itself the clustering bounds pair
+    work: only cluster-mates are compared — candidate volume is
+    sum(cluster_size^2), not corpus^2, and at 100 TB the cluster count
+    scales with the corpus so the expected bucket stays constant.
+    Cross-cluster near-dups are missed by construction (the documented
+    recall tradeoff; the SRP branch of `dedup_minhash_lsh_pairs`
+    covers the bucket-boundary blind spot with a different partition
+    of the space).
+
+    Deterministic end to end (6-decimal rounded cosines, id
+    tie-breaks) — hash-checked against the DuckDB replay."""
+    from hgn_spark.operators.similarity import _ivf_seed_frames, cosine_prenormed
+
+    _emb, _seeds, assign = _ivf_seed_frames(spark, sf_dir)
+    # Referenced three times below (both self-join sides + the final
+    # projection); materialize the argmax once.
+    assign = assign.localCheckpoint(eager=True)
+    a = assign.select(
+        "cent_id",
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = assign.select(
+        "cent_id",
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    drops = (
+        a.join(b, "cent_id")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenormed(
+                    F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= EMB_COS_THRES)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assign.select("vec_id", "cent_id")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id", "cent_id", F.col("dropped").isNull().alias("kept")
+        )
     )

@@ -306,6 +306,87 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64    # tokens per document chunk
+CHUNK_STRIDE = 48  # chunk start step (overlap = 16 tokens)
+
+
+@register(
+    "chunk_documents",
+    # chunk count = ceil(max(n - size, 0) / stride) + 1: starts at
+    # 0, stride, 2*stride, ...; the last start is within `size` of the
+    # end, so the final (possibly short) chunk always reaches token n.
+    # list_slice / slice both clamp past the list end, so the two
+    # engines agree on the ragged tail.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (
+      SELECT doc_id, i AS chunk_id,
+             list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                        i * {CHUNK_STRIDE} + {CHUNK_SIZE}) AS ctoks
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(greatest(n - {CHUNK_SIZE}, 0)
+                                             * 1.0 / {CHUNK_STRIDE}) AS BIGINT)
+                                   + 1)) AS i
+            FROM n))
+    SELECT doc_id, chunk_id, chunk_id * {CHUNK_STRIDE} AS tok_start,
+           len(ctoks) AS n_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_hash
+    FROM c
+    """,
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunking — the retrieval/embedding
+    twin of `pack_token_chunks` (which concatenates docs head-to-tail
+    for pretraining): each document alone is sliced into
+    CHUNK_SIZE-token windows stepping by CHUNK_STRIDE, so consecutive
+    chunks overlap by size−stride tokens and no chunk crosses a
+    document boundary. Emits (doc_id, chunk_id, tok_start, n_tokens,
+    chunk_hash) — the hash (md5 of the space-joined window) is what a
+    downstream embedding cache keys on.
+
+    Scale shape: entirely scan-side — tokenize, one `sequence` +
+    `transform`/`slice` HOF pass, one explode; zero shuffles, so at
+    100 TB the operator is embarrassingly partition-parallel and the
+    chunk stream feeds the embedding UDF without a repartition."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "n_chunks",
+            (
+                F.ceil(
+                    F.greatest(F.col("n") - CHUNK_SIZE, F.lit(0)) / CHUNK_STRIDE
+                )
+                + 1
+            ).cast("long"),
+        )
+    )
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_id"),
+    ).withColumn(
+        "ctoks",
+        F.slice(
+            F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE)
+        ),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE).alias("tok_start"),
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("ctoks", " ")).alias("chunk_hash"),
+    )
+
+
 DECON_N = 7       # n-gram length for contamination matching
 DECON_BENCH_MOD = 29  # doc_id % MOD == 0 plays the held-out benchmark set
 

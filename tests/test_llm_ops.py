@@ -25,9 +25,11 @@ def test_exact_jaccard_finds_planted_dups(exact_pairs):
 
 
 def test_minhash_lsh_subset_and_recall(spark, exact_pairs):
+    from hgn_spark.operators.dedup import minhash_lsh_pairs
+
     got = {
         (r["d1"], r["d2"])
-        for r in SPECS["dedup_minhash_lsh_pairs"].fn(spark, SF_SMOKE).collect()
+        for r in minhash_lsh_pairs(spark, SF_SMOKE).collect()
     }
     # Verified pairs can only be a subset of the exact-jaccard pairs...
     assert got <= exact_pairs
@@ -166,9 +168,11 @@ def test_simhash_signature_matches_posexplode_form(spark):
 
 
 def test_simhash_no_false_positives(spark, exact_pairs):
+    from hgn_spark.operators.dedup import dedup_simhash_pairs
+
     got = {
         (r["d1"], r["d2"])
-        for r in SPECS["dedup_simhash_pairs"].fn(spark, SF_SMOKE).collect()
+        for r in dedup_simhash_pairs(spark, SF_SMOKE).collect()
     }
     # hamming ≤ 3 on shingle-simhash is strictly tighter than jaccard 0.8:
     # everything it finds is a real near-dup (17/28 observed).
@@ -220,9 +224,11 @@ def test_embedding_neardup_subset_of_bruteforce(spark):
     from hgn_spark.operators.dedup import EMB_COS_THRES
     from hgn_spark.operators.similarity import cosine
 
+    from hgn_spark.operators.dedup import dedup_embedding_neardup_pairs
+
     got = {
         (r["v1"], r["v2"])
-        for r in SPECS["dedup_embedding_neardup_pairs"].fn(spark, SF_SMOKE).collect()
+        for r in dedup_embedding_neardup_pairs(spark, SF_SMOKE).collect()
     }
     emb = load_table(spark, SF_SMOKE, "embeddings")
     a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
@@ -1036,3 +1042,82 @@ def test_pipeline_writes_partitioned_corpus(spark, tmp_path):
     assert back.count() == cur.count()
     import os
     assert any(d.startswith("shard=") for d in os.listdir(path))
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Sliding-window chunking invariants: chunk 0 starts at 0;
+    consecutive starts step by exactly CHUNK_STRIDE; every non-final
+    chunk is full-size; the final chunk reaches the document's last
+    token; total distinct covered positions == n_tokens (no gaps, no
+    boundary crossing)."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.text import CHUNK_SIZE, CHUNK_STRIDE, chunk_documents, tokens
+    from hgn_spark.catalog import load_table
+
+    chunks = chunk_documents(spark, SF_SMOKE).collect()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, n in n_tok.items() if n > 0}
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = n_tok[doc]
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        covered = set()
+        for i, r in enumerate(rows):
+            assert r["tok_start"] == i * CHUNK_STRIDE
+            want = min(CHUNK_SIZE, n - r["tok_start"])
+            assert r["n_tokens"] == want
+            if i < len(rows) - 1:
+                assert r["n_tokens"] == CHUNK_SIZE
+            covered |= set(range(r["tok_start"], r["tok_start"] + r["n_tokens"]))
+        assert covered == set(range(n))  # gapless, never past the end
+
+
+def test_semantic_dedup_matches_bruteforce_rule(spark):
+    """dedup_semantic_clusters == the drop rule replayed in Python over
+    the same assignment: v dropped iff some earlier cluster-mate is
+    within EMB_COS_THRES cosine; each cluster's lowest id is always
+    kept."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from hgn_spark.operators.dedup import EMB_COS_THRES, dedup_semantic_clusters
+    from hgn_spark.operators.similarity import CENTROID_STRIDE
+
+    got = {
+        r["vec_id"]: (r["cent_id"], r["kept"])
+        for r in dedup_semantic_clusters(spark, SF_SMOKE).collect()
+    }
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    # replay: nearest stride-seed by 6dp-rounded cosine, cent_id tie-break
+    seeds = {v: e for v, e in emb.items() if v % CENTROID_STRIDE == 0}
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+    clusters: dict = {}
+    for v, e in emb.items():
+        best = min(((-cos(e, se), cid) for cid, se in seeds.items()))
+        assert got[v][0] == best[1], f"assignment diverges for {v}"
+        clusters.setdefault(best[1], []).append(v)
+    n_dropped = 0
+    for cid, members in clusters.items():
+        members.sort()
+        assert got[members[0]][1], "lowest id in a cluster must be kept"
+        for i, v in enumerate(members):
+            want_drop = any(
+                cos(emb[u], emb[v]) >= EMB_COS_THRES for u in members[:i]
+            )
+            assert got[v][1] == (not want_drop)
+            n_dropped += int(want_drop)
+    assert len(got) == len(emb)

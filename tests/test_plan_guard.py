@@ -25,6 +25,9 @@ BNLJ_ALLOWED = {
     # is provably small on every branch (40 query vectors / ~60
     # centroids) and the stream side stays partition-parallel.
     "simsearch_topk_cosine",
+    # same argmax-assignment shape: broadcast stride centroids against
+    # the corpus scan.
+    "dedup_semantic_clusters",
 }
 
 BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]
