@@ -31,8 +31,9 @@ HEADLINE = [
     "join_asof_prev_order",
     "join_theta_multikey",
     "topk_per_group_and_global",
+    # running-sum + lag + sessionize branches in one driver row (r7
+    # window consolidation; absorbs the former sessionize_events row)
     "window_running_lag",
-    "sessionize_events",
     "explode_array_and_map",
     "decontaminate_ngram_overlap",
     "agg_rollup_pivot",
@@ -52,6 +53,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "text_profile",
     "chunk_documents",
+    "text_vocab_top_pairs",
     "text_tfidf_topterms",
     "corpus_source_report",
     "redact_pii_docs",

@@ -1210,8 +1210,35 @@ def topk_per_group_and_global(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ORDER BY ts, event_id) AS delta
           FROM events)
     WHERE delta IS NOT NULL
+    UNION ALL
+    SELECT op, part_key, id_a, id_b, val FROM (
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_session)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+      ), sess AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 4) AS session_value,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+                 AS duration_sec
+        FROM numbered GROUP BY user_id, session_id)
+      SELECT 'sess_value' AS op, user_id AS part_key, session_id AS id_a,
+             n_events AS id_b, session_value AS val FROM sess
+      UNION ALL
+      SELECT 'sess_dur', user_id, session_id, duration_sec,
+             CAST(NULL AS DOUBLE) FROM sess
+    )
     """,
-    tags=("window", "filter", "null"),
+    tags=("window", "filter", "null", "session"),
 )
 def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two analytic-window shapes, labeled and unioned into one driver
@@ -1251,7 +1278,29 @@ def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("delta", 4).alias("val"),
         )
     )
-    return running.unionByName(lagged)
+    # Gap-based sessionization rides as two more labeled branches (r7
+    # window consolidation that paid for the text_vocab_top_pairs
+    # oracle row): per-session value and per-session duration.
+    sess = sessionize_events(spark, sf_dir)
+    sess_value = sess.select(
+        F.lit("sess_value").alias("op"),
+        F.col("user_id").alias("part_key"),
+        F.col("session_id").alias("id_a"),
+        F.col("n_events").alias("id_b"),
+        F.col("session_value").alias("val"),
+    )
+    sess_dur = sess.select(
+        F.lit("sess_dur").alias("op"),
+        F.col("user_id").alias("part_key"),
+        F.col("session_id").alias("id_a"),
+        F.col("duration_sec").alias("id_b"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return (
+        running.unionByName(lagged)
+        .unionByName(sess_value)
+        .unionByName(sess_dur)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1425,33 +1474,11 @@ def agg_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return having.unionByName(na)
 
 
-@register(
-    "sessionize_events",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, value,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
-                  THEN 0 ELSE 1 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-      SELECT user_id, ts, value,
-             CAST(sum(new_session)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS session_id
-      FROM flagged
-    )
-    SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 4) AS session_value,
-           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
-    FROM numbered GROUP BY user_id, session_id
-    """,
-    tags=("window", "session"),
-)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
-    the batch twin of streaming session_window.
+    the batch twin of streaming session_window. Driver evidence rides
+    as the 'sess_value'/'sess_dur' branches of `window_running_lag`
+    (merged r7 to free an oracle slot for text_vocab_top_pairs).
 
     Gap is compared at microsecond precision on both sides (ADVICE r1:
     second-floor truncation can misclassify a 1800.4s gap); the running

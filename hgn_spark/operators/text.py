@@ -387,6 +387,67 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_PAIRS = 100  # merge candidates surfaced per BPE-style round
+
+
+@register(
+    "text_vocab_top_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    p AS (
+      SELECT unnest(list_transform(range(2, len(toks) + 1),
+                    i -> toks[i - 1] || ' ' || toks[i])) AS pair
+      FROM t WHERE len(toks) >= 2),
+    c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+    SELECT pair, n, rnk FROM (
+      SELECT pair, n,
+             row_number() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM c)
+    WHERE rnk <= {VOCAB_TOP_PAIRS}
+    """,
+    tags=("text", "vocab", "topk", "llm-pipeline"),
+)
+def text_vocab_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top
+    VOCAB_TOP_PAIRS — the counting primitive of one BPE/WordPiece
+    vocabulary-training round (each merge round promotes the most
+    frequent adjacent pair; a full trainer iterates this count with the
+    winning pair fused, re-running the same plan on the re-tokenized
+    stream).
+
+    Scale shape: pair extraction is one scan-side HOF pass (sequence +
+    transform over the token array, one explode — no join, no
+    self-zip shuffle); the count is a map-side-combinable groupBy
+    whose shuffle carries one row per DISTINCT pair, and the global
+    top-k is TakeOrderedAndProject (per-partition heaps, k rows to the
+    driver — never a global sort). Deterministic tie-break on
+    (count desc, pair asc) keeps the cut reproducible across engines."""
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select(tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks)), "
+                    "i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit FIRST: Spark plans TakeOrderedAndProject
+    # (per-partition heaps); the ranking window then runs over only the
+    # k surviving rows — never a single-partition window on the full
+    # distinct-pair set (same discipline as topk_per_group_and_global).
+    topk = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(VOCAB_TOP_PAIRS)
+    w = W.orderBy(F.col("n").desc(), F.col("pair"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "pair", "n", "rnk"
+    )
+
+
 DECON_N = 7       # n-gram length for contamination matching
 DECON_BENCH_MOD = 29  # doc_id % MOD == 0 plays the held-out benchmark set
 

@@ -54,10 +54,12 @@ def test_windowed_aggs_match_batch(spark):
 
 
 def test_session_windows_subset_of_batch(spark):
+    from hgn_spark.operators.relational import sessionize_events
+
     stream = SPECS["streaming_session_windows"].fn(spark, SF_SMOKE).collect()
     batch = {
         (r["user_id"], r["n_events"], r["session_value"])
-        for r in SPECS["sessionize_events"].fn(spark, SF_SMOKE).collect()
+        for r in sessionize_events(spark, SF_SMOKE).collect()
     }
     assert len(stream) > 0
     emitted = {(r["user_id"], r["n_events"], r["session_value"]) for r in stream}
