@@ -982,20 +982,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_oracle() -> str:
-    """DuckDB replay of cluster-bucketed semantic dedup: the same
-    stride seeds and argmax assignment as the IVF oracle (6-decimal
-    rounding + cent_id tie-break keeps it engine-portable), then the
-    any-earlier-neighbor drop rule within each cluster."""
-    from hgn_spark.operators.similarity import CENTROID_STRIDE
-
+    """DuckDB replay of cluster-bucketed semantic dedup: sqrt(n)-stride
+    seeds (see dedup_semantic_clusters' balance argument) and the same
+    argmax assignment as the IVF oracle (6-decimal rounding + cent_id
+    tie-break keeps it engine-portable), then the
+    any-earlier-neighbor drop rule within each cluster. The stride is
+    a deterministic function of the corpus (ceil(sqrt(count)) — IEEE
+    double sqrt on both engines), so the replay stays exact."""
     return f"""
     WITH base AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
                AS nrm
       FROM embeddings),
+    st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM base),
     seeds AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM base
-              WHERE vec_id % {CENTROID_STRIDE} = 0),
+              WHERE vec_id % (SELECT s FROM st) = 0),
     assign AS MATERIALIZED (
       SELECT vec_id, cent_id, embedding, nrm FROM (
         SELECT e.vec_id, c.cent_id, e.embedding, e.nrm,
@@ -1025,10 +1027,10 @@ def _semantic_oracle() -> str:
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus's
-    embeddings (the IVF stride-seed assignment — broadcast centroids,
-    argmax, no shuffle), then within each cluster drop every vector
-    that has an EARLIER (lower-id) cluster-mate at cosine >=
-    EMB_COS_THRES. Emits one row per vector: (vec_id, cent_id, kept).
+    embeddings (broadcast seed centroids, argmax assignment, no
+    shuffle), then within each cluster drop every vector that has an
+    EARLIER (lower-id) cluster-mate at cosine >= EMB_COS_THRES. Emits
+    one row per vector: (vec_id, cent_id, kept).
 
     The drop rule is the parallel-safe variant of greedy dedup: v is
     dropped iff ANY u < v in its cluster is a near-dup — one
@@ -1036,20 +1038,44 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     u<v<w where only adjacent pairs are near-dups drops both v and w;
     greedy-sequential would keep w — at dedup thresholds the
     difference is the transitive fringe the canonical-groups operator
-    handles exactly). Like SemDeDup itself the clustering bounds pair
-    work: only cluster-mates are compared — candidate volume is
-    sum(cluster_size^2), not corpus^2, and at 100 TB the cluster count
-    scales with the corpus so the expected bucket stays constant.
-    Cross-cluster near-dups are missed by construction (the documented
-    recall tradeoff; the SRP branch of `dedup_minhash_lsh_pairs`
-    covers the bucket-boundary blind spot with a different partition
-    of the space).
+    handles exactly). Cross-cluster near-dups are missed by
+    construction (the documented recall tradeoff; the SRP branch of
+    `dedup_minhash_lsh_pairs` covers the bucket-boundary blind spot
+    with a different partition of the space).
+
+    Cluster count is ceil(sqrt(n)) — NOT the IVF row's fixed id
+    stride. With c clusters, assignment costs n*c cosines and the
+    within-cluster verify costs ~n*(n/c)/2 pairs; c = sqrt(n)
+    balances the two at O(n^1.5) TOTAL, the standard SemDeDup
+    parameterization. The 10x scale probe caught the fixed-stride
+    version growing 6.3x per 10x data (c grew with n, making
+    assignment quadratic); with sqrt-n clusters the ideal work growth
+    per 10x data is 10^1.5/10 ≈ 3.2x of the per-item cost
+    (scripts/scale_probe.py measures it). The stride is a
+    deterministic function of the corpus count, computed identically
+    in SQL, so the oracle replay stays exact.
 
     Deterministic end to end (6-decimal rounded cosines, id
     tie-breaks) — hash-checked against the DuckDB replay."""
-    from hgn_spark.operators.similarity import _ivf_seed_frames, cosine_prenormed
+    import math
 
-    _emb, _seeds, assign = _ivf_seed_frames(spark, sf_dir)
+    from hgn_spark.operators.similarity import (
+        _assign_nearest,
+        cosine_prenormed,
+        load_embeddings,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    # One 1-row count action to fix the stride (loop-control-style
+    # scalar, same discipline as the mixture planner); the oracle's
+    # scalar subquery computes the identical value.
+    stride = math.ceil(math.sqrt(emb.count()))
+    seeds = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_e"),
+        F.col("nrm").alias("cent_n"),
+    )
+    assign = _assign_nearest(emb, seeds)
     # Referenced three times below (both self-join sides + the final
     # projection); materialize the argmax once.
     assign = assign.localCheckpoint(eager=True)

@@ -78,6 +78,35 @@ def replicate_documents(df: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def replicate_embeddings(df: DataFrame, k: int) -> DataFrame:
+    """Replicate embeddings with vec_id offsets that are multiples of 50
+    (lcm of QUERY_STRIDE 50 and CENTROID_STRIDE 25), so every replica
+    contributes an isomorphic query/centroid population. Each replica's
+    vectors are circularly dim-rotated by the replica index: norms and
+    all INTRA-replica cosines are preserved exactly (the replica keeps
+    sf0.1's similarity structure), while cross-replica cosines are
+    scrambled — like a real corpus, more data means more distinct
+    content, not k identical copies (verbatim replication would make
+    every vector a k-way exact dup and semantic dedup trivially
+    all-drop)."""
+    m = df.agg(F.max("vec_id")).first()[0]
+    pad = ((int(m) + 50) // 50) * 50
+    out = None
+    for i in range(k):
+        r = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * pad))
+        if i > 0:
+            n = F.size("embedding")
+            r = r.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), F.lit(i % 64) + 1, n),
+                    F.slice(F.col("embedding"), 1, F.lit(i % 64)),
+                ),
+            )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hgn_scale/sf1"
@@ -106,7 +135,7 @@ def main() -> None:
         ),
         "region": lambda: read("region"),
         "nation": lambda: read("nation"),
-        "embeddings": lambda: read("embeddings"),
+        "embeddings": lambda: replicate_embeddings(read("embeddings"), k),
     }
     for t, fn in plans.items():
         fn().write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")

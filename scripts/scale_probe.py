@@ -31,6 +31,12 @@ PROBES = [
     "dedup_minhash_lsh_pairs",
     "join_theta_multikey",
     "hgn_communities",
+    # round-7 additions: scan-side chunking/pair-counting (pure
+    # data-proportional HOF passes) and cluster-bucketed semantic
+    # dedup (pair work bounded by cluster sizes).
+    "chunk_documents",
+    "text_vocab_top_pairs",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -1089,9 +1089,10 @@ def test_semantic_dedup_matches_bruteforce_rule(spark):
     import numpy as np
     from pyspark.sql import functions as F
 
+    import math
+
     from hgn_spark.catalog import load_table
     from hgn_spark.operators.dedup import EMB_COS_THRES, dedup_semantic_clusters
-    from hgn_spark.operators.similarity import CENTROID_STRIDE
 
     got = {
         r["vec_id"]: (r["cent_id"], r["kept"])
@@ -1101,8 +1102,10 @@ def test_semantic_dedup_matches_bruteforce_rule(spark):
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
         for r in load_table(spark, SF_SMOKE, "embeddings").collect()
     }
-    # replay: nearest stride-seed by 6dp-rounded cosine, cent_id tie-break
-    seeds = {v: e for v, e in emb.items() if v % CENTROID_STRIDE == 0}
+    # replay: nearest sqrt(n)-stride seed by 6dp-rounded cosine,
+    # cent_id tie-break
+    stride = math.ceil(math.sqrt(len(emb)))
+    seeds = {v: e for v, e in emb.items() if v % stride == 0}
     def cos(a, b):
         return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
     clusters: dict = {}
