@@ -532,15 +532,17 @@ def test_core_numbers_fixture(edges):
     assert all(got2[v] == 2 for v in (1, 2, 3, 4, 5, 6))
 
 
-def test_core_numbers_raises_on_degeneracy_over_guard(edges):
-    """A guard too small for the graph's degeneracy must fail loudly,
-    not silently label survivors with a lower bound (ADVICE r5)."""
+def test_core_numbers_raises_on_guard_before_fixpoint(edges):
+    """A guard too small for convergence must fail loudly, not return
+    the not-yet-converged labels (which would be silent UPPER bounds —
+    the h-operator descends from degrees; same contract as the old
+    peeling guard, ADVICE r5)."""
     import pytest
 
     from hgn_spark.graph.kcore import core_numbers
 
-    with pytest.raises(RuntimeError, match="max_levels"):
-        core_numbers(edges, max_levels=1).collect()
+    with pytest.raises(RuntimeError, match="max_iter"):
+        core_numbers(edges, max_iter=1).collect()
 
 
 def test_core_numbers_networkx_parity(spark):
