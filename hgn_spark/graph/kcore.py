@@ -72,37 +72,36 @@ def core_numbers(
         "(x, i) -> x >= i + 1), b -> b)) AS INT)"
     ).alias("core")
 
+    # Convergence is probed only on checkpoint rounds: the h-operator
+    # is IDEMPOTENT at its fixpoint, so overshooting by up to
+    # interval-1 rounds changes nothing — and batching the rounds
+    # between probes into one lazily-evaluated chain cuts the
+    # driver-side actions ~3x (one checkpoint + one isEmpty per
+    # interval instead of an isEmpty per round). `prev` is the label
+    # generation at the LAST probe; comparing across the whole batch
+    # stays sound because labels are monotonically non-increasing: a
+    # batch that changes nothing overall changed nothing in any of its
+    # rounds.
+    prev, prev_ids = lab, lab_ids
     for it in range(max_iter):
-        nxt = (
+        lab = (
             sym.join(lab, sym["dst"] == lab["id"])
             .select(F.col("src"), F.col("core").alias("l"))
             .groupBy(F.col("src").alias("id"))
             .agg(F.collect_list("l").alias("ls"))
             .select("id", h_expr)
         )
-        # Cut lineage every few rounds (the label frame is tiny; the
-        # measured PageRank tradeoff applies — each eager checkpoint
-        # is an action, so don't pay one per round).
-        checkpointed = it % checkpoint_interval == checkpoint_interval - 1
-        if checkpointed:
-            nxt, nxt_ids = jan.checkpoint(nxt)
+        if it % checkpoint_interval != checkpoint_interval - 1:
+            continue
+        lab, lab_ids = jan.checkpoint(lab)
         changed = (
-            nxt.alias("n")
-            .join(lab.alias("o"), "id")
+            lab.alias("n")
+            .join(prev.alias("o"), "id")
             .filter(F.col("n.core") != F.col("o.core"))
         )
         done = changed.isEmpty()
-        if done and not checkpointed:
-            # Materialize the RESULT before any release below: the lazy
-            # plan still references the sym checkpoint (and possibly an
-            # earlier label generation), whose blocks are about to go.
-            nxt, nxt_ids = jan.checkpoint(nxt)
-            checkpointed = True
-        if checkpointed:
-            jan.release(lab_ids)
-            lab, lab_ids = nxt, nxt_ids
-        else:
-            lab = nxt
+        jan.release(prev_ids)
+        prev, prev_ids = lab, lab_ids
         if done:
             jan.release(sym_ids)
             # The final label generation is the result; its own blocks
@@ -110,7 +109,7 @@ def core_numbers(
             # cache clearing, like every checkpointed query output).
             return lab
     jan.release(sym_ids)
-    jan.release(lab_ids)
+    jan.release(prev_ids)
     raise RuntimeError(
         f"core_numbers: no fixpoint after max_iter={max_iter} rounds — "
         "raise max_iter (termination is guaranteed at max-degree rounds)"
