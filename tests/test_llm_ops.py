@@ -1124,3 +1124,18 @@ def test_semantic_dedup_matches_bruteforce_rule(spark):
             assert got[v][1] == (not want_drop)
             n_dropped += int(want_drop)
     assert len(got) == len(emb)
+
+
+def test_vocab_top_pairs_plans_take_ordered(spark):
+    """The global top-k cut must plan as TakeOrderedAndProject
+    (per-partition heaps); a full sort or a single-partition window
+    over the whole distinct-pair set is the 100 TB anti-shape."""
+    from hgn_spark.operators.text import text_vocab_top_pairs
+
+    plan = (
+        text_vocab_top_pairs(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
