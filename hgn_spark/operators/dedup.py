@@ -18,6 +18,13 @@ scale-up (VERDICT r1 demanded it explicitly).
   Hash-checked.
 - embedding near-dup: signed-random-projection LSH over array<float>,
   exact cosine verify.
+- semantic (SemDeDup-style): ceil(sqrt(n)) broadcast centroids →
+  argmax cluster assignment → within-cluster any-earlier-neighbor
+  drop rule; assignment and verify balance at O(n^1.5). Hash-checked.
+
+The three sketch generators (minhash / simhash / SRP) share one
+labeled driver row, `dedup_minhash_lsh_pairs`; each remains a
+standalone callable.
 
 The testdata plants near-duplicate documents at jaccard ≥ 0.889
 (measured), so JACCARD_THRES = 0.8 separates planted pairs from the
@@ -839,13 +846,30 @@ def _srp_oracle(dim: int = EMB_DIM) -> str:
     """
 
 
-def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH:
     16-bit sign signature, candidates share one of two 8-bit bands,
     exact cosine verify. Hash-checked: the md5-derived planes inline
     into the DuckDB oracle, which replays the exact pipeline (signs of
     64-dim double dot products are stable across engines; the verify
-    cosine is rounded to 6 decimals like every similarity ranking)."""
+    cosine is rounded to 6 decimals like every similarity ranking).
+
+    Scale ceiling, measured: the band space is FIXED (2 x 8-bit = 256
+    buckets per band), so expected bucket occupancy grows with n and
+    candidate pairs grow ~n^2/256 — the 30x scale probe measured the
+    superlinear step (11.9 s at 10x -> 53.0 s at 30x, 4.5x for 3x
+    data). Production knobs, in preference order: (a) more signature
+    bits — occupancy stays constant when bits ~ 2*log2(n); the
+    signature build is scan-side so extra bits cost nothing at shuffle
+    time (the registered driver row pins 16 bits because the oracle
+    inlines those plane constants); (b) ``bucket_cap`` — skip
+    mega-buckets outright, the same contract as
+    `ngram_jaccard_pairs_capped`: bounded candidate generation with a
+    stated recall loss (a true near-dup pair hiding ONLY in capped
+    buckets is missed; at near-dup cosine the pair almost surely also
+    shares the other band)."""
     from hgn_spark.operators.similarity import load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
@@ -879,6 +903,16 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     banded = sig.select(
         "vec_id", F.posexplode(F.array(lo, hi)).alias("band", "bh")
     )
+    if bucket_cap is not None:
+        # Drop mega-buckets BEFORE the pair join: one aggregation over
+        # the banded rows (tiny — one row per (band, bh) bucket,
+        # broadcast back), so the bound applies to candidate
+        # GENERATION, not post-hoc.
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bsz"))
+        banded = banded.join(
+            F.broadcast(sizes.filter(F.col("bsz") <= bucket_cap)),
+            ["band", "bh"],
+        ).drop("bsz")
     left = banded.select(F.col("vec_id").alias("v1"), "band", "bh")
     right = banded.select(
         F.col("vec_id").alias("v2"),

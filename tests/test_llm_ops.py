@@ -1139,3 +1139,32 @@ def test_vocab_top_pairs_plans_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_srp_bucket_cap_bounds_candidates(spark):
+    """bucket_cap skips mega-buckets before the pair join: capped
+    output is a subset of the uncapped pairs, a huge cap changes
+    nothing, and a cap of 1 kills every candidate (no bucket with 2+
+    members survives, so no pairs can form)."""
+    from hgn_spark.operators.dedup import dedup_embedding_neardup_pairs
+
+    base = {
+        (r["v1"], r["v2"])
+        for r in dedup_embedding_neardup_pairs(spark, SF_SMOKE).collect()
+    }
+    huge = {
+        (r["v1"], r["v2"])
+        for r in dedup_embedding_neardup_pairs(
+            spark, SF_SMOKE, bucket_cap=10**9
+        ).collect()
+    }
+    assert huge == base
+    one = dedup_embedding_neardup_pairs(spark, SF_SMOKE, bucket_cap=1).count()
+    assert one == 0
+    mid = {
+        (r["v1"], r["v2"])
+        for r in dedup_embedding_neardup_pairs(
+            spark, SF_SMOKE, bucket_cap=5
+        ).collect()
+    }
+    assert mid <= base
