@@ -1,0 +1,80 @@
+"""Per-query bench regression check (VERDICT r6 #8): compare a bench
+JSON against a recorded baseline, resolving row merges so a
+consolidated row is judged against the SUM of the rows it absorbed.
+
+Exit 1 if any COMPARABLE query exceeds the threshold (default 1.3x)
+without being a merge that added formerly-unbenched work; merged rows
+are reported with their equivalence set so a human (or the round
+narrative) can attribute the delta instead of misreading it as a
+regression.
+
+Usage: python scripts/bench_regression.py NEW.json BASELINE.json [thresh]
+       (BASELINE.json may be a driver artifact with {"parsed": {...}}
+       or a raw bench line with {"queries": {...}}.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# name in the NEW bench -> the baseline rows whose work it carries.
+# Extended whenever the 50-slot window consolidation merges rows
+# (labeled-branch unions); rows absorbed that were never benched in
+# the baseline contribute nothing to the equivalent, so the ratio
+# over-counts — those rows are flagged, not failed.
+MERGES: dict[str, list[str]] = {
+    # r7 consolidations vs the r6 baseline
+    "text_profile": ["text_profile", "pack_token_chunks", "text_repetition_signals"],
+    "window_running_lag": ["window_running_lag", "sessionize_events"],
+    "simsearch_topk_cosine": ["simsearch_topk_cosine", "simsearch_ivf_topk"],
+    "streaming_windowed_aggs": ["streaming_tumbling_daily"],
+    # these absorbed registry rows that the r6 bench never timed:
+    # graph_degrees (+graph_neighbors_lvl2), agg_rollup_pivot
+    # (+conditional_ratio_agg), dedup_minhash_lsh_pairs
+    # (+simhash/srp branches)
+}
+# Rows whose r6 equivalent is known-incomplete (absorbed unbenched
+# branches): report, don't fail.
+WIDENED = {"graph_degrees", "agg_rollup_pivot", "dedup_minhash_lsh_pairs",
+           "streaming_windowed_aggs"}
+
+
+def _queries(path: str) -> dict[str, float]:
+    d = json.load(open(path))
+    if "parsed" in d:
+        d = d["parsed"]
+    return d["queries"]
+
+
+def main() -> None:
+    new = _queries(sys.argv[1])
+    base = _queries(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+
+    failures = []
+    for q, t in sorted(new.items()):
+        names = MERGES.get(q, [q])
+        eq = [n for n in names if n in base]
+        if not eq:
+            print(f"NEW      {q}: {t:.2f}s (no baseline equivalent)")
+            continue
+        b = sum(base[n] for n in eq)
+        ratio = t / b
+        tag = "merged " if len(names) > 1 else ""
+        if ratio > thresh and q in WIDENED:
+            print(f"WIDENED  {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
+                  f"(absorbed unbenched branches — attribute, don't fail)")
+        elif ratio > thresh:
+            failures.append((q, t, b, ratio))
+            print(f"FAIL     {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}")
+        else:
+            print(f"ok       {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}")
+    if failures:
+        print(f"\n{len(failures)} regression(s) over {thresh}x")
+        sys.exit(1)
+    print(f"\nno regressions over {thresh}x")
+
+
+if __name__ == "__main__":
+    main()
