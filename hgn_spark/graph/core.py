@@ -177,3 +177,67 @@ def drop_isolated_vertices(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     GraphFrames dropIsolatedVertices at main.py:208) — one semi-join."""
     ids = symmetrize(edges).select(F.col("src").alias("id"))
     return vertices.join(ids, "id", "left_semi")
+
+
+def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    graph — the quality metric that closes the community-detection
+    loop (score what `hgn_communities` / `label_propagation` / CC
+    produce):
+
+        Q = sum_c [ e_c / m  -  (d_c / 2m)^2 ]
+
+    with m undirected edges, e_c intra-community edges, and d_c the
+    total degree inside community c. Matches
+    ``networkx.algorithms.community.modularity`` (parity pinned in
+    tests/test_graph.py). ``communities``: (id, community). Vertices
+    missing from the assignment contribute no intra edges and no
+    degree (their edges still count in m) — pass a complete
+    assignment for the standard definition.
+
+    Scale shape: canonical edges join the (tiny, usually
+    broadcastable) assignment twice — once per endpoint — then two
+    map-side-combinable aggregations; the only driver-visible output
+    is the 1-row score frame. Returns (modularity double, n_edges
+    long, n_communities long).
+    """
+    e = canonicalize(edges).select("src", "dst")
+    a_src = communities.select(
+        F.col("id").alias("src"), F.col("community").alias("c_src")
+    )
+    a_dst = communities.select(
+        F.col("id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    labeled = e.join(a_src, "src", "left").join(a_dst, "dst", "left")
+    intra = (
+        labeled.filter(
+            F.col("c_src").isNotNull() & (F.col("c_src") == F.col("c_dst"))
+        )
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg_c = (
+        degrees(e)
+        .join(communities, "id")
+        .groupBy("community")
+        .agg(F.sum("degree").alias("d_c"))
+    )
+    per_c = deg_c.join(intra, "community", "left").select(
+        "community",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    m = e.count()
+    if m == 0:
+        raise ValueError("modularity_score: empty edge set")
+    return per_c.agg(
+        F.round(
+            F.sum(
+                F.col("e_c") / F.lit(float(m))
+                - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
+            ),
+            6,
+        ).alias("modularity"),
+        F.lit(m).alias("n_edges"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )

@@ -599,3 +599,42 @@ def test_label_propagation_derived_graph_parity(spark):
     pairs = [(r.src, r.dst) for r in e.collect()]
     got = _as_dict(label_propagation(e, n_iter=10), "id", "label")
     assert got == _sync_lpa(pairs, 10)
+
+
+def test_modularity_networkx_parity(spark):
+    """modularity_score == networkx.community.modularity on the derived
+    graph under the LPA partition, and on a hand-checked fixture."""
+    nx = pytest.importorskip("networkx")
+    import networkx.algorithms.community as nxc
+
+    from hgn_spark.graph.core import modularity_score
+    from hgn_spark.graph.lpa import label_propagation
+    from hgn_spark.graph.queries import derived_edges
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    comm = label_propagation(e, n_iter=10).select(
+        "id", F.col("label").alias("community")
+    )
+    got = modularity_score(e, comm).first()
+
+    G = nx.Graph()
+    G.add_edges_from([(r.src, r.dst) for r in e.collect()])
+    groups: dict = {}
+    for r in comm.collect():
+        groups.setdefault(r["community"], set()).add(r["id"])
+    want = nxc.modularity(G, list(groups.values()))
+    assert abs(got["modularity"] - want) < 1e-6
+    assert got["n_edges"] == G.number_of_edges()
+    assert got["n_communities"] == len(groups)
+
+    # fixture: two triangles + bridge, split at the bridge -> Q = 10/49
+    fix = spark.createDataFrame(EDGES, "src long, dst long")
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "id long, community long"
+    )
+    q = modularity_score(fix, assign).first()["modularity"]
+    Gf = nx.Graph()
+    Gf.add_edges_from(EDGES)
+    wantf = nxc.modularity(Gf, [{1, 2, 3}, {4, 5, 6}])
+    assert abs(q - wantf) < 1e-6
