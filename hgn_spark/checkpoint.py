@@ -68,6 +68,46 @@ def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
     return CheckpointJanitor(df.sparkSession).checkpoint(df)
 
 
+# Blocks behind RESULT/intermediate frames that no module-level cache
+# owns (a query materializes a reused sub-frame, hands the result to
+# the caller, and has nowhere to park the ids). Registered with the
+# session-cache registry so clear_session_caches releases them —
+# without this, every bench pass leaves another orphan generation that
+# only async GC reclaims (the measurement cost in the module
+# docstring).
+_LOOSE_BLOCK_IDS: dict[str, set[int]] = {}
+
+
+def loose_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Checkpoint a frame whose blocks have no owning cache; the ids
+    are parked in the registered loose store and released by
+    ``registry.clear_session_caches`` (benchmarks call it between
+    passes; long-lived sessions call it on corpus switch)."""
+    out, ids = tracked_local_checkpoint(df)
+    # setdefault: clear_session_caches clears the whole dict, so the
+    # key must be recreatable after every clear.
+    _LOOSE_BLOCK_IDS.setdefault("loose", set()).update(ids)
+    return out
+
+
+def park_loose_blocks(ids: Iterable[int]) -> None:
+    """Hand already-tracked checkpoint ids to the loose store (e.g. a
+    loop's FINAL generation, which outlives the loop as the caller's
+    result and has no owning cache)."""
+    _LOOSE_BLOCK_IDS.setdefault("loose", set()).update(ids)
+
+
+def _register_loose_store() -> None:
+    # Deferred import: registry imports nothing from here at module
+    # scope, but keep the direction acyclic at import time anyway.
+    from hgn_spark.registry import register_cache
+
+    register_cache("loose_checkpoints", block_ids=_LOOSE_BLOCK_IDS)
+
+
+_register_loose_store()
+
+
 class CheckpointJanitor:
     """Tracked ``localCheckpoint`` for iterative loops.
 

@@ -195,13 +195,17 @@ def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
     degree (their edges still count in m) — pass a complete
     assignment for the standard definition.
 
-    Scale shape: canonical edges join the (tiny, usually
-    broadcastable) assignment twice — once per endpoint — then two
-    map-side-combinable aggregations; the only driver-visible output
-    is the 1-row score frame. Returns (modularity double, n_edges
-    long, n_communities long).
+    Scale shape: the canonical edge set is materialized ONCE (loose
+    localCheckpoint — its distinct shuffle would otherwise run three
+    times: the m count, the intra-edge aggregation, and the degree
+    pass), then joins the (tiny, usually broadcastable) assignment
+    twice — once per endpoint — and feeds two map-side-combinable
+    aggregations. Returns (modularity double, n_edges long,
+    n_communities long).
     """
-    e = canonicalize(edges).select("src", "dst")
+    from hgn_spark.checkpoint import loose_local_checkpoint
+
+    e = loose_local_checkpoint(canonicalize(edges).select("src", "dst"))
     a_src = communities.select(
         F.col("id").alias("src"), F.col("community").alias("c_src")
     )

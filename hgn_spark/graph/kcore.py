@@ -40,17 +40,24 @@ from hgn_spark.graph.core import symmetrize
 
 
 def core_numbers(
-    edges: DataFrame, max_iter: int = 100, checkpoint_interval: int = 3
+    edges: DataFrame, max_iter: int | None = None, checkpoint_interval: int = 3
 ) -> DataFrame:
     """→ ``(id, core)`` for every vertex with at least one edge.
 
     Matches ``networkx.core_number`` (parity pinned in
     tests/test_graph.py) and the unrolled-peeling DuckDB oracle —
     the h-operator fixpoint IS the core decomposition (module
-    docstring). ``max_iter`` bounds the loop as a runaway guard;
-    convergence is reached when no label changes in a round (labels
-    are non-increasing ints ≥ 0, so termination is guaranteed at
-    ≤ max(degree) rounds; observed: 9 on the derived graphs).
+    docstring). Convergence is detected when no label changes across a
+    probe interval. Termination is absolute — labels are
+    non-increasing ints ≥ 0 and every pre-fixpoint interval decreases
+    at least one label by at least 1 — but the ROUND COUNT is governed
+    by label-propagation depth, not degree: a path of n vertices
+    takes ~n/2 rounds (core 1 information walks inward one hop per
+    round). ``max_iter`` therefore defaults to n + interval (a true
+    upper bound: n vertices with labels bounded by n), serving purely
+    as a runaway guard; pass a smaller value only as an explicit
+    wall-clock budget, knowing it raises on deep/path-like graphs.
+    Observed: 9 rounds on the derived graphs.
     """
     spark = edges.sparkSession
     jan = CheckpointJanitor(spark)
@@ -63,6 +70,13 @@ def core_numbers(
             F.count(F.lit(1)).cast("int").alias("core")
         )
     )
+    if max_iter is None:
+        # n+interval rounds always suffice: each probe interval before
+        # the fixpoint removes ≥1 unit of label mass from a total that
+        # starts ≤ 2m and every label is ≤ n — in practice rounds
+        # track the core-hierarchy/diameter depth (9 here). The count
+        # reads the just-materialized label checkpoint.
+        max_iter = lab.count() + checkpoint_interval
 
     # h-index of the sorted-desc neighbor-label array: positions where
     # label >= position form a prefix (the array is sorted), so the
@@ -104,13 +118,20 @@ def core_numbers(
         prev, prev_ids = lab, lab_ids
         if done:
             jan.release(sym_ids)
-            # The final label generation is the result; its own blocks
-            # stay persisted for the caller (released by session-level
-            # cache clearing, like every checkpointed query output).
+            # The final label generation is the result; its blocks stay
+            # persisted for the caller and are parked in the registered
+            # loose store so clear_session_caches actually releases
+            # them (an unparked generation would linger until async GC
+            # — one orphan per bench pass).
+            from hgn_spark.checkpoint import park_loose_blocks
+
+            park_loose_blocks(prev_ids)
             return lab
     jan.release(sym_ids)
     jan.release(prev_ids)
     raise RuntimeError(
         f"core_numbers: no fixpoint after max_iter={max_iter} rounds — "
-        "raise max_iter (termination is guaranteed at max-degree rounds)"
+        "an explicit max_iter below the default was exhausted "
+        "(path-like graphs need ~diameter/2 rounds); re-run with a "
+        "larger budget or the n-bounded default"
     )

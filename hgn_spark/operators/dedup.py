@@ -1112,7 +1112,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _assign_nearest(emb, seeds)
     # Referenced three times below (both self-join sides + the final
     # projection); materialize the argmax once.
-    assign = assign.localCheckpoint(eager=True)
+    from hgn_spark.checkpoint import loose_local_checkpoint
+
+    assign = loose_local_checkpoint(assign)
     a = assign.select(
         "cent_id",
         F.col("vec_id").alias("v1"),

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
+from hgn_spark.checkpoint import loose_local_checkpoint
 from hgn_spark.registry import register
 
 QUERY_STRIDE = 50     # vec_id % 50 == 0 → the standing query set
@@ -476,7 +477,7 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-run it per branch (Catalyst shares no subplans across
     # union arms).
     emb, seeds, seed_assign = _ivf_seed_frames(spark, sf_dir)
-    seed_assign = seed_assign.localCheckpoint(eager=True)
+    seed_assign = loose_local_checkpoint(seed_assign)
     frames = (emb, seeds, seed_assign)
     seed = _ivf_query(spark, sf_dir, refine=False, frames=frames).select(
         F.lit("seed").alias("variant"), "*"
@@ -492,7 +493,7 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-merge `simsearch_ivf_topk` driver row, kept callable for
     tests and API compatibility."""
     emb, seeds, seed_assign = _ivf_seed_frames(spark, sf_dir)
-    seed_assign = seed_assign.localCheckpoint(eager=True)
+    seed_assign = loose_local_checkpoint(seed_assign)
     frames = (emb, seeds, seed_assign)
     seed = _ivf_query(spark, sf_dir, refine=False, frames=frames).select(
         F.lit("seed").alias("variant"), "*"

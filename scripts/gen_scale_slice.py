@@ -9,22 +9,33 @@ combined slice has k× the rows with the SAME per-replica structure —
 work that is linear in the data (scans, bucketed joins, per-doc HOFs)
 scales ~k×, and anything superlinear shows up immediately.
 
-- lineitem / part / supplier / orders: integer keys offset per replica
-  by a pad that is a multiple of 10 (so l_suppkey % 5 — the derived
-  graph's edge rule — is preserved and each replica grows an
-  ISOMORPHIC copy of the sf0.1 graph). part's p_size is offset too:
-  sizes are the theta-join's equi key, and shared sizes across
-  replicas would grow that join quadratically instead of linearly.
-- documents: every token is suffixed with the replica index (replica 0
-  = verbatim), so replicas share NO tokens — shingle buckets,
-  7-gram sets and fingerprints stay replica-local, exactly like a real
-  corpus whose vocabulary grows with its size. Each replica keeps the
-  sf0.1 corpus's internal near-dup structure, so dedup verify work
-  scales linearly. (Replicating text verbatim instead would make every
-  doc a 10-way exact dup and every shingle bucket 10× hotter — the
-  adversarial mega-bucket regime, which is `ngram_jaccard_pairs_capped`'s
-  job, not a fair scaling baseline.)
-- region / nation / customer: copied verbatim (broadcast dims).
+- lineitem / part / supplier / orders / customer: integer keys offset
+  per replica by a pad computed per KEY DOMAIN — the max over EVERY
+  table carrying that key (c_custkey ∪ o_custkey, o_orderkey ∪
+  l_orderkey, p_partkey ∪ l_partkey, s_suppkey ∪ l_suppkey) — so FK
+  pairs stay aligned by construction, not by the accident of two
+  tables sharing a maximum. Pads are multiples of 10 (so
+  l_suppkey % 5 — the derived graph's edge rule — is preserved and
+  each replica grows an ISOMORPHIC copy of the sf0.1 graph). part's
+  p_size is offset too: sizes are the theta-join's equi key, and
+  shared sizes across replicas would grow that join quadratically
+  instead of linearly.
+- documents: every token is suffixed with '\\x01' + replica index
+  (replica 0 = verbatim), so replicas provably share NO tokens — the
+  separator cannot appear inside a space-split token, so a verbatim
+  token ending in a digit can never collide with a suffixed one.
+  Shingle buckets, 7-gram sets and fingerprints stay replica-local,
+  exactly like a real corpus whose vocabulary grows with its size.
+  Each replica keeps the sf0.1 corpus's internal near-dup structure,
+  so dedup verify work scales linearly. (Replicating text verbatim
+  instead would make every doc a k-way exact dup and every shingle
+  bucket k× hotter — the adversarial mega-bucket regime, which is
+  `ngram_jaccard_pairs_capped`'s job, not a fair scaling baseline.)
+- embeddings: vec_id offset by a multiple of 50 (lcm of the
+  query/centroid strides) and each replica circularly dim-rotated —
+  norms and intra-replica cosines preserved exactly, cross-replica
+  cosines scrambled.
+- region / nation: copied verbatim (broadcast dims).
 
 Usage: python scripts/gen_scale_slice.py [k] [out_dir]
        (defaults: k=10 → "sf1", out=/tmp/hgn_scale/sf1)
@@ -42,15 +53,24 @@ from pyspark.sql import DataFrame, functions as F
 SRC = "/root/testdata/sf0.1"
 
 
-def _pad(df: DataFrame, col: str) -> int:
-    """Replica key offset: max+1 rounded up to a multiple of 10 (keeps
-    key % 5 classes, hence the derived graph, intact per replica)."""
-    m = df.agg(F.max(col)).first()[0]
+def _round10(m: int) -> int:
+    """max+1 rounded up to a multiple of 10 (keeps key % 5 classes,
+    hence the derived graph, intact per replica)."""
     return ((int(m) + 10) // 10) * 10
 
 
-def replicate_keyed(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
-    pads = {c: _pad(df, c) for c in key_cols}
+def _domain_pad(frames: list[tuple[DataFrame, str]]) -> int:
+    """One pad per key DOMAIN: the max over every (table, column) that
+    carries the key. FK alignment across replicas is then structural —
+    with per-table pads it held only while the tables' maxima happened
+    to coincide (TPC-H dbgen leaves every third customer orderless, so
+    a regenerated testdata could break a per-table scheme silently)."""
+    return _round10(
+        max(int(df.agg(F.max(c)).first()[0]) for df, c in frames)
+    )
+
+
+def replicate_keyed(df: DataFrame, pads: dict[str, int], k: int) -> DataFrame:
     out = None
     for i in range(k):
         r = df
@@ -61,12 +81,14 @@ def replicate_keyed(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
 
 
 def replicate_documents(df: DataFrame, k: int) -> DataFrame:
-    doc_pad = _pad(df, "doc_id")
+    doc_pad = _round10(int(df.agg(F.max("doc_id")).first()[0]))
     out = None
     for i in range(k):
         r = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_pad))
         if i > 0:
-            sfx = F.lit(str(i))
+            # \x01 separator: cannot appear inside a space-split token,
+            # so replica vocabularies are disjoint by construction.
+            sfx = F.lit("\x01" + str(i))
             toks = F.filter(
                 F.split(F.col("text"), " "), lambda t: t != F.lit("")
             )
@@ -119,19 +141,35 @@ def main() -> None:
     def read(t: str) -> DataFrame:
         return spark.read.parquet(f"{SRC}/{t}.parquet")
 
+    li, orders, part, supp, cust, events = (
+        read("lineitem"), read("orders"), read("part"),
+        read("supplier"), read("customer"), read("events"),
+    )
+    custkey = _domain_pad([(cust, "c_custkey"), (orders, "o_custkey")])
+    orderkey = _domain_pad([(orders, "o_orderkey"), (li, "l_orderkey")])
+    partkey = _domain_pad([(part, "p_partkey"), (li, "l_partkey")])
+    suppkey = _domain_pad([(supp, "s_suppkey"), (li, "l_suppkey")])
+    p_size = _domain_pad([(part, "p_size")])
+    event_id = _domain_pad([(events, "event_id")])
+    user_id = _domain_pad([(events, "user_id")])
+
     plans = {
         "lineitem": lambda: replicate_keyed(
-            read("lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"], k
+            li,
+            {"l_orderkey": orderkey, "l_partkey": partkey, "l_suppkey": suppkey},
+            k,
         ),
         "orders": lambda: replicate_keyed(
-            read("orders"), ["o_orderkey", "o_custkey"], k
+            orders, {"o_orderkey": orderkey, "o_custkey": custkey}, k
         ),
-        "part": lambda: replicate_keyed(read("part"), ["p_partkey", "p_size"], k),
-        "supplier": lambda: replicate_keyed(read("supplier"), ["s_suppkey"], k),
-        "customer": lambda: replicate_keyed(read("customer"), ["c_custkey"], k),
+        "part": lambda: replicate_keyed(
+            part, {"p_partkey": partkey, "p_size": p_size}, k
+        ),
+        "supplier": lambda: replicate_keyed(supp, {"s_suppkey": suppkey}, k),
+        "customer": lambda: replicate_keyed(cust, {"c_custkey": custkey}, k),
         "documents": lambda: replicate_documents(read("documents"), k),
         "events": lambda: replicate_keyed(
-            read("events"), ["event_id", "user_id"], k
+            events, {"event_id": event_id, "user_id": user_id}, k
         ),
         "region": lambda: read("region"),
         "nation": lambda: read("nation"),

@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
@@ -56,6 +58,19 @@ def main() -> None:
     ).count().write.format("noop").mode("overwrite").save()
     spark.range(64).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    # HOF warm-up: the interpreted lambda evaluator + its ~5 s one-time
+    # JIT/codegen cost must not bill to the first (HOF-heavy) probe.
+    _v = spark.range(64).agg(
+        F.collect_list(F.col("id").cast("double")).alias("a")
+    )
+    _v.select(
+        F.aggregate(
+            F.zip_with("a", "a", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.transform("a", lambda x: x * 2).alias("t"),
     ).write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict[str, float]] = {}

@@ -638,3 +638,19 @@ def test_modularity_networkx_parity(spark):
     Gf.add_edges_from(EDGES)
     wantf = nxc.modularity(Gf, [{1, 2, 3}, {4, 5, 6}])
     assert abs(q - wantf) < 1e-6
+
+
+def test_core_numbers_path_graph_default_guard(spark):
+    """Regression (r7 review): h-operator rounds track propagation
+    DEPTH, not degree — a 250-vertex path (max degree 2, all cores 1)
+    needs ~125 rounds, which the old fixed max_iter=100 default
+    wrongly aborted. The n-bounded default must converge."""
+    from hgn_spark.graph.kcore import core_numbers
+
+    n = 250
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _as_dict(core_numbers(path, checkpoint_interval=25), "id", "core")
+    assert len(got) == n
+    assert set(got.values()) == {1}
