@@ -1168,3 +1168,18 @@ def test_srp_bucket_cap_bounds_candidates(spark):
         ).collect()
     }
     assert mid <= base
+
+
+def test_chunk_documents_plans_zero_exchange(spark):
+    """Chunking must stay entirely scan-side: tokenize + sequence/slice
+    HOFs + one explode, NO Exchange — the property that makes it
+    embarrassingly partition-parallel at 100 TB."""
+    from hgn_spark.operators.text import chunk_documents
+
+    plan = (
+        chunk_documents(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
