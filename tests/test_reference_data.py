@@ -354,3 +354,23 @@ def test_hamsterster_sampled_betweenness_error_bounds(spark):
             assert tot_err <= prev_err, "error must tighten with fraction"
             assert overlap >= prev_overlap, "ranking must tighten with fraction"
         prev_err, prev_overlap = tot_err, overlap
+
+
+def test_quakers_core_numbers_networkx_parity(quakers):
+    """h-operator core decomposition on the real Quakers network ==
+    networkx.core_number — a real-graph check beyond the derived
+    testdata graph (the Quakers graph has pendant chains and a dense
+    core, exercising both the propagation-depth and the h-index
+    plateaus)."""
+    nx = pytest.importorskip("networkx")
+
+    from hgn_spark.graph.kcore import core_numbers
+
+    _nodes, edges = quakers
+    got = {
+        r["id"]: r["core"] for r in core_numbers(edges).collect()
+    }
+    G = nx.Graph()
+    G.add_edges_from([(r.src, r.dst) for r in edges.collect()])
+    want = nx.core_number(G)
+    assert got == want
