@@ -1183,3 +1183,25 @@ def test_chunk_documents_plans_zero_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_loose_checkpoints_released_on_clear(spark):
+    """Result/intermediate frames with no owning cache (k-core's final
+    labels, the argmax assignments, modularity's canonical edges) park
+    their checkpoint block ids in the registered loose store, and
+    clear_session_caches releases them — without this every bench pass
+    leaks one orphan generation per such query (r7 review #2)."""
+    from hgn_spark.checkpoint import _LOOSE_BLOCK_IDS, persistent_rdd_ids
+    from hgn_spark.registry import clear_session_caches
+    from hgn_spark.operators.dedup import dedup_semantic_clusters
+
+    clear_session_caches()
+    dedup_semantic_clusters(spark, SF_SMOKE).count()
+    parked = set().union(*_LOOSE_BLOCK_IDS.values()) if _LOOSE_BLOCK_IDS else set()
+    assert parked, "the materialized assignment must park its block ids"
+    assert parked <= persistent_rdd_ids(spark)
+    clear_session_caches()
+    assert not any(_LOOSE_BLOCK_IDS.values())
+    assert not (parked & persistent_rdd_ids(spark)), (
+        "loose checkpoint blocks must be unpersisted by the clear"
+    )
