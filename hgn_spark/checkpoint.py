@@ -74,8 +74,23 @@ def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
 # session-cache registry so clear_session_caches releases them —
 # without this, every bench pass leaves another orphan generation that
 # only async GC reclaims (the measurement cost in the module
-# docstring).
+# docstring). Keyed by applicationId per the registry's block-id-store
+# contract (ADVICE r7): a stopped-and-recreated SparkContext restarts
+# RDD ids at 0, so ids parked under an old context must be dropped,
+# never released against the new one where they alias live blocks.
 _LOOSE_BLOCK_IDS: dict[str, set[int]] = {}
+
+
+def _park(spark: SparkSession | None, ids: Iterable[int]) -> None:
+    if spark is None:
+        # No live context: the blocks die with their context anyway,
+        # and without an applicationId the ids could never be safely
+        # matched to a future release.
+        return
+    app = spark.sparkContext.applicationId
+    # setdefault: clear_session_caches clears the whole dict, so the
+    # key must be recreatable after every clear.
+    _LOOSE_BLOCK_IDS.setdefault(app, set()).update(ids)
 
 
 def loose_local_checkpoint(df: DataFrame) -> DataFrame:
@@ -84,17 +99,15 @@ def loose_local_checkpoint(df: DataFrame) -> DataFrame:
     ``registry.clear_session_caches`` (benchmarks call it between
     passes; long-lived sessions call it on corpus switch)."""
     out, ids = tracked_local_checkpoint(df)
-    # setdefault: clear_session_caches clears the whole dict, so the
-    # key must be recreatable after every clear.
-    _LOOSE_BLOCK_IDS.setdefault("loose", set()).update(ids)
+    _park(df.sparkSession, ids)
     return out
 
 
-def park_loose_blocks(ids: Iterable[int]) -> None:
+def park_loose_blocks(ids: Iterable[int], spark: SparkSession | None = None) -> None:
     """Hand already-tracked checkpoint ids to the loose store (e.g. a
     loop's FINAL generation, which outlives the loop as the caller's
     result and has no owning cache)."""
-    _LOOSE_BLOCK_IDS.setdefault("loose", set()).update(ids)
+    _park(spark or SparkSession.getActiveSession(), ids)
 
 
 def _register_loose_store() -> None:

@@ -48,16 +48,19 @@ def core_numbers(
     tests/test_graph.py) and the unrolled-peeling DuckDB oracle —
     the h-operator fixpoint IS the core decomposition (module
     docstring). Convergence is detected when no label changes across a
-    probe interval. Termination is absolute — labels are
-    non-increasing ints ≥ 0 and every pre-fixpoint interval decreases
-    at least one label by at least 1 — but the ROUND COUNT is governed
-    by label-propagation depth, not degree: a path of n vertices
-    takes ~n/2 rounds (core 1 information walks inward one hop per
-    round). ``max_iter`` therefore defaults to n + interval (a true
-    upper bound: n vertices with labels bounded by n), serving purely
-    as a runaway guard; pass a smaller value only as an explicit
-    wall-clock budget, knowing it raises on deep/path-like graphs.
-    Observed: 9 rounds on the derived graphs.
+    probe interval. Termination is absolute, and the default budget is
+    a PROVEN bound (ADVICE r7): from the degree start, labels are
+    non-increasing non-negative ints, so the total label mass Σlabel
+    starts at Σdeg = 2m and every probe interval before the detected
+    fixpoint decreases it by ≥ 1 — at most 2m decreasing intervals
+    plus the final no-change one, i.e. (2m + 1) · interval rounds,
+    which is what ``max_iter`` defaults to. In PRACTICE the round
+    count tracks label-propagation depth, not mass: a path of n
+    vertices takes ~n/2 rounds (core-1 information walks inward one
+    hop per round; pinned on path/barbell fixtures in
+    tests/test_graph.py), and the derived graphs converge in 9. Pass a
+    smaller ``max_iter`` only as an explicit wall-clock budget,
+    knowing it raises loudly on deep/path-like graphs.
     """
     spark = edges.sparkSession
     jan = CheckpointJanitor(spark)
@@ -71,12 +74,11 @@ def core_numbers(
         )
     )
     if max_iter is None:
-        # n+interval rounds always suffice: each probe interval before
-        # the fixpoint removes ≥1 unit of label mass from a total that
-        # starts ≤ 2m and every label is ≤ n — in practice rounds
-        # track the core-hierarchy/diameter depth (9 here). The count
-        # reads the just-materialized label checkpoint.
-        max_iter = lab.count() + checkpoint_interval
+        # Proven runaway bound (docstring): ≤ 2m decreasing probe
+        # intervals + the final no-change one, each `interval` rounds.
+        # sym is checkpointed, so counting its rows (= 2m) is a cheap
+        # scan of materialized blocks.
+        max_iter = (sym.count() + 1) * checkpoint_interval
 
     # h-index of the sorted-desc neighbor-label array: positions where
     # label >= position form a prefix (the array is sorted), so the
@@ -133,5 +135,5 @@ def core_numbers(
         f"core_numbers: no fixpoint after max_iter={max_iter} rounds — "
         "an explicit max_iter below the default was exhausted "
         "(path-like graphs need ~diameter/2 rounds); re-run with a "
-        "larger budget or the n-bounded default"
+        "larger budget or the proven (2m+1)·interval default"
     )

@@ -60,6 +60,11 @@ def main() -> None:
             print(f"NEW      {q}: {t:.2f}s (no baseline equivalent)")
             continue
         b = sum(base[n] for n in eq)
+        if b <= 0:
+            # A 0.0s baseline row (rounded-to-zero fast query) has no
+            # meaningful ratio — report it instead of dividing by zero.
+            print(f"NEW      {q}: {t:.2f}s (baseline recorded as 0s — incomparable)")
+            continue
         ratio = t / b
         tag = "merged " if len(names) > 1 else ""
         if ratio > thresh and q in WIDENED:

@@ -545,6 +545,48 @@ def test_core_numbers_raises_on_guard_before_fixpoint(edges):
         core_numbers(edges, max_iter=1).collect()
 
 
+def test_core_numbers_path_and_barbell(spark):
+    """The VERDICT r7 watch item: the documented O(diameter) round
+    behavior on path-like graphs, pinned. A 60-vertex path is the
+    h-operator's worst shape — core-1 information walks inward one hop
+    per round, so it needs ~n/2 rounds (a 10k path would take ~5000
+    Spark rounds; the behavior is diameter-linear regardless of n, so
+    the fixture pins the regime at a wall-clock-sane size):
+
+    - the default (proven (2m+1)·interval) budget completes and every
+      core is 1;
+    - a barbell (two K5s joined by that path) completes with cores 4
+      in the cliques and 2 on the path (both path ends attach to a
+      clique, so no vertex ever has degree < 2 and the whole bridge
+      survives 2-core peeling) — the mixed-depth shape;
+    - an explicit budget below the path's ~diameter/2 rounds raises
+      loudly instead of returning unconverged labels.
+    """
+    from hgn_spark.graph.kcore import core_numbers
+
+    n = 60
+    path = [(i, i + 1) for i in range(1, n)]
+    pdf = spark.createDataFrame(path, "src long, dst long")
+    got = _as_dict(core_numbers(pdf), "id", "core")
+    assert got == {v: 1 for v in range(1, n + 1)}
+
+    with pytest.raises(RuntimeError, match="max_iter"):
+        # ~n/2 rounds are REQUIRED on a path; 6 is far below 30.
+        core_numbers(pdf, max_iter=6).collect()
+
+    k5a = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    k5b = [(200 + i, 200 + j) for i in range(5) for j in range(i + 1, 5)]
+    barbell = k5a + k5b + [(100, 1), (n, 200)] + path
+    bdf = spark.createDataFrame(barbell, "src long, dst long")
+    got_b = _as_dict(core_numbers(bdf), "id", "core")
+    nx = pytest.importorskip("networkx")
+    G = nx.Graph(barbell)
+    assert got_b == nx.core_number(G)
+    assert all(got_b[100 + i] == 4 for i in range(5))
+    assert all(got_b[200 + i] == 4 for i in range(5))
+    assert all(got_b[v] == 2 for v in range(1, n + 1))
+
+
 def test_core_numbers_networkx_parity(spark):
     nx = pytest.importorskip("networkx")
 

@@ -571,8 +571,12 @@ def test_register_cache_structural_clearing(spark):
         df, ids = tracked_local_checkpoint(
             spark.range(100).selectExpr("id", "id * 2 AS v")
         )
-        frames["k"] = df
-        blocks["k"] = set(ids)
+        # Block-id keys embed the owning applicationId (tuple element
+        # 0) — the registry releases only current-context entries
+        # (ADVICE r7).
+        key = (spark.sparkContext.applicationId, "k")
+        frames[key] = df
+        blocks[key] = set(ids)
         assert ids and ids <= persistent_rdd_ids(spark)
         registry.clear_session_caches()
         assert not frames and not blocks
@@ -1205,3 +1209,39 @@ def test_loose_checkpoints_released_on_clear(spark):
     assert not (parked & persistent_rdd_ids(spark)), (
         "loose checkpoint blocks must be unpersisted by the clear"
     )
+
+
+def test_stale_context_block_ids_dropped_without_release(spark):
+    """Ids parked under a DIFFERENT applicationId are dropped, never
+    unpersisted: a stopped-and-recreated SparkContext restarts RDD ids
+    at 0, so releasing stale ids would kill live lineage-truncated
+    blocks owned by unrelated code (ADVICE r7). Simulated by parking a
+    LIVE block's id under a foreign app key and asserting the clear
+    leaves the block persisted."""
+    import time
+
+    from hgn_spark import checkpoint as cp
+    from hgn_spark.checkpoint import (
+        persistent_rdd_ids,
+        release_rdds,
+        tracked_local_checkpoint,
+    )
+    from hgn_spark.registry import clear_session_caches
+
+    clear_session_caches()
+    df, ids = tracked_local_checkpoint(spark.range(64).selectExpr("id"))
+    assert ids <= persistent_rdd_ids(spark)
+    cp._LOOSE_BLOCK_IDS["application_from_a_previous_context"] = set(ids)
+    try:
+        clear_session_caches()
+        assert not cp._LOOSE_BLOCK_IDS  # entry dropped...
+        # ...but the aliased live block must still be persisted (poll:
+        # a wrongful unpersist(blocking=False) completes async).
+        time.sleep(0.3)
+        assert ids <= persistent_rdd_ids(spark), (
+            "stale-context ids must not be released against the "
+            "current context"
+        )
+        assert df.count() == 64
+    finally:
+        release_rdds(spark, ids)
