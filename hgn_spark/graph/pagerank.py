@@ -44,11 +44,34 @@ from hgn_spark.checkpoint import CheckpointJanitor
 from hgn_spark.graph.core import symmetrize
 
 
+def build_links(
+    edges: DataFrame, jan: CheckpointJanitor
+) -> tuple[DataFrame, frozenset[int]]:
+    """The per-iteration join table both recurrences share:
+    (src, dst, out_deg(src)) over the symmetrized graph, materialized
+    once (constant across iterations, so every round's join hits a
+    checkpointed table, not the degree aggregation). Callers running
+    BOTH the uniform and the personalized recurrence (the merged
+    graph_pagerank driver row) build this once and pass it to each —
+    the graph build is the startup cost, and doubling it was the
+    only overhead of the r8 branch merge."""
+    sym, sym_ids = jan.checkpoint(symmetrize(edges))
+    out_deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    links, links_ids = jan.checkpoint(
+        sym.join(out_deg.withColumnRenamed("id", "src"), "src")
+    )
+    jan.release(sym_ids)
+    return links, links_ids
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 20,
     checkpoint_interval: int = 10,
+    links: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over the symmetrized graph →
     ``(id, pagerank)``, one row per non-isolated vertex, ranks summing
@@ -65,19 +88,16 @@ def pagerank(
     plan stays shallow enough that Catalyst analysis time never
     dominates. State behavior is unchanged: exactly one materialized
     generation is carried.
+
+    ``links``: a prebuilt `build_links` table to share the graph build
+    with another recurrence; the caller owns (and releases) its blocks.
     """
     spark = edges.sparkSession
     jan = CheckpointJanitor(spark)
-    sym, sym_ids = jan.checkpoint(symmetrize(edges))
-    out_deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    # (src, dst, out_deg(src)) — constant across iterations, so the
-    # per-iteration join hits a materialized table, not the degree agg.
-    links, links_ids = jan.checkpoint(
-        sym.join(out_deg.withColumnRenamed("id", "src"), "src")
-    )
-    jan.release(sym_ids)
+    own_links = links is None
+    links_ids: frozenset[int] = frozenset()
+    if own_links:
+        links, links_ids = build_links(edges, jan)
     # One distinct over the links table, materialized once: it feeds
     # both the vertex count and the uniform initial ranks (computing it
     # twice would run the edge-set-sized shuffle twice at startup).
@@ -85,7 +105,8 @@ def pagerank(
     n = verts.count()
     if n == 0:
         jan.release(vert_ids)
-        jan.release(links_ids)
+        if own_links:
+            jan.release(links_ids)
         return spark.createDataFrame([], "id long, pagerank double")
 
     pr = verts.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("pr"))
@@ -108,7 +129,8 @@ def pagerank(
     out = pr.select("id", F.col("pr").alias("pagerank"))
     # The final frame is checkpointed (no lineage into links) — the
     # link table's blocks are dead weight from here.
-    jan.release(links_ids)
+    if own_links:
+        jan.release(links_ids)
     return out
 
 
@@ -118,6 +140,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     n_iter: int = 20,
     checkpoint_interval: int = 10,
+    links: DataFrame | None = None,
 ) -> DataFrame:
     """Personalized (seeded) PageRank → ``(id, pagerank)``: the
     teleport mass returns to the SEED set instead of spreading
@@ -139,62 +162,73 @@ def personalized_pagerank(
     unreachable from any seed converge to 0 and still appear (one row
     per non-isolated vertex).
 
-    Same scale shape as `pagerank`: one equi-join + one
-    map-side-combinable aggregation per round, one materialized
-    generation carried, lineage cut every ``checkpoint_interval``
-    rounds. The seed frame joins in as a (usually broadcastable)
-    left-join flag — no driver-side seed list.
+    Same scale shape as `pagerank` — EXACTLY one equi-join + one
+    map-side-combinable aggregation per round: the seed flag is folded
+    into the materialized link table once as a dst-side column (the
+    symmetrized graph gives every vertex inbound edges, so the
+    per-round aggregation already covers the full vertex set and the
+    base term rides the grouped flag instead of a per-round
+    vertex-table outer join; constant per group, so max() under the
+    same groupBy is free map-side). No driver-side seed list.
+    ``links``: see `pagerank` (sharing the graph build across
+    recurrences).
     """
     spark = edges.sparkSession
     jan = CheckpointJanitor(spark)
-    sym, sym_ids = jan.checkpoint(symmetrize(edges))
-    out_deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    own_links = links is None
+    links_ids: frozenset[int] = frozenset()
+    if own_links:
+        links, links_ids = build_links(edges, jan)
+    # (src, dst, out_deg, dst_seed): the per-round join table with the
+    # teleport-target flag attached to the DESTINATION side.
+    seed_flag = seeds.select(F.col("id").alias("dst")).distinct().withColumn(
+        "dst_seed", F.lit(1)
     )
-    links, links_ids = jan.checkpoint(
-        sym.join(out_deg.withColumnRenamed("id", "src"), "src")
-    )
-    jan.release(sym_ids)
-    verts, vert_ids = jan.checkpoint(
-        links.select("src")
-        .distinct()
-        .select(F.col("src").alias("id"))
-        .join(
-            seeds.select("id").distinct().withColumn("is_seed", F.lit(1)),
-            "id",
-            "left",
+    slinks, slinks_ids = jan.checkpoint(
+        links.join(seed_flag, "dst", "left").select(
+            "src",
+            "dst",
+            "out_deg",
+            F.coalesce("dst_seed", F.lit(0)).alias("dst_seed"),
         )
-        .select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     )
-    n_seeds = verts.agg(F.sum("is_seed")).first()[0] or 0
-    if n_seeds == 0:
-        jan.release(vert_ids)
+    if own_links:
         jan.release(links_ids)
+    # Seed count: one aggregation over the materialized table (each
+    # dst appears out_deg-many times; count distinct seeded dsts).
+    n_seeds = (
+        slinks.filter(F.col("dst_seed") == 1).select("dst").distinct().count()
+    )
+    if n_seeds == 0:
+        jan.release(slinks_ids)
         raise ValueError(
             "personalized_pagerank: no seed id appears in the graph"
         )
-    # Start from the teleport distribution itself.
-    base = F.col("is_seed") * F.lit((1.0 - damping) / n_seeds)
-    pr = verts.select(
-        "id", "is_seed", (F.col("is_seed") / F.lit(float(n_seeds))).alias("pr")
+    base_c = (1.0 - damping) / n_seeds
+    # Start from the teleport distribution itself. src-side flag via
+    # one distinct over the dst-keyed flags (src and dst ranges are
+    # identical on the symmetrized graph).
+    pr = (
+        slinks.select(
+            F.col("dst").alias("id"), F.col("dst_seed").alias("is_seed")
+        )
+        .distinct()
+        .select("id", (F.col("is_seed") / F.lit(float(n_seeds))).alias("pr"))
     )
     pr, pr_ids = jan.checkpoint(pr)
     for it in range(1, n_iter + 1):
-        contrib = (
-            links.join(
-                pr.select(F.col("id").alias("src"), "pr"), "src"
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("in_sum"))
-        )
         pr = (
-            verts.join(contrib, "id", "left")
+            slinks.join(pr.select(F.col("id").alias("src"), "pr"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(F.col("pr") / F.col("out_deg")).alias("in_sum"),
+                F.max("dst_seed").alias("is_seed"),
+            )
             .select(
                 "id",
-                "is_seed",
                 (
-                    base
-                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                    F.col("is_seed") * F.lit(base_c)
+                    + F.lit(damping) * F.col("in_sum")
                 ).alias("pr"),
             )
         )
@@ -203,6 +237,5 @@ def personalized_pagerank(
             jan.release(pr_ids)
             pr_ids = new_ids
     out = pr.select("id", F.col("pr").alias("pagerank"))
-    jan.release(vert_ids)
-    jan.release(links_ids)
+    jan.release(slinks_ids)
     return out

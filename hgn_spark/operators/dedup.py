@@ -431,14 +431,6 @@ _NGRAM_PAIR_CTES = f"""tok AS (SELECT doc_id, {DUCK_TOKENS} AS l FROM documents)
       WHERE jaccard >= {JACCARD_THRES})"""
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH {_NGRAM_PAIR_CTES}
-    SELECT d1, d2, jaccard FROM jpairs
-    """,
-    tags=("dedup",),
-)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram jaccard, candidates from the
     shared-shingle inverted index (pairs only form inside a shingle
@@ -486,6 +478,53 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _NGRAM_PAIRS_CACHE[key] = out
     _CACHE_BLOCK_IDS.setdefault(key, set()).update(ids)
     return out
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    # Whole-corpus pairs AND the incremental batch-vs-corpus shape as
+    # labeled `op` branches of one driver row (the r8 evidence upgrade
+    # — VERDICT r7 #4). The incremental branches replay from the SAME
+    # jpairs fragment: a thresholded pair with at least one batch
+    # endpoint (doc_id % 5 == 4) is exactly what the batch-vs-index
+    # join surfaces — candidates need a shared shingle on both paths,
+    # and the verify is the same exact jaccard (equality argued and
+    # pytest-pinned in tests/test_llm_ops.py::
+    # test_neardup_incremental_matches_full_pair_split). `vs_corpus`
+    # reports the batch doc as d1 (the one to drop before ingestion),
+    # so the CASE re-orients jpairs' d1 < d2 canonical order.
+    oracle=f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT 'all' AS op, d1, d2, jaccard FROM jpairs
+    UNION ALL
+    SELECT 'vs_corpus',
+           CASE WHEN d1 % 5 = 4 THEN d1 ELSE d2 END,
+           CASE WHEN d1 % 5 = 4 THEN d2 ELSE d1 END,
+           jaccard
+    FROM jpairs WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)
+    UNION ALL
+    SELECT 'in_batch', d1, d2, jaccard
+    FROM jpairs WHERE d1 % 5 = 4 AND d2 % 5 = 4
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-jaccard near-dup pairs, whole-corpus and incremental, as
+    labeled `op` branches of one driver row:
+
+    - 'all': every thresholded pair in the corpus
+      (dedup_ngram_jaccard_pairs — the cached pair list that also
+      feeds dedup_canonical_groups);
+    - 'vs_corpus' / 'in_batch': the daily-ingestion shape
+      (neardup_incremental) — docs with doc_id % 5 == 4 play the
+      incoming batch, joined against the standing shingle index only,
+      never corpus × corpus.
+    """
+    base = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.lit("all").alias("op"), "d1", "d2", "jaccard"
+    )
+    inc = neardup_incremental(spark, sf_dir).select("op", "d1", "d2", "jaccard")
+    return base.unionByName(inc)
 
 
 def ngram_jaccard_pairs_capped(

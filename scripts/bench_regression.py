@@ -23,21 +23,37 @@ import sys
 # (labeled-branch unions); rows absorbed that were never benched in
 # the baseline contribute nothing to the equivalent, so the ratio
 # over-counts — those rows are flagged, not failed.
+# Every list INCLUDES the merged row's own name: once a later round's
+# baseline records the consolidated row directly, the self-entry is
+# the match (a list of only absorbed names would report the row as
+# NEW/incomparable against any baseline from after the merge).
 MERGES: dict[str, list[str]] = {
     # r7 consolidations vs the r6 baseline
     "text_profile": ["text_profile", "pack_token_chunks", "text_repetition_signals"],
     "window_running_lag": ["window_running_lag", "sessionize_events"],
     "simsearch_topk_cosine": ["simsearch_topk_cosine", "simsearch_ivf_topk"],
-    "streaming_windowed_aggs": ["streaming_tumbling_daily"],
+    "streaming_windowed_aggs": ["streaming_windowed_aggs", "streaming_tumbling_daily"],
     # these absorbed registry rows that the r6 bench never timed:
     # graph_degrees (+graph_neighbors_lvl2), agg_rollup_pivot
     # (+conditional_ratio_agg), dedup_minhash_lsh_pairs
     # (+simhash/srp branches)
 }
-# Rows whose r6 equivalent is known-incomplete (absorbed unbenched
-# branches): report, don't fail.
+# Rows whose baseline equivalent is known-incomplete (absorbed
+# unbenched branches): report, don't fail.
+# - vs r6: graph_degrees (+lvl2), agg_rollup_pivot (+cond-ratio),
+#   dedup_minhash_lsh_pairs (+simhash/srp), streaming_windowed_aggs
+#   (+sliding).
+# - vs r7: graph_pagerank (+ppr branch), graph_label_propagation
+#   (+modularity branch), dedup_ngram_jaccard_pairs (+incremental
+#   vs_corpus/in_batch branches), simsearch_topk_cosine (+srp-lsh
+#   multiprobe branch), sample_stratified_hash (+mixture_repeat and
+#   split_train/val/test branches) — the r8 evidence-upgrade merges,
+#   none of whose added work the r7 bench ever timed.
 WIDENED = {"graph_degrees", "agg_rollup_pivot", "dedup_minhash_lsh_pairs",
-           "streaming_windowed_aggs"}
+           "streaming_windowed_aggs",
+           "graph_pagerank", "graph_label_propagation",
+           "dedup_ngram_jaccard_pairs", "simsearch_topk_cosine",
+           "sample_stratified_hash"}
 
 
 def _queries(path: str) -> dict[str, float]:

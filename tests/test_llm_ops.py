@@ -16,8 +16,10 @@ SPECS = load_all()
 
 @pytest.fixture(scope="module")
 def exact_pairs(spark):
+    # The registered row carries whole-corpus + incremental branches
+    # (r8 merge); the whole-corpus pair set is the 'all' branch.
     df = SPECS["dedup_ngram_jaccard_pairs"].fn(spark, SF_SMOKE)
-    return {(r["d1"], r["d2"]) for r in df.collect()}
+    return {(r["d1"], r["d2"]) for r in df.collect() if r["op"] == "all"}
 
 
 def test_exact_jaccard_finds_planted_dups(exact_pairs):
@@ -347,6 +349,7 @@ def test_df_cap_preserves_high_jaccard_pairs(spark):
     base = {
         (r["d1"], r["d2"], r["jaccard"])
         for r in SPECS["dedup_ngram_jaccard_pairs"].fn(spark, SF_SMOKE).collect()
+        if r["op"] == "all"
     }
     # df_cap=4 is above the corpus p99 shingle frequency but below its
     # max (9), so the cap genuinely fires (candidate pairs shrink) yet

@@ -387,3 +387,30 @@ def test_static_enrich_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_state_bounded_by_watermark_horizon(spark):
+    """The bounded-state claim, MEASURED (VERDICT r7 #7): replaying
+    events as time-ordered files (one micro-batch each, so the
+    watermark advances between batches and eviction actually runs),
+    dropDuplicatesWithinWatermark's state tracks keys within the
+    watermark horizon — it drains to near-zero once the final
+    watermark passes the data — while plain dropDuplicates (the
+    anti-pattern the operator docstring warns about) accumulates
+    every key ever seen, monotonically, to the corpus total."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from streaming_state_probe import probe
+
+    out = probe(spark, SF_SMOKE, n_files=8)
+    total = out["total_distinct_keys"]
+    bounded, unbounded = out["bounded_curve"], out["unbounded_curve"]
+    assert unbounded[-1] == total  # keeps EVERY key ever seen
+    assert all(a <= b for a, b in zip(unbounded, unbounded[1:]))  # monotone
+    # Bounded state never exceeds the unbounded total and, decisively,
+    # drains once the final watermark passes the last events — state
+    # is horizon-bound, not history-bound (observed 3 of 750).
+    assert max(bounded) < total
+    assert bounded[-1] < 0.1 * total
