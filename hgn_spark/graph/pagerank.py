@@ -239,3 +239,104 @@ def personalized_pagerank(
     out = pr.select("id", F.col("pr").alias("pagerank"))
     jan.release(slinks_ids)
     return out
+
+
+def pagerank_fused(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    checkpoint_interval: int = 10,
+    links: DataFrame | None = None,
+) -> DataFrame:
+    """BOTH recurrences in one loop → ``(id, pr_uniform, pr_ppr)``:
+    the state frame carries one rank column per teleport vector, so
+    each round is still exactly ONE equi-join + ONE map-side-combinable
+    aggregation — 20 shuffles for the pair instead of 40 (the standard
+    multi-source batching: at any vector count the per-round shuffle
+    moves one state row per vertex, columns just get wider).
+
+    Uniform PageRank IS personalized PageRank with the seed set = V
+    (teleport 1/N everywhere), so both columns follow the same
+    recurrence with different teleport vectors:
+
+        pr'(v) = (1-d)·t(v) + d·Σ_{u→v} pr(u)/outdeg(u)
+
+    with t_uniform = 1/N and t_ppr = [v ∈ S]/|S|, each started from
+    its own teleport distribution. Column-for-column equal (modulo
+    float summation order — identical after the registered row's
+    6-decimal rounding, pinned at 1e-9 in tests/test_graph.py) to
+    `pagerank` and `personalized_pagerank` run separately; those
+    remain the single-vector API.
+    """
+    spark = edges.sparkSession
+    jan = CheckpointJanitor(spark)
+    own_links = links is None
+    links_ids: frozenset[int] = frozenset()
+    if own_links:
+        links, links_ids = build_links(edges, jan)
+    seed_flag = seeds.select(F.col("id").alias("dst")).distinct().withColumn(
+        "dst_seed", F.lit(1)
+    )
+    slinks, slinks_ids = jan.checkpoint(
+        links.join(seed_flag, "dst", "left").select(
+            "src",
+            "dst",
+            "out_deg",
+            F.coalesce("dst_seed", F.lit(0)).alias("dst_seed"),
+        )
+    )
+    if own_links:
+        jan.release(links_ids)
+    verts = slinks.select(
+        F.col("dst").alias("id"), F.col("dst_seed").alias("is_seed")
+    ).distinct()
+    counts = verts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_seed").alias("ns")
+    ).first()
+    n, n_seeds = counts["n"], counts["ns"] or 0
+    if n == 0:
+        jan.release(slinks_ids)
+        return spark.createDataFrame(
+            [], "id long, pr_uniform double, pr_ppr double"
+        )
+    if n_seeds == 0:
+        jan.release(slinks_ids)
+        raise ValueError("pagerank_fused: no seed id appears in the graph")
+    base_u = (1.0 - damping) / n
+    base_p = (1.0 - damping) / n_seeds
+    pr = verts.select(
+        "id",
+        F.lit(1.0 / n).alias("pu"),
+        (F.col("is_seed") / F.lit(float(n_seeds))).alias("pp"),
+    )
+    pr, pr_ids = jan.checkpoint(pr)
+    for it in range(1, n_iter + 1):
+        pr = (
+            slinks.join(
+                pr.select(F.col("id").alias("src"), "pu", "pp"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(F.col("pu") / F.col("out_deg")).alias("su"),
+                F.sum(F.col("pp") / F.col("out_deg")).alias("sp"),
+                F.max("dst_seed").alias("is_seed"),
+            )
+            .select(
+                "id",
+                (F.lit(base_u) + F.lit(damping) * F.col("su")).alias("pu"),
+                (
+                    F.col("is_seed") * F.lit(base_p)
+                    + F.lit(damping) * F.col("sp")
+                ).alias("pp"),
+            )
+        )
+        if it % checkpoint_interval == 0 or it == n_iter:
+            pr, new_ids = jan.checkpoint(pr)
+            jan.release(pr_ids)
+            pr_ids = new_ids
+    out = pr.select(
+        "id", F.col("pu").alias("pr_uniform"), F.col("pp").alias("pr_ppr")
+    )
+    jan.release(slinks_ids)
+    return out

@@ -465,35 +465,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     networkx / pure-Python parity is additionally pinned in
     tests/test_graph.py."""
     from hgn_spark.checkpoint import CheckpointJanitor
-    from hgn_spark.graph.pagerank import (
-        build_links,
-        pagerank,
-        personalized_pagerank,
-    )
+    from hgn_spark.graph.pagerank import build_links, pagerank_fused
 
     e = derived_edges(spark, sf_dir)
-    # Both recurrences share one materialized (src, dst, out_deg)
-    # table — the graph build is the startup cost and would otherwise
-    # run twice. Both loops checkpoint their final frame, so links'
-    # blocks are dead weight once they return.
+    # Both recurrences run FUSED: one state frame carries both rank
+    # columns, so each of the PR_ITER rounds is still one equi-join +
+    # one map-side-combinable aggregation — 20 shuffles for the pair
+    # instead of 40 (this row at sf0.1: 6.72 s as two seed-folded
+    # loops, 4.06 s fused — BENCH_r08_local.json). The single-vector
+    # `pagerank`/`personalized_pagerank` remain the public API;
+    # fused==separate parity is pinned in tests/test_graph.py.
     jan = CheckpointJanitor(spark)
     links, links_ids = build_links(e, jan)
-    uni = pagerank(
-        e, damping=PR_DAMPING, n_iter=PR_ITER, links=links
-    ).select(
-        F.lit("uniform").alias("method"),
-        "id",
-        F.round("pagerank", 6).alias("pagerank"),
-    )
     seeds = (
         links.select(F.col("src").alias("id")).distinct().orderBy("id").limit(PPR_N_SEEDS)
     )
-    ppr = personalized_pagerank(
+    both = pagerank_fused(
         e, seeds, damping=PR_DAMPING, n_iter=PR_ITER, links=links
-    ).select(
-        F.lit("ppr").alias("method"), "id", F.round("pagerank", 6).alias("pagerank")
     )
     jan.release(links_ids)
+    uni = both.select(
+        F.lit("uniform").alias("method"),
+        "id",
+        F.round("pr_uniform", 6).alias("pagerank"),
+    )
+    ppr = both.select(
+        F.lit("ppr").alias("method"),
+        "id",
+        F.round("pr_ppr", 6).alias("pagerank"),
+    )
     return uni.unionByName(ppr)
 
 

@@ -517,6 +517,42 @@ def test_personalized_pagerank_matches_pure_python(spark):
         )
 
 
+def test_pagerank_fused_matches_separate_loops(spark):
+    """The fused dual-recurrence loop (one join+agg per round carrying
+    both rank columns — the registered row's execution path) equals
+    the single-vector `pagerank` and `personalized_pagerank` run
+    separately, column for column (1e-9: same recurrence, different
+    float summation schedules)."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.graph.pagerank import (
+        pagerank,
+        pagerank_fused,
+        personalized_pagerank,
+    )
+    from hgn_spark.graph.queries import derived_edges
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .orderBy("id")
+        .limit(2)
+    )
+    fused = {
+        r["id"]: (r["pr_uniform"], r["pr_ppr"])
+        for r in pagerank_fused(e, seeds, n_iter=20).collect()
+    }
+    uni = _as_dict(pagerank(e, n_iter=20), "id", "pagerank")
+    ppr = _as_dict(personalized_pagerank(e, seeds, n_iter=20), "id", "pagerank")
+    assert set(fused) == set(uni) == set(ppr)
+    for k, (u, p) in fused.items():
+        assert abs(u - uni[k]) < 1e-9, (k, u, uni[k])
+        assert abs(p - ppr[k]) < 1e-9, (k, p, ppr[k])
+
+
 def test_core_numbers_fixture(edges):
     """Two triangles + bridge: every triangle vertex is 2-core, and
     adding a pendant vertex demotes nothing but itself."""
