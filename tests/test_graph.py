@@ -553,6 +553,63 @@ def test_pagerank_fused_matches_separate_loops(spark):
         assert abs(p - ppr[k]) < 1e-9, (k, p, ppr[k])
 
 
+def test_pagerank_fused_round_plan_shape(spark, monkeypatch):
+    """The fused round's physical plan carries BOTH rank sums through
+    one aggregation with a map-side partial (partial_sum) — the
+    one-shuffle-per-round-for-the-pair claim — and no cartesian/BNLJ.
+    Captured at localCheckpoint time (the round frames are
+    materialized eagerly, so the final plan alone would start at a
+    checkpoint scan)."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.graph.pagerank import pagerank_fused
+    from hgn_spark.graph.queries import derived_edges
+    from tests.conftest import SF_SMOKE
+    from tests.test_plan_guard import _checkpoint_patch_target
+
+    DataFrame = _checkpoint_patch_target()
+    captured = []
+    orig = DataFrame.localCheckpoint
+
+    def patched(self, eager=True):
+        captured.append(
+            spark._jvm.PythonSQLUtils.explainString(
+                self._jdf.queryExecution(), "formatted"
+            )
+        )
+        return orig(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", patched)
+    e = derived_edges(spark, SF_SMOKE)
+    seeds = (
+        e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(2)
+    )
+    pagerank_fused(e, seeds, n_iter=1, checkpoint_interval=1)
+    rounds = [p for p in captured if "partial_sum" in p]
+    assert rounds, "no round plan captured (map-side partial missing?)"
+    p = rounds[-1]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # Both sums ride ONE aggregation: two partial_sum calls, not two
+    # aggregation subtrees (HashAggregate appears once per side of the
+    # final/partial pair).
+    assert p.count("partial_sum") >= 2
+    # THE fusion invariant: exactly one aggregation subtree for the
+    # pair (one partial + one final HashAggregate), each computing
+    # both sums — a regression to per-branch plans would double these.
+    # (Count node-detail headers — the formatted plan names each node
+    # twice: once in the tree, once in its detail block.)
+    import re
+
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", p, re.M))
+    assert n_agg == 2, p
+    # Shuffle budget of the STATIC round plan: one join (two input
+    # exchanges in the conservative pre-AQE plan; AQE broadcasts the
+    # |V|-row rank side at runtime) + the groupBy(dst) exchange. More
+    # means a second join/agg chain crept in.
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_exchange <= 3, p
+
+
 def test_core_numbers_fixture(edges):
     """Two triangles + bridge: every triangle vertex is 2-core, and
     adding a pendant vertex demotes nothing but itself."""

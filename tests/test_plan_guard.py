@@ -33,6 +33,20 @@ BNLJ_ALLOWED = {
 BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]
 
 
+def _checkpoint_patch_target():
+    """The class whose `localCheckpoint` actually runs. Spark 4 split
+    `pyspark.sql.DataFrame` into an abstract parent and a
+    `pyspark.sql.classic.dataframe.DataFrame` subclass that OVERRIDES
+    localCheckpoint — patching the parent intercepts nothing (found
+    r8: the r7 capture was silently empty; test_checkpoint_capture_
+    intercepts is the canary that keeps this from regressing)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame  # Spark 4
+    except ImportError:  # Spark 3.x: one concrete class
+        from pyspark.sql import DataFrame
+    return DataFrame
+
+
 @pytest.fixture()
 def checkpoint_plans(monkeypatch, spark):
     """Capture the physical plan of EVERY frame that goes through
@@ -42,7 +56,7 @@ def checkpoint_plans(monkeypatch, spark):
     the final explained plan starts at a truncated checkpoint scan and
     a CartesianProduct INSIDE the loop would never reach the
     assertion."""
-    from pyspark.sql import DataFrame
+    DataFrame = _checkpoint_patch_target()
 
     captured: list[str] = []
     orig = DataFrame.localCheckpoint
@@ -57,6 +71,18 @@ def checkpoint_plans(monkeypatch, spark):
 
     monkeypatch.setattr(DataFrame, "localCheckpoint", patched)
     return captured
+
+
+def test_checkpoint_capture_intercepts(spark, checkpoint_plans):
+    """Canary for the capture mechanism itself: a localCheckpoint must
+    land in `checkpoint_plans`. If Spark's class layout changes again
+    (the Spark-4 classic override made the r7 patch a silent no-op),
+    this fails loudly instead of every in-loop plan check passing
+    vacuously."""
+    df = spark.range(32).selectExpr("id", "id * 2 AS v").localCheckpoint()
+    assert df.count() == 32
+    assert len(checkpoint_plans) == 1
+    assert "Range" in checkpoint_plans[0]
 
 
 @pytest.mark.parametrize("spec", BATCH_SPECS, ids=[s.name for s in BATCH_SPECS])
