@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from hgn_spark.checkpoint import CheckpointJanitor
+from hgn_spark.checkpoint import CheckpointJanitor, park_loose_blocks
 from hgn_spark.graph.core import symmetrize
 
 
@@ -130,7 +130,11 @@ def connected_components(
         prev_sig = sig
 
     # At the fixpoint b is a star forest: (member, root) rows for every
-    # non-root member. Roots and isolated vertices map to themselves.
+    # non-root member. The returned plan references it LAZILY, so its
+    # blocks must outlive the loop — park them in the loose store
+    # (released by registry.clear_session_caches once the caller is
+    # done, same discipline as k-core's final labels).
+    park_loose_blocks(live)
     mapping = b.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     if vertices is not None:
         base = vertices.select("id")

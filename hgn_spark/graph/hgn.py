@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hgn_spark.checkpoint import CheckpointJanitor
+from hgn_spark.checkpoint import CheckpointJanitor, park_loose_blocks
 from hgn_spark.graph.betweenness import edge_betweenness
 from hgn_spark.graph.components import connected_components
 from hgn_spark.graph.core import canonicalize, drop_isolated_vertices
@@ -119,4 +119,8 @@ def hgn_communities(
     # similarity and betweenness checkpoints are dead weight from here.
     jan.release(sims_ids)
     jan.release(betw_ids)
+    # The final edge generation stays lazily referenced by the returned
+    # plan (survivors join + CC mapping) — park it for clear-time
+    # release instead of leaving it to async GC.
+    park_loose_blocks(e_ids)
     return out

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hgn_spark.checkpoint import CheckpointJanitor
+from hgn_spark.checkpoint import CheckpointJanitor, park_loose_blocks
 from hgn_spark.graph.core import symmetrize
 
 
@@ -61,4 +61,8 @@ def label_propagation(
             jan.release(lab_ids)
             lab_ids = new_ids
     jan.release(sym_ids)
+    # The final label generation outlives the loop as the caller's
+    # result — park its ids in the registered loose store (released by
+    # registry.clear_session_caches, same discipline as k-core).
+    park_loose_blocks(lab_ids)
     return labels

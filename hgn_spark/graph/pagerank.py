@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hgn_spark.checkpoint import CheckpointJanitor
+from hgn_spark.checkpoint import CheckpointJanitor, park_loose_blocks
 from hgn_spark.graph.core import symmetrize
 
 
@@ -128,9 +128,13 @@ def pagerank(
             pr_ids = new_ids
     out = pr.select("id", F.col("pr").alias("pagerank"))
     # The final frame is checkpointed (no lineage into links) — the
-    # link table's blocks are dead weight from here.
+    # link table's blocks are dead weight from here. The final
+    # generation itself outlives the loop as the caller's result, so
+    # its ids go to the registered loose store (released by
+    # registry.clear_session_caches, same as k-core's final labels).
     if own_links:
         jan.release(links_ids)
+    park_loose_blocks(pr_ids)
     return out
 
 
@@ -238,6 +242,7 @@ def personalized_pagerank(
             pr_ids = new_ids
     out = pr.select("id", F.col("pr").alias("pagerank"))
     jan.release(slinks_ids)
+    park_loose_blocks(pr_ids)
     return out
 
 
@@ -339,4 +344,5 @@ def pagerank_fused(
         "id", F.col("pu").alias("pr_uniform"), F.col("pp").alias("pr_ppr")
     )
     jan.release(slinks_ids)
+    park_loose_blocks(pr_ids)
     return out

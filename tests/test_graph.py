@@ -789,3 +789,27 @@ def test_core_numbers_path_graph_default_guard(spark):
     got = _as_dict(core_numbers(path, checkpoint_interval=25), "id", "core")
     assert len(got) == n
     assert set(got.values()) == {1}
+
+
+def test_loop_final_generations_parked(spark):
+    """Loop operators park their FINAL checkpoint generation in the
+    registered loose store (r8: previously only k-core did — the other
+    loops' finals lingered until async GC, the measurement cost the
+    checkpoint module documents). CC is the cheap representative; its
+    returned plan lazily references the parked star forest, so the
+    blocks must stay live until clear_session_caches."""
+    from hgn_spark import checkpoint as cp
+    from hgn_spark.graph.components import connected_components
+    from hgn_spark.registry import clear_session_caches
+
+    clear_session_caches()
+    e = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    cc = connected_components(e)
+    assert cc.count() == 5
+    parked = (
+        set().union(*cp._LOOSE_BLOCK_IDS.values())
+        if cp._LOOSE_BLOCK_IDS
+        else set()
+    )
+    assert parked, "connected_components must park its star-forest blocks"
+    clear_session_caches()
