@@ -471,10 +471,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both recurrences run FUSED: one state frame carries both rank
     # columns, so each of the PR_ITER rounds is still one equi-join +
     # one map-side-combinable aggregation — 20 shuffles for the pair
-    # instead of 40 (this row at sf0.1: 6.72 s as two seed-folded
-    # loops, 4.06 s fused — BENCH_r08_local.json). The single-vector
-    # `pagerank`/`personalized_pagerank` remain the public API;
-    # fused==separate parity is pinned in tests/test_graph.py.
+    # instead of 40 (measured progression in ARCHITECTURE.md's
+    # round-8 Benchmarks paragraph, anchored to committed artifacts).
+    # The single-vector `pagerank`/`personalized_pagerank` remain the
+    # public API; fused==separate parity is pinned in
+    # tests/test_graph.py.
     jan = CheckpointJanitor(spark)
     links, links_ids = build_links(e, jan)
     seeds = (

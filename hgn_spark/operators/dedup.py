@@ -383,26 +383,27 @@ def neardup_incremental(
     if df_cap is not None:
         sh = _drop_hot_shingles(sh, df_cap)
     is_batch = F.col("doc_id") % batch_mod == batch_rem
-    bsh = sh.filter(is_batch)
-    csh = sh.filter(~is_batch)
-    b1 = bsh.select(F.col("doc_id").alias("d1"), "h")
-    vs_corpus = (
-        b1.join(
-            csh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2")),
-            F.col("h") == F.col("h2"),
+    b1 = sh.filter(is_batch).select(F.col("doc_id").alias("d1"), "h")
+    # ONE bucket join against the full standing index, the other side
+    # carrying its batch flag: vs_corpus keeps every (batch, corpus)
+    # pair, in_batch keeps batch pairs once (d1 < d2). Splitting this
+    # into two joins (the first version) shuffled the index twice for
+    # the same candidate set.
+    full = sh.select(
+        F.col("doc_id").alias("d2"),
+        F.col("h").alias("h2"),
+        is_batch.alias("b2"),
+    )
+    cands = (
+        b1.join(full, F.col("h") == F.col("h2"))
+        .filter(~F.col("b2") | (F.col("d1") < F.col("d2")))
+        .select(
+            F.when(F.col("b2"), "in_batch").otherwise("vs_corpus").alias("op"),
+            "d1",
+            "d2",
         )
-        .select(F.lit("vs_corpus").alias("op"), "d1", "d2")
         .distinct()
     )
-    in_batch = (
-        b1.join(
-            bsh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2")),
-            (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")),
-        )
-        .select(F.lit("in_batch").alias("op"), "d1", "d2")
-        .distinct()
-    )
-    cands = vs_corpus.unionByName(in_batch)
     verified = _verified_jaccard(cands.select("d1", "d2").distinct(), sets_)
     return (
         cands.join(verified, ["d1", "d2"])
