@@ -83,9 +83,13 @@ _LOOSE_BLOCK_IDS: dict[str, set[int]] = {}
 
 def _park(spark: SparkSession | None, ids: Iterable[int]) -> None:
     if spark is None:
-        # No live context: the blocks die with their context anyway,
-        # and without an applicationId the ids could never be safely
-        # matched to a future release.
+        # No session HANDLE — which does not prove the owning context
+        # stopped (getActiveSession is thread-local; a non-owner thread
+        # sees None while the context lives on). Without an
+        # applicationId the ids can never be safely matched to a future
+        # release, so they are dropped untracked; callers avoid this
+        # path by passing their in-scope session (see
+        # park_loose_blocks).
         return
     app = spark.sparkContext.applicationId
     # setdefault: clear_session_caches clears the whole dict, so the
@@ -106,7 +110,15 @@ def loose_local_checkpoint(df: DataFrame) -> DataFrame:
 def park_loose_blocks(ids: Iterable[int], spark: SparkSession | None = None) -> None:
     """Hand already-tracked checkpoint ids to the loose store (e.g. a
     loop's FINAL generation, which outlives the loop as the caller's
-    result and has no owning cache)."""
+    result and has no owning cache).
+
+    Pass the owning session explicitly: the active-session fallback is
+    thread-local, so a call from a non-owner thread (e.g. a results
+    consumer draining a queue) would see None and silently skip parking
+    even though the owning context is alive — leaking the blocks until
+    context shutdown (ADVICE r8). Every loop operator in hgn_spark
+    passes its in-scope session; the fallback exists only for external
+    callers that genuinely run on the session's own thread."""
     _park(spark or SparkSession.getActiveSession(), ids)
 
 

@@ -134,7 +134,7 @@ def connected_components(
     # blocks must outlive the loop — park them in the loose store
     # (released by registry.clear_session_caches once the caller is
     # done, same discipline as k-core's final labels).
-    park_loose_blocks(live)
+    park_loose_blocks(live, edges.sparkSession)
     mapping = b.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     if vertices is not None:
         base = vertices.select("id")

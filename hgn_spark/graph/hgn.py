@@ -122,5 +122,5 @@ def hgn_communities(
     # The final edge generation stays lazily referenced by the returned
     # plan (survivors join + CC mapping) — park it for clear-time
     # release instead of leaving it to async GC.
-    park_loose_blocks(e_ids)
+    park_loose_blocks(e_ids, edges.sparkSession)
     return out

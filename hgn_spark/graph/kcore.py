@@ -127,7 +127,7 @@ def core_numbers(
             # — one orphan per bench pass).
             from hgn_spark.checkpoint import park_loose_blocks
 
-            park_loose_blocks(prev_ids)
+            park_loose_blocks(prev_ids, spark)
             return lab
     jan.release(sym_ids)
     jan.release(prev_ids)

@@ -64,5 +64,5 @@ def label_propagation(
     # The final label generation outlives the loop as the caller's
     # result — park its ids in the registered loose store (released by
     # registry.clear_session_caches, same discipline as k-core).
-    park_loose_blocks(lab_ids)
+    park_loose_blocks(lab_ids, edges.sparkSession)
     return labels

@@ -134,7 +134,7 @@ def pagerank(
     # registry.clear_session_caches, same as k-core's final labels).
     if own_links:
         jan.release(links_ids)
-    park_loose_blocks(pr_ids)
+    park_loose_blocks(pr_ids, spark)
     return out
 
 
@@ -242,7 +242,7 @@ def personalized_pagerank(
             pr_ids = new_ids
     out = pr.select("id", F.col("pr").alias("pagerank"))
     jan.release(slinks_ids)
-    park_loose_blocks(pr_ids)
+    park_loose_blocks(pr_ids, spark)
     return out
 
 
@@ -344,5 +344,5 @@ def pagerank_fused(
         "id", F.col("pu").alias("pr_uniform"), F.col("pp").alias("pr_ppr")
     )
     jan.release(slinks_ids)
-    park_loose_blocks(pr_ids)
+    park_loose_blocks(pr_ids, spark)
     return out

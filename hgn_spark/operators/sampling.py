@@ -83,9 +83,7 @@ def _repeat_case_sql() -> tuple[str, str]:
     )
     frac = " ".join(
         "WHEN '{}' THEN '{}'".format(
-            g,
-            "g" if r - int(r) >= 1.0
-            else format(min(int((r - int(r)) * 2**32), 2**32 - 1), "08x"),
+            g, format(min(int((r - int(r)) * 2**32), 2**32 - 1), "08x")
         )
         for g, r in sorted(REPEAT_RATES.items())
     )
@@ -334,10 +332,11 @@ def apply_mixture_repeat(
             raise ValueError(f"negative rate for group {g!r}: {rate}")
         n_whole = int(rate)
         frac = rate - n_whole
-        hex_thr = (
-            "g" if frac >= 1.0
-            else format(min(int(frac * 2**32), 2**32 - 1), "08x")
-        )
+        # frac = rate - int(rate) is always in [0, 1) for finite rates,
+        # so the hex threshold never needs a "past every digit"
+        # sentinel (ADVICE r8: the old 'g' branch was unreachable).
+        assert 0.0 <= frac < 1.0
+        hex_thr = format(min(int(frac * 2**32), 2**32 - 1), "08x")
         cond = F.col(group_col) == g
         whole = (
             F.when(cond, n_whole) if whole is None else whole.when(cond, n_whole)

@@ -79,7 +79,9 @@ def main() -> None:
         if b <= 0:
             # A 0.0s baseline row (rounded-to-zero fast query) has no
             # meaningful ratio — report it instead of dividing by zero.
-            print(f"NEW      {q}: {t:.2f}s (baseline recorded as 0s — incomparable)")
+            # Distinct tag from NEW (ADVICE r8): a baseline row EXISTS
+            # here, so grep for genuinely-new rows must not match it.
+            print(f"ZEROBASE {q}: {t:.2f}s (baseline recorded as 0s — incomparable)")
             continue
         ratio = t / b
         tag = "merged " if len(names) > 1 else ""
