@@ -74,6 +74,19 @@ HEADLINE = [
     # new r7 hash-checked driver rows (bench tracks driver rows)
     "streaming_static_enrich",
     "streaming_stateful_user_counts",
+    # r9 (VERDICT r8 #2): the 9 driver rows that previously had no
+    # recorded bench point — all cheap, but a regression in any of
+    # them was invisible to bench_regression. With these, every one
+    # of the 50 driver-window rows has a per-round timing.
+    "agg_having_distinct",
+    "graph_shortest_paths_k2",
+    "join_outer_variants",
+    "join_semi_anti",
+    "join_struct_key",
+    "json_date_daily",
+    "multimodal_binary_meta",
+    "setops_family",
+    "streaming_stream_stream_join",
 ]
 
 

@@ -49,6 +49,10 @@ MERGES: dict[str, list[str]] = {
 #   multiprobe branch), sample_stratified_hash (+mixture_repeat and
 #   split_train/val/test branches) — the r8 evidence-upgrade merges,
 #   none of whose added work the r7 bench ever timed.
+# - vs r8: dedup_ngram_jaccard_pairs again (+df-capped 'cap' branch —
+#   a second candidate join + full-index verify the r8 bench never
+#   timed) and simsearch_topk_cosine again (+adaptive-bits SRP
+#   branch).
 WIDENED = {"graph_degrees", "agg_rollup_pivot", "dedup_minhash_lsh_pairs",
            "streaming_windowed_aggs",
            "graph_pagerank", "graph_label_propagation",

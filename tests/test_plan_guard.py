@@ -151,3 +151,17 @@ def test_driver_window_composition():
     assert all(
         specs[n].oracle is not None for n in names[:n_oracle]
     ), "a rows-only query registered ahead of an oracle-backed one"
+
+
+def test_bench_headline_covers_driver_window():
+    """Every driver-window row must have a recorded bench point
+    (VERDICT r8 #2): a regression in an unbenched row is invisible to
+    scripts/bench_regression.py. bench.py's HEADLINE list is the
+    single source of what gets timed — pin it to the window."""
+    import bench
+
+    window = list(load_all())[:50]
+    missing = [n for n in window if n not in bench.HEADLINE]
+    assert not missing, f"driver rows with no bench point: {missing}"
+    unknown = [n for n in bench.HEADLINE if n not in load_all()]
+    assert not unknown, f"HEADLINE names not in the registry: {unknown}"
