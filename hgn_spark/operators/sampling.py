@@ -175,11 +175,11 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       rest 75%);
     - 'stratum_bottom_k': the bottom-{K} hashes per language
       (fixed-size uniform sample without replacement);
-    - 'mixture_remix': full corpus remix — ``mixture_rates`` plans
-      per-group keep rates toward MIX_WEIGHTS from observed counts
-      (only the per-group summary reaches the driver) and
-      ``apply_mixture_sample`` executes them as the same scan-side
-      md5-threshold filter; the oracle recomputes the identical rate
+    - 'mixture_remix': full corpus remix — ``mixture_thresholds_frame``
+      plans per-group keep thresholds toward MIX_WEIGHTS entirely
+      inside the plan (nothing reaches the driver; the tiny threshold
+      frame rides a broadcast join back onto the scan-side
+      md5-threshold filter); the oracle recomputes the identical rate
       arithmetic in SQL, expression tree mirrored so binary64 results
       are bit-equal;
     - 'mixture_repeat': UPSAMPLING mixture (``apply_mixture_repeat``,
@@ -214,9 +214,13 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("stratum_bottom_k").alias("op"), "doc_id", "lang", "u8", null_ci
         )
     )
-    rates = mixture_rates(docs, "lang", MIX_WEIGHTS)
-    remix = apply_mixture_sample(docs, "doc_id", "lang", rates).select(
-        F.lit("mixture_remix").alias("op"), "doc_id", "lang", "u8", null_ci
+    thr = mixture_thresholds_frame(docs, "lang", MIX_WEIGHTS)
+    remix = (
+        docs.join(F.broadcast(thr), F.col("lang") == F.col("g"))
+        .filter(F.col("u8") < F.col("t"))
+        .select(
+            F.lit("mixture_remix").alias("op"), "doc_id", "lang", "u8", null_ci
+        )
     )
     repeat = apply_mixture_repeat(docs, "doc_id", "lang", REPEAT_RATES).select(
         F.lit("mixture_repeat").alias("op"),
@@ -238,6 +242,60 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(repeat)
         .unionByName(split)
     )
+
+
+def mixture_thresholds_frame(
+    df: DataFrame, group_col: str, target_weights: dict[str, float]
+) -> DataFrame:
+    """Fully-distributed remix planner (VERDICT r8 #7): the per-group
+    keep-rate THRESHOLDS as a tiny DataFrame ``(g, t)`` — one row per
+    observed group — computed entirely inside the plan, so the remix
+    path has no driver-side data hop at all (`mixture_rates` keeps the
+    dict-returning API for callers that want the plan inspectable).
+
+    Same arithmetic as `mixture_rates` + `apply_mixture_sample`,
+    expression tree mirrored against the oracle's thr CTE so binary64
+    results are bit-equal: w_total sums the (exact-power-of-two)
+    weights of OBSERVED groups, the binding group is min over
+    n/(w/w_total), rate = ((w/w_total) * binding_total)/n, and the
+    threshold is 'g' (keep-all sentinel, sorts above every hex digest)
+    for rate >= 1 else the truncated 32-bit hex. The global-window
+    aggregates run over one row per group — a plan-sized frame — and
+    the result is meant to ride a broadcast join back onto the data
+    (see `sample_stratified_hash`)."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted((g, float(w)) for g, w in target_weights.items()),
+        schema="g string, w double",
+    )
+    cnt = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    j = cnt.join(F.broadcast(wdf), "g", "left").withColumn(
+        "w", F.coalesce("w", F.lit(0.0))
+    )
+    # Unpartitioned windows: a single-partition exchange over <= a few
+    # dozen group rows — the distributed replacement for the old
+    # collect-then-min (a cross join of the 1-row aggregate would trip
+    # the cartesian guard for no benefit).
+    wa = W.partitionBy()
+    j = j.withColumn("w_total", F.sum("w").over(wa)).withColumn(
+        "bt",
+        F.min(
+            F.when(F.col("w") > 0, F.col("n") / (F.col("w") / F.col("w_total")))
+        ).over(wa),
+    )
+    rate = ((F.col("w") / F.col("w_total")) * F.col("bt")) / F.col("n")
+    t = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x",
+            F.least(
+                (rate * F.lit(4294967296.0)).cast("long"),
+                F.lit(4294967295),
+            ),
+        )
+    )
+    return j.select("g", t.alias("t"))
 
 
 def mixture_rates(

@@ -125,6 +125,16 @@ def replicate_embeddings(df: DataFrame, k: int) -> DataFrame:
                     F.slice(F.col("embedding"), 1, F.lit(i % 64)),
                 ),
             )
+        if (i // 64) % 2 == 1:
+            # k > 64 wraps the 64-dim rotation (replica 64 would equal
+            # replica 0 verbatim — fake k-way exact dups). Negating
+            # every wrapped replica keeps norms and intra-replica
+            # cosines bit-exact (sign flips are exact in FP) while
+            # cross-wrap cosines flip sign — distinct content up to
+            # k = 128 (the 100x slice needs 100).
+            r = r.withColumn(
+                "embedding", F.transform(F.col("embedding"), lambda x: -x)
+            )
         out = r if out is None else out.unionByName(r)
     return out
 

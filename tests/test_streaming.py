@@ -414,3 +414,70 @@ def test_dedup_state_bounded_by_watermark_horizon(spark):
     # is horizon-bound, not history-bound (observed 3 of 750).
     assert max(bounded) < total
     assert bounded[-1] < 0.1 * total
+
+
+def test_state_store_partitions_pinned_at_checkpoint_creation(spark, tmp_path):
+    """The operational cliff a 100 TB deployment hits in week one
+    (VERDICT r8 #6): AQE is disabled inside stateful streaming
+    workloads, so `spark.sql.shuffle.partitions` AT FIRST RUN
+    permanently fixes the number of state-store partitions for that
+    checkpoint — later session settings are ignored on restart (the
+    count is read back from the checkpoint's offset metadata), they do
+    NOT resize the state store. Pinned here: a checkpoint created at 7
+    partitions (a) lays out exactly 7 state-store partition dirs,
+    (b) restarts cleanly under a session setting of 13, (c) still runs
+    on 7 partitions after that restart, and (d) produces exactly the
+    batch-dedup result across both runs. Sizing guidance lives in
+    ARCHITECTURE.md §streaming: pick first-run partitions for the
+    TARGET state size, not the first day's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    mid = int(events.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0])
+    chunks = [
+        events.filter(F.unix_micros("ts") <= mid),
+        events.filter(F.unix_micros("ts") > mid),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = events.schema
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part, chunk in zip(("7", "13"), chunks):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            chunk.write.mode("append").parquet(src)
+            q = (
+                spark.readStream.schema(schema).format("parquet").load(src)
+                .withWatermark("ts", "1 hour")
+                .dropDuplicates(["event_id"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # State-store layout: ckpt/state/<operator>/<partition>/…
+            state_op = os.path.join(ckpt, "state", "0")
+            parts = sorted(
+                int(d) for d in os.listdir(state_op) if d.isdigit()
+            )
+            assert parts == list(range(7)), (
+                f"state partitions {parts} after run at session "
+                f"setting {n_part} — first-run count must pin the layout"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["event_id"] for r in events.select("event_id").distinct().collect()}
+    assert got == want
