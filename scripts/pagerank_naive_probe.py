@@ -29,13 +29,29 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    from hgn_spark.graph.pagerank import PR_DAMPING, PR_ITER, personalized_pagerank
+    from hgn_spark.graph.pagerank import personalized_pagerank
     from hgn_spark.graph.pagerank import pagerank as pr_uniform
-    from hgn_spark.graph.queries import PPR_N_SEEDS, derived_edges, graph_pagerank
+    from hgn_spark.graph.queries import (
+        PPR_N_SEEDS,
+        PR_DAMPING,
+        PR_ITER,
+        derived_edges,
+        graph_pagerank,
+    )
     from hgn_spark.registry import clear_session_caches
     from hgn_spark.session import get_spark
 
     spark = get_spark(app_name="pagerank_naive_probe")
+    # Engine warm-up, untimed (same rationale as bench.py/scale_probe):
+    # scan + shuffle + codegen, so pass-1 timings don't carry one-time
+    # session costs (measured: 19 s cold vs 5.6 s warm for the same
+    # fused variant).
+    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy(
+        "n_regionkey"
+    ).count().write.format("noop").mode("overwrite").save()
+    derived_edges(spark, sf_dir).groupBy("src").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     def naive_union(spark, sf_dir):
         """The rejected design: two seed-folded loops, no shared link
