@@ -51,8 +51,8 @@ MERGES: dict[str, list[str]] = {
 #   none of whose added work the r7 bench ever timed.
 # - vs r8: dedup_ngram_jaccard_pairs again (+df-capped 'cap' branch —
 #   a second candidate join + full-index verify the r8 bench never
-#   timed) and simsearch_topk_cosine again (+adaptive-bits SRP
-#   branch).
+#   timed) and dedup_minhash_lsh_pairs again (+adaptive-bits
+#   'srp_adaptive' branch — a fourth sketch pipeline).
 WIDENED = {"graph_degrees", "agg_rollup_pivot", "dedup_minhash_lsh_pairs",
            "streaming_windowed_aggs",
            "graph_pagerank", "graph_label_propagation",
