@@ -161,12 +161,41 @@ def main() -> None:
     # the steady-state throughput the warm-up preamble already targets.
     from hgn_spark.registry import clear_session_caches
 
+    # Untimed per-query warm pass (r9, VERDICT r8 #3): the fragility
+    # probe (PROBE_hh_fragility_r9.json) showed sub-second rows decline
+    # ~2x across their first executions even alone and engine-warmed
+    # (heavy_hitters: 1.85 s -> 0.75 s over 8 reps — per-plan codegen +
+    # JIT warm-in), and the driver's anomalous r8 reading (1.41 s,
+    # 2.03x) is exactly that early-regime value: under host contention
+    # the warm-in is slower, so min-of-2 lands before steady state.
+    # One untimed execution per query moves both timed passes into the
+    # steady-state regime the suite is defined to measure; session
+    # caches are cleared afterwards so pass 1 still pays real build
+    # costs.
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — timed passes will record it
+            print(f"# WARM-PASS ERROR {name}: {exc}", file=sys.stderr)
+    # blocking=True: the warm pass parked a whole suite's checkpoint
+    # blocks; releasing them async would drain DURING pass 1 and bill
+    # multi-second cleanup pauses to whichever queries run first
+    # (measured: hgn 39 s / pagerank 28 s in pass 1 with the async
+    # clear vs ~7 s / ~4 s steady state). Drain synchronously, then GC
+    # untimed, so every timed pass starts from a quiet block manager.
+    clear_session_caches(blocking=True)
+    spark.sparkContext._jvm.System.gc()
+
     per_pass: list[dict[str, float]] = []
     missing = []
     pass_errors: dict[str, str] = {}
     for pass_i in range(N_RUNS):
         if pass_i > 0:
-            clear_session_caches()
+            clear_session_caches(blocking=True)
+            spark.sparkContext._jvm.System.gc()
         timings_pass: dict[str, float] = {}
         missing = []
         for name in HEADLINE:

@@ -134,7 +134,7 @@ def register_cache(
     _SESSION_CACHES.append((name, frame_caches, block_ids))
 
 
-def clear_session_caches() -> None:
+def clear_session_caches(blocking: bool = False) -> None:
     """Drop every REGISTERED session-scoped materialization cache
     (shingle sets, verified near-dup pairs, the derived graph edge
     list, ...) AND release the checkpoint blocks behind them.
@@ -142,7 +142,15 @@ def clear_session_caches() -> None:
     re-measures the real build cost instead of reading checkpoints
     back; the explicit block release keeps the dropped state from
     surfacing later as async-cleanup GC pauses inside unrelated
-    queries."""
+    queries.
+
+    ``blocking=True`` waits for each block removal instead of queuing
+    it: a mass release of a whole suite's checkpoints (the bench warm
+    pass parks hundreds of block sets) otherwise drains ASYNC while
+    the next timed query runs, billing the cleanup to it — measured
+    as multi-x inflation of the first post-clear pass (r9). Timed
+    protocols should drain synchronously between passes; interactive
+    callers keep the cheap async default."""
     from pyspark.sql import SparkSession
 
     from hgn_spark.checkpoint import release_rdds
@@ -164,7 +172,7 @@ def clear_session_caches() -> None:
             if spark is not None:
                 for key, ids in block_ids.items():
                     if _block_key_app(key) == app:
-                        release_rdds(spark, ids)
+                        release_rdds(spark, ids, blocking=blocking)
             block_ids.clear()
         for cache in frame_caches:
             cache.clear()
