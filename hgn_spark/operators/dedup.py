@@ -1108,6 +1108,113 @@ def dedup_embedding_neardup_pairs_adaptive(
     )
 
 
+def _srp_pairs_multi(
+    spark: SparkSession, sf_dir: str, configs: list[tuple[str, int]]
+) -> DataFrame:
+    """Several SRP signature widths in ONE shared pass → labeled
+    ``(label, v1, v2, cosine)`` rows, per-label identical to running
+    `dedup_embedding_neardup_pairs(n_bits=...)` per config (pinned in
+    tests/test_llm_ops.py).
+
+    Running the pinned and adaptive widths separately costs two
+    signature scans, two bucket joins and two verify joins; fused they
+    share everything the widths have in common — the plane
+    projections are computed once up to max(bits) (plane j is the
+    same md5 derivation at every width, so a narrow config just reads
+    a prefix), band rows carry a config label so buckets never mix
+    across configs (one self-join instead of one per config), and
+    exact-cosine verify runs once over the UNION of candidate pairs
+    (a pair surfaced by both configs verifies once and rejoins both
+    labels). Measured on the registered row: the srp+srp_adaptive
+    pair dropped from two full pipelines to one superset pipeline."""
+    from hgn_spark.operators.similarity import cosine_prenormed, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    max_bits = max(b for _, b in configs)
+    planes = _srp_planes(max_bits, EMB_DIM)
+
+    def _proj(j: int):
+        vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        plane = F.array(*[F.lit(v) for v in planes[j]])
+        return F.aggregate(
+            F.zip_with(vec_d, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bit_cols = [
+        F.when(F.round(_proj(j), 6) > 0, 1).otherwise(0).alias(f"b{j}")
+        for j in range(max_bits)
+    ]
+    sig = emb.select("vec_id", *bit_cols)
+    # One banded frame for all configs: (label, band, bh) keys a
+    # config-scoped bucket, so the single self-join below can never
+    # pair vectors across configs or bands.
+    arms = []
+    for label, n_bits in configs:
+        half = n_bits // 2
+        lo = sum(F.col(f"b{j}") * (1 << j) for j in range(half))
+        hi = sum(F.col(f"b{j}") * (1 << (j - half)) for j in range(half, n_bits))
+        arms.append(
+            sig.select(
+                F.lit(label).alias("label"),
+                "vec_id",
+                F.posexplode(F.array(lo, hi)).alias("band", "bh"),
+            )
+        )
+    banded = arms[0]
+    for a in arms[1:]:
+        banded = banded.unionByName(a)
+    left = banded.select("label", F.col("vec_id").alias("v1"), "band", "bh")
+    right = banded.select(
+        F.col("label").alias("label2"),
+        F.col("vec_id").alias("v2"),
+        F.col("band").alias("band2"),
+        F.col("bh").alias("bh2"),
+    )
+    cands = (
+        left.join(
+            right,
+            (F.col("label") == F.col("label2"))
+            & (F.col("band") == F.col("band2"))
+            & (F.col("bh") == F.col("bh2"))
+            & (F.col("v1") < F.col("v2")),
+        )
+        .select("label", "v1", "v2")
+        .distinct()
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    # Verify each DISTINCT pair once, then rejoin the labels: the
+    # configs' candidate sets overlap heavily (a true near-dup pair
+    # collides at every width), so the shared verify does strictly
+    # less cosine work than per-config verifies.
+    verified = (
+        cands.select("v1", "v2")
+        .distinct()
+        .join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenormed(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= EMB_COS_THRES)
+        .select("v1", "v2", "cosine")
+    )
+    return cands.join(verified, ["v1", "v2"]).select("label", "v1", "v2", "cosine")
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     # All three sketch-LSH candidate generators in one labeled driver
@@ -1163,19 +1270,24 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("b"),
         F.col("hamming").cast("double").alias("score"),
     )
-    sp = dedup_embedding_neardup_pairs(spark, sf_dir).select(
-        F.lit("srp").alias("method"),
+    # Both SRP widths run FUSED in one shared pass (one signature
+    # scan up to max(bits), one labeled bucket join, one verify of the
+    # union'd pairs) — per-label results identical to the standalone
+    # functions, pinned in tests/test_llm_ops.py.
+    from hgn_spark.operators.similarity import load_embeddings
+
+    n = load_embeddings(spark, sf_dir).count()
+    srp_both = _srp_pairs_multi(
+        spark,
+        sf_dir,
+        [("srp", SRP_BITS), ("srp_adaptive", srp_adaptive_bits(n))],
+    ).select(
+        F.col("label").alias("method"),
         F.col("v1").alias("a"),
         F.col("v2").alias("b"),
         F.col("cosine").alias("score"),
     )
-    sa = dedup_embedding_neardup_pairs_adaptive(spark, sf_dir).select(
-        F.lit("srp_adaptive").alias("method"),
-        F.col("v1").alias("a"),
-        F.col("v2").alias("b"),
-        F.col("cosine").alias("score"),
-    )
-    return mh.unionByName(sh).unionByName(sp).unionByName(sa)
+    return mh.unionByName(sh).unionByName(srp_both)
 
 
 def _semantic_oracle() -> str:

@@ -18,6 +18,8 @@ engine-extension surface (SURVEY.md §2.5/§2.7 "not present" rows).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -93,23 +95,61 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "scan_projection_pushdown",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
+# One projection, five IO paths: every `io` branch must reproduce the
+# SAME rows, so the oracle is the base SELECT replayed per label — a
+# branch only hash-matches if its write→read round trip is lossless
+# and its persistence op is semantically a no-op. This is what turns
+# the sink/checkpoint/view plumbing (SURVEY S1/S3, S5, S6, C6) from
+# pytest-tier into driver-hash evidence (r9).
+_SCAN_IO_SQL = """
+    SELECT '{io}' AS io, l_orderkey, l_linenumber,
            round(l_extendedprice, 2) AS price
     FROM lineitem
-    WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
-    """,
-    tags=("scan", "filter"),
+    WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45"""
+_SCAN_IO_BRANCHES = (
+    "parquet", "csv_roundtrip", "checkpoint_reload", "append_dedupe", "sql_view"
+)
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle=" UNION ALL ".join(
+        _SCAN_IO_SQL.format(io=b) for b in _SCAN_IO_BRANCHES
+    ),
+    tags=("scan", "filter", "sink"),
 )
 def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection + predicate that must reach the parquet scan.
+    """Projection + predicate that must reach the parquet scan, plus
+    the IO/persistence plumbing as labeled `io` branches over the SAME
+    result set (the r9 evidence upgrade — every branch must
+    hash-match the identical oracle rows):
 
-    `.explain` shows PushedFilters: [LessThan(l_shipdate,...),
-    GreaterThan(l_quantity,45)] and a 4-column ReadSchema.
+    - 'parquet': the base scan. `.explain` shows PushedFilters:
+      [LessThan(l_shipdate,...), GreaterThan(l_quantity,45)] and a
+      4-column ReadSchema (plan-asserted in tests);
+    - 'csv_roundtrip' (S1+S3): distributed CSV write (no
+      repartition(1)) then re-read with a DECLARED schema — no
+      inference pass; proves the text round trip is lossless
+      (Spark's double formatter round-trips);
+    - 'checkpoint_reload' (S5): the result through `checkpoint_df`'s
+      durable parquet round trip — the reference's per-step
+      reload_df semantics (spark_manager.py:215-231);
+    - 'append_dedupe' (S6): the result appended TWICE (second append
+      an overlapping subset) into `append_dedupe_reload`'s
+      accumulator — the dedupe must cancel the duplicate append
+      exactly (spark_manager.py:192-213 parity);
+    - 'sql_view' (C6): the same query через a temp view +
+      `spark.sql` — the SQL surface over the catalog.
     """
-    return (
+    import tempfile
+
+    from hgn_spark.sources.sinks import (
+        append_dedupe_reload,
+        checkpoint_df,
+        write_table,
+    )
+
+    base = (
         load_table(spark, sf_dir, "lineitem")
         .filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 45))
         .select(
@@ -118,6 +158,45 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 2).alias("price"),
         )
     )
+
+    def lab(df: DataFrame, io: str) -> DataFrame:
+        return df.select(
+            F.lit(io).alias("io"), "l_orderkey", "l_linenumber", "price"
+        )
+
+    tmp = tempfile.mkdtemp(prefix="hgn_scan_io_")
+
+    # S1+S3: distributed CSV write, declared-schema read (inference
+    # would cost a second full pass at 100 TB).
+    csv_path = os.path.join(tmp, "csv")
+    base.write.mode("overwrite").option("header", True).csv(csv_path)
+    csv_back = spark.read.schema(
+        "l_orderkey bigint, l_linenumber bigint, price double"
+    ).option("header", True).csv(csv_path)
+
+    # S5: durable checkpoint (parquet round trip + reload).
+    ckpt_back = checkpoint_df(base, durable_path=os.path.join(tmp, "ckpt"))
+
+    # S6: append the full result, then append an overlapping subset —
+    # the reload must dedupe the overlap away ((l_orderkey,
+    # l_linenumber) is the lineitem PK, so duplicate ROWS are exact).
+    acc = os.path.join(tmp, "acc")
+    append_dedupe_reload(base, acc)
+    dedup_back = append_dedupe_reload(base.filter(F.col("price") > 10000), acc)
+
+    # C6: temp view + SQL string.
+    base.createOrReplaceTempView("scan_io_base")
+    sql_back = spark.sql("SELECT l_orderkey, l_linenumber, price FROM scan_io_base")
+
+    out = lab(base, "parquet")
+    for io, df in (
+        ("csv_roundtrip", csv_back),
+        ("checkpoint_reload", ckpt_back),
+        ("append_dedupe", dedup_back),
+        ("sql_view", sql_back),
+    ):
+        out = out.unionByName(lab(df, io))
+    return out
 
 
 # ---------------------------------------------------------------------------

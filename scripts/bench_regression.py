@@ -51,13 +51,16 @@ MERGES: dict[str, list[str]] = {
 #   none of whose added work the r7 bench ever timed.
 # - vs r8: dedup_ngram_jaccard_pairs again (+df-capped 'cap' branch —
 #   a second candidate join + full-index verify the r8 bench never
-#   timed) and dedup_minhash_lsh_pairs again (+adaptive-bits
-#   'srp_adaptive' branch — a fourth sketch pipeline).
+#   timed), dedup_minhash_lsh_pairs again (+adaptive-bits
+#   'srp_adaptive' branch — a fourth sketch pipeline, run FUSED with
+#   the pinned one), and scan_projection_pushdown (+4 IO round-trip
+#   branches: CSV write/read, durable checkpoint, append+dedupe
+#   accumulator, temp-view SQL — the r9 plumbing evidence upgrade).
 WIDENED = {"graph_degrees", "agg_rollup_pivot", "dedup_minhash_lsh_pairs",
            "streaming_windowed_aggs",
            "graph_pagerank", "graph_label_propagation",
            "dedup_ngram_jaccard_pairs", "simsearch_topk_cosine",
-           "sample_stratified_hash"}
+           "sample_stratified_hash", "scan_projection_pushdown"}
 
 
 def _queries(path: str) -> dict[str, float]:

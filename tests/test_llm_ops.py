@@ -389,6 +389,37 @@ def test_srp_adaptive_branch_differs_from_pinned(spark):
     assert len(ada) > 0
 
 
+def test_srp_fused_multi_matches_standalone(spark):
+    """The registered row's fused multi-width SRP pass must reproduce
+    the standalone per-width pipelines exactly — the fusion is a
+    physical optimization (shared signature scan / bucket join /
+    verify), never a semantic change."""
+    from hgn_spark.operators.dedup import (
+        SRP_BITS,
+        _srp_pairs_multi,
+        dedup_embedding_neardup_pairs,
+        dedup_embedding_neardup_pairs_adaptive,
+    )
+
+    fused = _srp_pairs_multi(
+        spark, SF_SMOKE, [("srp", SRP_BITS), ("srp_adaptive", 18)]
+    ).collect()
+    got_srp = {(r["v1"], r["v2"], r["cosine"]) for r in fused if r["label"] == "srp"}
+    got_ada = {
+        (r["v1"], r["v2"], r["cosine"]) for r in fused if r["label"] == "srp_adaptive"
+    }
+    want_srp = {
+        (r["v1"], r["v2"], r["cosine"])
+        for r in dedup_embedding_neardup_pairs(spark, SF_SMOKE).collect()
+    }
+    want_ada = {
+        (r["v1"], r["v2"], r["cosine"])
+        for r in dedup_embedding_neardup_pairs_adaptive(spark, SF_SMOKE).collect()
+    }
+    assert got_srp == want_srp
+    assert got_ada == want_ada
+
+
 def test_cap_branch_strict_subset_of_all(spark):
     """The driver row's `cap` branch (pinned CAP_DF) must be a STRICT
     subset of 'all': equal sets would mean the pinned cap never gates a
@@ -1186,6 +1217,44 @@ def test_semantic_dedup_matches_bruteforce_rule(spark):
             assert got[v][1] == (not want_drop)
             n_dropped += int(want_drop)
     assert len(got) == len(emb)
+
+
+def test_scan_io_pushdown_and_branch_equality(spark):
+    """The widened scan row (r9): the base 'parquet' branch must still
+    push projection + predicates to the scan (4-column ReadSchema,
+    both filters in PushedFilters), and every IO branch — CSV round
+    trip, durable checkpoint, append+dedupe accumulator, temp-view
+    SQL — must reproduce the identical row set (losslessness is the
+    whole claim)."""
+    rows = SPECS["scan_projection_pushdown"].fn(spark, SF_SMOKE).collect()
+    by_io: dict[str, set] = {}
+    for r in rows:
+        by_io.setdefault(r["io"], set()).add(
+            (r["l_orderkey"], r["l_linenumber"], r["price"])
+        )
+    assert set(by_io) == {
+        "parquet", "csv_roundtrip", "checkpoint_reload", "append_dedupe",
+        "sql_view",
+    }
+    base = by_io["parquet"]
+    assert len(base) > 0
+    for io, got in by_io.items():
+        assert got == base, f"branch {io} diverged from the parquet scan"
+
+    from hgn_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    plan = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 45))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]
 
 
 def test_vocab_top_pairs_plans_take_ordered(spark):
