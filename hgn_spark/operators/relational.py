@@ -107,7 +107,8 @@ _SCAN_IO_SQL = """
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45"""
 _SCAN_IO_BRANCHES = (
-    "parquet", "csv_roundtrip", "checkpoint_reload", "append_dedupe", "sql_view"
+    "parquet", "csv_roundtrip", "checkpoint_reload", "append_dedupe",
+    "sql_view", "jdbc_roundtrip", "config_driven",
 )
 
 
@@ -138,8 +139,16 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       an overlapping subset) into `append_dedupe_reload`'s
       accumulator — the dedupe must cancel the duplicate append
       exactly (spark_manager.py:192-213 parity);
-    - 'sql_view' (C6): the same query через a temp view +
-      `spark.sql` — the SQL surface over the catalog.
+    - 'sql_view' (C6): the same query through a temp view +
+      `spark.sql` — the SQL surface over the catalog;
+    - 'jdbc_roundtrip' (S11): batched write into embedded Derby, then
+      the PARTITIONED parallel read back (range-sliced queries on
+      l_orderkey) — the reference's per-row-INSERT datastore path,
+      re-expressed and driver-hashed;
+    - 'config_driven' (S12): the same predicate parameters loaded
+      from a YAML config with !ENV substitution + jsonschema
+      validation — the query is built FROM the parsed config, so a
+      substitution or validation bug cannot hash-match.
     """
     import tempfile
 
@@ -188,12 +197,79 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.createOrReplaceTempView("scan_io_base")
     sql_back = spark.sql("SELECT l_orderkey, l_linenumber, price FROM scan_io_base")
 
+    # S11: embedded-Derby round trip — batched write, then the
+    # range-partitioned parallel read (8 sliced queries; slices
+    # outside the bounds land in the edge partitions, so loose bounds
+    # stay correct). Derby folds unquoted identifiers to upper case;
+    # the positional toDF restores the declared names.
+    from hgn_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    derby_props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_url = "jdbc:derby:memory:hgn_scan_io;create=true"
+    write_jdbc(base, jdbc_url, "scan_io", mode="overwrite", properties=derby_props)
+    jdbc_back = read_jdbc(
+        spark,
+        jdbc_url,
+        "scan_io",
+        properties=derby_props,
+        partition_column="l_orderkey",
+        lower_bound=0,
+        upper_bound=6_100_000,
+        num_partitions=8,
+    ).toDF("l_orderkey", "l_linenumber", "price")
+
+    # S12: the predicate parameters arrive via the YAML config layer —
+    # !ENV substitution + jsonschema validation — and the branch's
+    # query is built from the PARSED values, so the branch only
+    # hash-matches if the config layer round-trips them faithfully.
+    import os as _os
+
+    from hgn_spark.config import load_config
+
+    _os.environ["HGN_SCAN_IO_QTY"] = "45"
+    conf_path = os.path.join(tmp, "scan_io.yml")
+    with open(conf_path, "w", encoding="utf-8") as fh:
+        fh.write(
+            "query:\n"
+            "  ship_before: '1997-01-01'\n"
+            "  min_qty: !ENV ${HGN_SCAN_IO_QTY}\n"
+        )
+    schema = {
+        "type": "object",
+        "required": ["query"],
+        "properties": {
+            "query": {
+                "type": "object",
+                "required": ["ship_before", "min_qty"],
+                "properties": {
+                    "ship_before": {"type": "string"},
+                    "min_qty": {"type": "string", "pattern": "^[0-9]+$"},
+                },
+            }
+        },
+    }
+    qconf = load_config(conf_path, schema)["query"]
+    conf_back = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") < qconf["ship_before"])
+            & (F.col("l_quantity") > int(qconf["min_qty"]))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
     out = lab(base, "parquet")
     for io, df in (
         ("csv_roundtrip", csv_back),
         ("checkpoint_reload", ckpt_back),
         ("append_dedupe", dedup_back),
         ("sql_view", sql_back),
+        ("jdbc_roundtrip", jdbc_back),
+        ("config_driven", conf_back),
     ):
         out = out.unionByName(lab(df, io))
     return out

@@ -1234,7 +1234,7 @@ def test_scan_io_pushdown_and_branch_equality(spark):
         )
     assert set(by_io) == {
         "parquet", "csv_roundtrip", "checkpoint_reload", "append_dedupe",
-        "sql_view",
+        "sql_view", "jdbc_roundtrip", "config_driven",
     }
     base = by_io["parquet"]
     assert len(base) > 0
