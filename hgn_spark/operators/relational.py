@@ -114,8 +114,12 @@ _SCAN_IO_BRANCHES = (
 
 @register(
     "scan_projection_pushdown",
+    # The csv_partitioned branch reads back ONE hive partition of the
+    # S7-style partitioned sink, so its oracle twin filters the same
+    # base SELECT to that partition value.
     oracle=" UNION ALL ".join(
-        _SCAN_IO_SQL.format(io=b) for b in _SCAN_IO_BRANCHES
+        [_SCAN_IO_SQL.format(io=b) for b in _SCAN_IO_BRANCHES]
+        + [_SCAN_IO_SQL.format(io="csv_partitioned") + " AND l_linenumber = 1"]
     ),
     tags=("scan", "filter", "sink"),
 )
@@ -148,7 +152,13 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'config_driven' (S12): the same predicate parameters loaded
       from a YAML config with !ENV substitution + jsonschema
       validation — the query is built FROM the parsed config, so a
-      substitution or validation bug cannot hash-match.
+      substitution or validation bug cannot hash-match;
+    - 'csv_partitioned' (S7): hive-partitioned CSV sink
+      (partitionBy(l_linenumber), the distributed community-sink
+      shape) read back with a partition filter — the branch emits
+      only partition l_linenumber=1, and the read plans a
+      PartitionFilters prune (asserted in tests), so the sink layout
+      AND the pruned read are both hash-proven.
     """
     import tempfile
 
@@ -262,6 +272,22 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # S7: hive-partitioned CSV layout (the distributed community-sink
+    # shape: one directory per partition value, no driver collect),
+    # read back pruned to one partition. The declared schema lists the
+    # FILE columns positionally and the partition column by name.
+    part_path = os.path.join(tmp, "csv_part")
+    base.write.mode("overwrite").partitionBy("l_linenumber").option(
+        "header", True
+    ).csv(part_path)
+    part_back = (
+        spark.read.schema("l_orderkey bigint, price double, l_linenumber bigint")
+        .option("header", True)
+        .csv(part_path)
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_linenumber", "price")
+    )
+
     out = lab(base, "parquet")
     for io, df in (
         ("csv_roundtrip", csv_back),
@@ -270,6 +296,7 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sql_view", sql_back),
         ("jdbc_roundtrip", jdbc_back),
         ("config_driven", conf_back),
+        ("csv_partitioned", part_back),
     ):
         out = out.unionByName(lab(df, io))
     return out

@@ -1234,11 +1234,16 @@ def test_scan_io_pushdown_and_branch_equality(spark):
         )
     assert set(by_io) == {
         "parquet", "csv_roundtrip", "checkpoint_reload", "append_dedupe",
-        "sql_view", "jdbc_roundtrip", "config_driven",
+        "sql_view", "jdbc_roundtrip", "config_driven", "csv_partitioned",
     }
     base = by_io["parquet"]
     assert len(base) > 0
     for io, got in by_io.items():
+        if io == "csv_partitioned":
+            # the pruned branch emits exactly the l_linenumber=1 slice
+            assert got == {t for t in base if t[1] == 1}
+            assert 0 < len(got) < len(base)
+            continue
         assert got == base, f"branch {io} diverged from the parquet scan"
 
     from hgn_spark.catalog import load_table
@@ -1255,6 +1260,32 @@ def test_scan_io_pushdown_and_branch_equality(spark):
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
     assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+    # The partitioned-CSV read must PRUNE to the one requested hive
+    # partition — PartitionFilters on l_linenumber, not a full read
+    # plus post-filter.
+    import tempfile
+
+    small = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .limit(200)
+        .select("l_orderkey", F.round("l_extendedprice", 2).alias("price"),
+                "l_linenumber")
+    )
+    d = tempfile.mkdtemp(prefix="hgn_part_prune_")
+    small.write.mode("overwrite").partitionBy("l_linenumber").option(
+        "header", True
+    ).csv(d)
+    pruned = (
+        spark.read.schema("l_orderkey bigint, price double, l_linenumber bigint")
+        .option("header", True)
+        .csv(d)
+        .filter(F.col("l_linenumber") == 1)
+    )
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan
+    seg = pplan.split("PartitionFilters")[1][:160]
+    assert "l_linenumber" in seg
 
 
 def test_vocab_top_pairs_plans_take_ordered(spark):
