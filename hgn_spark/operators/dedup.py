@@ -899,7 +899,14 @@ def _srp_pairs_oracle(bits_sql: str, n_planes: int, dim: int = EMB_DIM) -> str:
     the SQL's shape, and the replay stays fully vectorized."""
     planes = _srp_planes(n_planes, dim)
     return f"""
-    WITH pbits AS (SELECT ({bits_sql}) AS bits FROM embeddings),
+    WITH pbits AS (
+      -- single-row ALWAYS: a literal bits_sql yields one row per
+      -- embedding in the inner SELECT (which would cross-join psig
+      -- n x n below -- ADVICE r9 high), so collapse with an outer
+      -- max(); an aggregate bits_sql is already 1 row and max() of
+      -- it is the identity.
+      SELECT max(b) AS bits
+      FROM (SELECT ({bits_sql}) AS b FROM embeddings) tb),
     pplanes AS (SELECT * FROM (VALUES {_plane_values_sql(planes)}) AS t(j, p)),
     pemb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
              FROM embeddings),
