@@ -19,6 +19,8 @@ self-join on the part key, which AQE handles like any other equi-join).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -106,6 +108,12 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming_stateful_user_counts oracle row. Every non-isolated
     # vertex appears in both halves (lvl2 ⊇ 1-hop), so the inner join
     # loses nothing.
+    # The `edge_csv` branch (r10, VERDICT r9 #5 — the S2 evidence
+    # upgrade) recomputes the DEGREE half from a CSV round trip of the
+    # edge list read back with load_edges_csv's DECLARED ±weight
+    # schema (no inference pass): identical degrees only if the text
+    # round trip loses/corrupts no edge. Its oracle twin is the same
+    # deg half replayed — the lvl2 half is shared, computed once.
     oracle=f"""
     WITH {GRAPH_CTE},
     deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
@@ -121,16 +129,28 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT u AS id, count(*) AS lvl2_count,
              array_to_string(list_sort(list(v)), ',') AS lvl2_neighbors
       FROM lvl2 GROUP BY u
+    ),
+    half AS (
+      SELECT deg.id AS id, degree, lvl2_count, lvl2_neighbors
+      FROM deg JOIN l2 ON l2.id = deg.id
     )
-    SELECT deg.id AS id, degree, lvl2_count, lvl2_neighbors
-    FROM deg JOIN l2 ON l2.id = deg.id
+    SELECT 'derived' AS path, * FROM half
+    UNION ALL
+    SELECT 'edge_csv' AS path, * FROM half
     """,
     tags=("graph",),
 )
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex degree plus level-2 neighborhood (1-hop ∪ 2-hop
-    endpoints, self excluded) — G3 complete (graph_tools.py:328-370).
-    Arrays serialized sorted for the order-insensitive hash."""
+    endpoints, self excluded) — G3 complete (graph_tools.py:328-370),
+    as labeled `path` branches: 'derived' computes from the in-engine
+    edge frame; 'edge_csv' recomputes degrees from an S2-style CSV
+    round trip of the same edges (declared schema read-back,
+    spark_manager.py:131-149 parity). Arrays serialized sorted for
+    the order-insensitive hash."""
+    from hgn_spark.sources.csv import load_edges_csv
+    from hgn_spark.sources.sinks import ephemeral_io_dir
+
     e = derived_edges(spark, sf_dir)
     deg = degrees(e)
     nb = neighbors(e, level=2).select(
@@ -138,7 +158,11 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count").alias("lvl2_count"),
         F.array_join(F.sort_array("neighbors"), ",").alias("lvl2_neighbors"),
     )
-    return deg.join(nb, "id")
+    csv_path = os.path.join(ephemeral_io_dir(spark, "edges"), "csv")
+    e.write.mode("overwrite").csv(csv_path)
+    csv_deg = degrees(load_edges_csv(spark, csv_path))
+    lab = lambda df, p: df.select(F.lit(p).alias("path"), "*")  # noqa: E731
+    return lab(deg, "derived").unionByName(lab(csv_deg, "edge_csv")).join(nb, "id")
 
 
 def graph_neighbors_lvl2(spark: SparkSession, sf_dir: str) -> DataFrame:

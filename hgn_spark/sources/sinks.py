@@ -111,6 +111,38 @@ def checkpoint_df(df: DataFrame, durable_path: str | None = None) -> DataFrame:
     return read_parquet(df.sparkSession, durable_path)
 
 
+# Scratch dirs already scheduled for atexit reaping — one entry per
+# (tag, application) path, however many times the owning row runs.
+_EPHEMERAL_REAPED: set[str] = set()
+
+
+def ephemeral_io_dir(spark: SparkSession, tag: str) -> str:
+    """Deterministic per-application scratch dir for driver rows whose
+    evidence branches round-trip through disk (ADVICE/VERDICT r9 #4:
+    the scan row used to mkdtemp a fresh never-removed tree per
+    invocation — several full result copies leaked per bench pass).
+
+    The dir is WIPED on every call — safe because row invocations are
+    sequential, so the previous call's lazy frames have been collected
+    before the next call runs — and rmtree'd at process exit, the
+    earliest point no lazy consumer can still re-scan it. Bound: one
+    live tree per (tag, application)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"hgn_io_{tag}_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    if path not in _EPHEMERAL_REAPED:
+        _EPHEMERAL_REAPED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def append_dedupe_reload(
     df: DataFrame, path: str, subset: list[str] | None = None
 ) -> DataFrame:

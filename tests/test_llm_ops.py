@@ -312,7 +312,9 @@ def test_neardup_incremental_matches_full_pair_split(spark):
         (r["d1"], r["d2"]): r["jaccard"]
         for r in dedup_ngram_jaccard_pairs(spark, SF_SMOKE).collect()
     }
-    is_b = lambda d: d % 5 == 4  # noqa: E731
+    from hgn_spark.operators.dedup import INC_BATCH_MOD, INC_BATCH_REM
+
+    is_b = lambda d: d % INC_BATCH_MOD == INC_BATCH_REM  # noqa: E731
     want_vs, want_in = {}, {}
     for (x, y), j in full.items():
         if is_b(x) and is_b(y):
