@@ -22,7 +22,12 @@ sys.path.insert(0, str(_REPO))
 
 # Headline set: one per operator family, weighted toward the shapes that
 # dominate at 100 TB (joins, wide aggs, windows, dedup, similarity, graph).
-N_RUNS = 2  # suite passes; per-query min across passes (see timing loop)
+# Suite passes; per-query min across passes (see timing loop). The
+# spread protocol (VERDICT r9 #6) raises this to >=4 via the env var
+# and records per-query min/median/max, so cross-round regression
+# checks can tell "over the line but inside the recorded noise
+# envelope" from a real slowdown.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
 HEADLINE = [
     "flagship_revenue_by_nation",
@@ -172,12 +177,21 @@ def main() -> None:
     # steady-state regime the suite is defined to measure; session
     # caches are cleared afterwards so pass 1 still pays real build
     # costs.
+    # Arrow/Python-worker rows (the multimodal family) warm in deeper
+    # than JVM-only plans: the r10 warm-in probe
+    # (PROBE_multimodal_warmin_r10.json) shows steady state around the
+    # 4th execution, while warm+2-timed stops at 3 — exactly the
+    # regime where the r9 driver read 1.62x on byte-identical code
+    # (VERDICT r9 what's-wrong #1). Those rows get a second untimed
+    # warm execution so both timed passes land in steady state.
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
             continue
+        warm_execs = 2 if "multimodal" in spec.tags else 1
         try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            for _ in range(warm_execs):
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — timed passes will record it
             print(f"# WARM-PASS ERROR {name}: {exc}", file=sys.stderr)
     # blocking=True: the warm pass parked a whole suite's checkpoint
@@ -260,6 +274,21 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "agg": "min",
     }
+    if N_RUNS >= 3:
+        # Per-query noise envelope over all passes — the committed
+        # BENCH_rN_spread.json record bench_regression.py consults.
+        import statistics
+
+        out["spread"] = {
+            name: {
+                "min": round(min(vals), 4),
+                "median": round(statistics.median(vals), 4),
+                "max": round(max(vals), 4),
+                "passes": len(vals),
+            }
+            for name in timings
+            for vals in [[p[name] for p in per_pass if name in p]]
+        }
     if missing:
         out["missing"] = missing
     if errors:

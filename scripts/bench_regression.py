@@ -8,9 +8,17 @@ are reported with their equivalence set so a human (or the round
 narrative) can attribute the delta instead of misreading it as a
 regression.
 
-Usage: python scripts/bench_regression.py NEW.json BASELINE.json [thresh]
+Usage: python scripts/bench_regression.py NEW.json BASELINE.json [thresh] [SPREAD.json]
        (BASELINE.json may be a driver artifact with {"parsed": {...}}
        or a raw bench line with {"queries": {...}}.)
+
+SPREAD.json (VERDICT r9 #6) is a committed bench run with a "spread"
+section (bench.py with SPARK_GRAFT_BENCH_PASSES>=4): a row over the
+threshold whose NEW reading still lands at or below that row's
+recorded max is reported INSPREAD — inside the measured same-code
+noise envelope — instead of FAIL, so each round stops re-litigating
+which over-line readings are host noise. Rows over the line AND over
+their recorded max remain failures.
 """
 
 from __future__ import annotations
@@ -70,10 +78,20 @@ def _queries(path: str) -> dict[str, float]:
     return d["queries"]
 
 
+def _spread(path: str | None) -> dict[str, dict[str, float]]:
+    if path is None:
+        return {}
+    d = json.load(open(path))
+    if "parsed" in d:
+        d = d["parsed"]
+    return d.get("spread", {})
+
+
 def main() -> None:
     new = _queries(sys.argv[1])
     base = _queries(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    spread = _spread(sys.argv[4] if len(sys.argv) > 4 else None)
 
     failures = []
     for q, t in sorted(new.items()):
@@ -95,9 +113,15 @@ def main() -> None:
         if ratio > thresh and q in WIDENED:
             print(f"WIDENED  {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
                   f"(absorbed unbenched branches — attribute, don't fail)")
+        elif ratio > thresh and q in spread and t <= spread[q]["max"]:
+            print(f"INSPREAD {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
+                  f"(<= recorded same-code max {spread[q]['max']:.2f}s "
+                  f"over {spread[q]['passes']} passes — noise, not code)")
         elif ratio > thresh:
+            over = (f", outside recorded max {spread[q]['max']:.2f}s"
+                    if q in spread else "")
             failures.append((q, t, b, ratio))
-            print(f"FAIL     {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}")
+            print(f"FAIL     {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}{over}")
         else:
             print(f"ok       {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}")
     if failures:

