@@ -93,7 +93,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
-def _run_to_parquet(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_parquet(df: DataFrame, mode: str, tag: str) -> DataFrame:
     """Drain a streaming frame through a parquet FILE sink (checkpointed)
     and read the result back — the deployable sink pattern, not a test
     harness. The file sink itself is append-only, so:
@@ -104,9 +104,14 @@ def _run_to_parquet(df: DataFrame, mode: str) -> DataFrame:
       complete output (each trigger replaces the result table), and with
       availableNow there is exactly one final trigger.
     """
-    import tempfile
+    from hgn_spark.sources.sinks import ephemeral_io_dir
 
-    base = tempfile.mkdtemp(prefix="hgn_stream_parquet_")
+    # Deterministic per-(tag, application) tree, wiped per call and
+    # reaped at process exit — a fresh checkpoint per invocation with
+    # none of the r9 mkdtemp leak (ADVICE/VERDICT r9 #4). The tag
+    # keys the tree per CALL SITE: two rows (or two branches of one
+    # row) draining concurrently must not wipe each other's sink.
+    base = ephemeral_io_dir(df.sparkSession, f"stream_{tag}")
     path = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     if mode == "complete":
@@ -185,8 +190,8 @@ def streaming_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
-    return _run_to_parquet(tumbling, "complete").unionByName(
-        _run_to_parquet(sliding, "complete")
+    return _run_to_parquet(tumbling, "complete", "tumbling").unionByName(
+        _run_to_parquet(sliding, "complete", "sliding")
     )
 
 
@@ -246,7 +251,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
-    return _run_to_parquet(out, "append")
+    return _run_to_parquet(out, "append", "session_windows")
 
 
 @register(
@@ -286,7 +291,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = s.dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
-    table = _run_to_parquet(deduped, "append")
+    table = _run_to_parquet(deduped, "append", "dedup")
     return table.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -331,7 +336,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
     ).select("p_user", "p_ts", "c_ts")
-    table = _run_to_parquet(joined, "append")
+    table = _run_to_parquet(joined, "append", "ss_join")
     return table.groupBy(F.col("p_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_click_purchase_pairs")
     )
@@ -401,7 +406,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         F.col("w.start").alias("day"), "buyer_tier", "n_events", "total_value"
     )
-    return _run_to_parquet(out, "complete")
+    return _run_to_parquet(out, "complete", "static_enrich")
 
 
 @register(
