@@ -117,10 +117,15 @@ _SCAN_IO_BRANCHES = (
     "scan_projection_pushdown",
     # The csv_partitioned branch reads back ONE hive partition of the
     # S7-style partitioned sink, so its oracle twin filters the same
-    # base SELECT to that partition value.
+    # base SELECT to that partition value. The pandas_roundtrip branch
+    # (r10 — the S8 evidence upgrade) round-trips a deterministic
+    # subset chosen to sit under to_pandas_sample's 10k row cap at
+    # both driver scales (mod-29 keeps it ~4.3k rows at sf0.1), so
+    # the capped hatch's limit() is a no-op and the branch is exact.
     oracle=" UNION ALL ".join(
         [_SCAN_IO_SQL.format(io=b) for b in _SCAN_IO_BRANCHES]
         + [_SCAN_IO_SQL.format(io="csv_partitioned") + " AND l_linenumber = 1"]
+        + [_SCAN_IO_SQL.format(io="pandas_roundtrip") + " AND l_orderkey % 29 = 0"]
     ),
     tags=("scan", "filter", "sink"),
 )
@@ -156,6 +161,9 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       from a YAML config with !ENV substitution + jsonschema
       validation — the query is built FROM the parsed config, so a
       substitution or validation bug cannot hash-match;
+    - 'pandas_roundtrip' (S8): a deterministic mod-29 subset through
+      the row-capped toPandas hatch and back — exact because the
+      subset sits under the cap, so limit() is a no-op;
     - 'csv_partitioned' (S7): hive-partitioned CSV sink
       (partitionBy(l_linenumber), the distributed community-sink
       shape) read back with a partition filter — the branch emits
@@ -167,6 +175,7 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_dedupe_reload,
         checkpoint_df,
         ephemeral_io_dir,
+        to_pandas_sample,
         write_table,
     )
 
@@ -313,6 +322,14 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "price")
     )
 
+    # S8: the row-capped collect-to-pandas hatch, driver-hashed (r10).
+    # The mod-29 subset stays under the 10k cap at every driver scale,
+    # so the hatch's limit() passes ALL rows and a lossy
+    # pandas-boundary conversion (dtype coercion, truncation) is the
+    # only way the branch can diverge from its oracle twin.
+    pan = base.filter(F.col("l_orderkey") % 29 == 0)
+    pan_back = spark.createDataFrame(to_pandas_sample(pan))
+
     out = lab(base, "parquet")
     for io, df in (
         ("csv_roundtrip", csv_back),
@@ -322,6 +339,7 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("jdbc_roundtrip", jdbc_back),
         ("config_driven", conf_back),
         ("csv_partitioned", part_back),
+        ("pandas_roundtrip", pan_back),
     ):
         out = out.unionByName(lab(df, io))
     return out
