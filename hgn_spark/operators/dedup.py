@@ -67,6 +67,13 @@ INC_BATCH_REM = 0
 NUM_PERM = 16
 BANDS = 4  # 4 rows per band
 SIMHASH_MAX_HAMMING = 3
+# Pinned chunk-bucket cap for the sketch row's `simhash_cap` branch
+# (r10): the 100x probe measured the fixed 4 x 2^12 chunk space going
+# superlinear (42.7x growth at 100x data); dropping buckets hotter
+# than the cap bounds candidate generation. Chosen, like CAP_DF, so
+# the capped pair set provably DIFFERS from the uncapped one at
+# sf0.01 (13 pairs vs 17) without being empty.
+SIMHASH_CAP = 2
 EMB_COS_THRES = 0.4  # testdata has no planted embedding dups (max pair
                      # cosine 0.479); threshold chosen to exercise the path
 SRP_BITS = 16
@@ -803,12 +810,22 @@ SIMHASH_BITS = 48  # = the informative bits of the portable shingle hash
 SIMHASH_CHUNKS = 4  # 12-bit chunks; hamming ≤ 3 ⇒ ≥ 1 chunk untouched
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(bucket_cap: int | None = None) -> str:
     """DuckDB replay of the SimHash pipeline: same 48-bit shingle
     hashes, same majority-vote lanes, same 4×12-bit pigeonhole
-    bucketing, same bit_count(xor) verify."""
+    bucketing, same bit_count(xor) verify. With ``bucket_cap``,
+    candidate chunks are restricted to (chunk_idx, chunk) buckets
+    holding <= cap docs — the Spark bucket_cap guard replayed."""
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
+    if bucket_cap is None:
+        cap_ctes, cand = "", "chunks"
+    else:
+        cap_ctes = f""",
+    skeep AS (SELECT chunk_idx, chunk FROM chunks
+              GROUP BY 1, 2 HAVING count(*) <= {bucket_cap}),
+    cch AS (SELECT c.* FROM chunks c SEMI JOIN skeep USING (chunk_idx, chunk))"""
+        cand = "cch"
     return f"""
     WITH {_DUCK_HASHED_SETS},
     sig AS (
@@ -821,11 +838,11 @@ def _simhash_oracle() -> str:
     chunks AS (
       SELECT doc_id, sig, CAST(i AS INT) AS chunk_idx,
              (sig >> (CAST(i AS INT) * {chunk_bits})) & {mask} AS chunk
-      FROM sig, range(0, {SIMHASH_CHUNKS}) t(i)),
+      FROM sig, range(0, {SIMHASH_CHUNKS}) t(i)){cap_ctes},
     pairs AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
              a.sig AS sig1, b.sig AS sig2
-      FROM chunks a JOIN chunks b
+      FROM {cand} a JOIN {cand} b
         ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
        AND a.doc_id < b.doc_id)
     SELECT d1, d2, bit_count(xor(sig1, sig2)) AS hamming
@@ -833,12 +850,26 @@ def _simhash_oracle() -> str:
     """
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """SimHash near-dup pairs: 48-bit signature per doc (sign of the
     per-bit ±1 sum over distinct portable shingle hashes), pigeonhole
     bucketing — hamming ≤ 3 implies at least one of the 4 12-bit chunks
     matches — then exact bit_count(xor) verify. Hash-checked: the
     DuckDB oracle replays the identical lanes and chunks.
+
+    Scale ceiling, measured (r10 100x probe): the chunk space is FIXED
+    (4 x 2^12 buckets), so occupancy grows with n and candidates grow
+    ~4n^2/4096 — 42.7x growth at 100x data. ``bucket_cap`` is the
+    guard: (chunk_idx, chunk) buckets holding more than ``bucket_cap``
+    docs are dropped from candidate generation (the verify still
+    computes exact hamming for every surviving pair), the same
+    contract as the SRP sketch's bucket_cap and the jaccard df-cap —
+    bounded candidates with a stated recall caveat (a true pair whose
+    EVERY matching chunk is over-cap is missed; at hamming <= 3 a pair
+    matches in at least one of 4 chunks, so the cap must price in
+    boilerplate-heavy chunks being the common ones).
 
     Features are 3-gram shingles, not tokens: the synthetic corpus
     shares one ~50-word vocabulary, so token SETS are near-identical
@@ -875,6 +906,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
+    if bucket_cap is not None:
+        # Drop mega-buckets BEFORE the pair join: one tiny aggregation
+        # (one row per (chunk_idx, chunk) bucket) broadcast back, so
+        # the bound applies to candidate GENERATION (the SRP
+        # bucket_cap shape).
+        sizes = chunks.groupBy("chunk_idx", "chunk").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        chunks = chunks.join(
+            F.broadcast(sizes.filter(F.col("bsz") <= bucket_cap)),
+            ["chunk_idx", "chunk"],
+        ).drop("bsz")
     left = chunks.select(
         F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "chunk_idx", "chunk"
     )
@@ -1276,6 +1319,8 @@ def _srp_pairs_multi(
         + _minhash_oracle()
         + ") UNION ALL SELECT 'simhash', d1, d2, CAST(hamming AS DOUBLE) FROM ("
         + _simhash_oracle()
+        + ") UNION ALL SELECT 'simhash_cap', d1, d2, CAST(hamming AS DOUBLE) FROM ("
+        + _simhash_oracle(SIMHASH_CAP)
         + ") UNION ALL SELECT 'srp', v1, v2, cosine FROM ("
         + _srp_oracle()
         + ") UNION ALL SELECT 'srp_adaptive', v1, v2, cosine FROM ("
@@ -1293,6 +1338,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       (dedup_simhash_pairs);
     - 'srp': signed-random-projection LSH over embeddings
       (dedup_embedding_neardup_pairs);
+    - 'simhash_cap' (r10): the same pipeline behind the chunk-bucket
+      cap (SIMHASH_CAP) — the guard for simhash's fixed chunk space,
+      whose occupancy the 100x probe measured going superlinear
+      (42.7x at 100x data);
     - 'srp_adaptive': the same pipeline at the 2*ceil(log2(n))
       adaptive signature width (dedup_embedding_neardup_pairs_adaptive)
       — the scale mitigation that holds bucket occupancy constant as
@@ -1316,6 +1365,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("b"),
         F.col("hamming").cast("double").alias("score"),
     )
+    # r10: the chunk-bucket-capped guard path as its own hash-checked
+    # branch (non-vacuous at sf0.01: 13 pairs vs simhash's 17).
+    shc = dedup_simhash_pairs(spark, sf_dir, bucket_cap=SIMHASH_CAP).select(
+        F.lit("simhash_cap").alias("method"),
+        F.col("d1").alias("a"),
+        F.col("d2").alias("b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
     # Both SRP widths run FUSED in one shared pass (one signature
     # scan up to max(bits), one labeled bucket join, one verify of the
     # union'd pairs) — per-label results identical to the standalone
@@ -1333,7 +1390,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v2").alias("b"),
         F.col("cosine").alias("score"),
     )
-    return mh.unionByName(sh).unionByName(srp_both)
+    return mh.unionByName(sh).unionByName(shc).unionByName(srp_both)
 
 
 def _semantic_oracle() -> str:

@@ -44,6 +44,22 @@ TOP_K = 5
 NPROBE = 3
 
 
+def ivf_adaptive_stride(n: int) -> int:
+    """Centroid stride for the scale-safe IVF variant: ceil(sqrt(n)),
+    so nlist ~ sqrt(n) — the classic IVF sizing. The r10 100x probe
+    measured WHY the fixed stride cannot ship at scale: with
+    CENTROID_STRIDE pinned, nlist grows linearly with the corpus and
+    the assign step is n x nlist ~ n^2 — 846.9x growth at 100x data
+    (1490 s). sqrt-n centroids bound the index BUILD at O(n^1.5) (the
+    same contract as semantic dedup's ceil(sqrt n) clusters) and the
+    recurring per-query cost at NPROBE x sqrt(n) candidates. IEEE
+    sqrt/ceil are correctly rounded, so Python here and
+    ceil(sqrt(count(*))) oracle-side cannot disagree."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n)))
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings spread across cores with a precomputed L2 norm.
 
@@ -365,6 +381,22 @@ def _ivf_seed_frames(
     return emb, seeds, _assign_nearest(emb, seeds)
 
 
+def _ivf_seed_frames_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(emb, seeds, seed_assign) with the sqrt-n centroid stride — the
+    scale path (see ivf_adaptive_stride). The count() is 1-scalar loop
+    control, the same class as srp_adaptive_bits' corpus count."""
+    emb = load_embeddings(spark, sf_dir)
+    stride = ivf_adaptive_stride(emb.count())
+    seeds = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_e"),
+        F.col("nrm").alias("cent_n"),
+    )
+    return emb, seeds, _assign_nearest(emb, seeds)
+
+
 def _ivf_query(
     spark: SparkSession,
     sf_dir: str,
@@ -420,6 +452,29 @@ def _ivf_query(
 
 LSH_BITS = 5        # SRP bucket width → 2^5 inverted lists
 LSH_MULTIPROBE = 1  # probe own bucket + every flip of <= this many bits
+# Adaptive-width knobs: hold expected bucket occupancy near
+# LSH_TARGET_BUCKET (must be a power of two — the bit-shift form below
+# is exact) instead of letting it grow with the corpus. The r10 100x
+# probe measured the fixed width's failure: at LSH_BITS=5 the probed
+# fraction is constant (6/32) while bucket size grows with n, so
+# candidates grow ~n^2/32 — 74.2x growth at 100x data. MAX_BITS bounds
+# the BIGINT mask arithmetic, far above any realistic corpus.
+LSH_TARGET_BUCKET = 64
+LSH_MAX_BITS = 24
+
+
+def lsh_adaptive_bits(n: int) -> int:
+    """Occupancy-targeted SRP bucket width:
+    ceil(log2(n / LSH_TARGET_BUCKET)), computed INTEGER-EXACTLY as
+    (n-1).bit_length() - log2(target) — no libm log2, so the Spark
+    side and the oracle's length(bin(count(*) - 1)) form cannot
+    disagree at power-of-two boundaries (the hazard the SRP adaptive
+    oracle handles with boundary-parity tests; here it is structural).
+    At the driver scales: n=2000 -> 5 bits (equal to the pinned
+    LSH_BITS — boundary parity with the fixed branch), n=500 -> 3,
+    n=200000 -> 12 (4096 buckets, ~49 occupancy, 0.3% probed)."""
+    tbits = LSH_TARGET_BUCKET.bit_length() - 1
+    return max(1, min(LSH_MAX_BITS, (max(n, 2) - 1).bit_length() - tbits))
 
 
 def _lsh_oracle() -> str:
@@ -483,6 +538,77 @@ def _lsh_oracle() -> str:
     """
 
 
+def _lsh_adaptive_oracle() -> str:
+    """DuckDB replay of the ADAPTIVE-width SRP-LSH pipeline (r10 —
+    the 100x mitigation for the fixed-width lsh branch): all
+    LSH_MAX_BITS md5 planes inline as VALUES rows (the fast-oracle
+    shape — planes as DATA + one vectorized list_dot_product per
+    (vector, plane)), every sign bit packs into one BIGINT, and the
+    data-dependent width only changes the bucket mask and the probe
+    list length — integer-exact bits via length(bin(count(*)-1)), the
+    same formula as lsh_adaptive_bits, so no libm-log2 boundary
+    hazard."""
+    from hgn_spark.operators.dedup import (
+        EMB_DIM,
+        _plane_values_sql,
+        _srp_planes,
+    )
+
+    tbits = LSH_TARGET_BUCKET.bit_length() - 1
+    planes = _srp_planes(LSH_MAX_BITS, EMB_DIM)
+    return f"""
+    WITH abits AS (
+      SELECT greatest(1, least({LSH_MAX_BITS},
+             CAST(length(bin(count(*) - 1)) AS BIGINT) - {tbits})) AS bits
+      FROM embeddings),
+    aplanes AS (SELECT * FROM (VALUES {_plane_values_sql(planes)}) AS t(j, p)),
+    aemb AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * x))) AS nrm
+             FROM embeddings),
+    aproj AS (SELECT e.vec_id, pl.j,
+                     CASE WHEN round(list_dot_product(e.emb, pl.p), 6) > 0
+                          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+              FROM aemb e CROSS JOIN aplanes pl),
+    asig AS (SELECT vec_id, CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+                    AS sig
+             FROM aproj GROUP BY vec_id),
+    abase AS (SELECT e.vec_id, e.emb, e.nrm,
+                     s.sig & ((CAST(1 AS BIGINT) << bits) - 1) AS bucket, bits
+              FROM asig s JOIN aemb e USING (vec_id), abits),
+    aq AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket AS qb, bits
+           FROM abase WHERE vec_id % {QUERY_STRIDE} = 0),
+    aprobes AS (
+      SELECT q_id, qe, qn,
+             unnest(list_prepend(qb, list_transform(range(0, bits),
+                    j -> xor(qb, CAST(1 AS BIGINT) << j)))) AS bucket
+      FROM aq),
+    acand AS (
+      SELECT p.q_id, e.vec_id,
+             round(list_dot_product(p.qe, e.emb) / (p.qn * e.nrm), 6) AS cosine
+      FROM aprobes p JOIN abase e USING (bucket)
+      WHERE e.vec_id <> p.q_id),
+    aranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM acand)
+    SELECT q_id, vec_id, cosine, rnk FROM aranked WHERE rnk <= {TOP_K}
+    """
+
+
+# sqrt-n centroid derivation for the adaptive IVF branch — same
+# assign/probe/rerank tail as the pinned-stride variants; the stride
+# comes from a scalar subquery computing the SAME ceil(sqrt(n)) as
+# ivf_adaptive_stride.
+_SQL_ADAPTIVE_CENTS = """,
+    astride AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS s
+                FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+              FROM base, astride WHERE vec_id % s = 0)"""
+
+
 @register(
     "simsearch_topk_cosine",
     # Deterministic end to end (stride-sampled centroids, one pinned
@@ -506,12 +632,18 @@ def _lsh_oracle() -> str:
         + _SQL_TAIL
         + ") UNION ALL SELECT 'lsh' AS variant, * FROM ("
         + _lsh_oracle()
+        + ") UNION ALL SELECT 'ivf_adaptive' AS variant, * FROM ("
+        + _SQL_PRELUDE
+        + _SQL_ADAPTIVE_CENTS
+        + _SQL_TAIL
+        + ") UNION ALL SELECT 'lsh_adaptive' AS variant, * FROM ("
+        + _lsh_adaptive_oracle()
         + ")"
     ),
     tags=("similarity", "ann", "kmeans", "lsh"),
 )
 def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k cosine per standing query, all four strategies in one
+    """Top-k cosine per standing query, all six strategies in one
     driver row (`variant` column):
 
     - 'exact': brute-force scan — the baseline every ANN variant's
@@ -525,7 +657,19 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'lsh': SRP-LSH with 1-bit-flip multiprobe (simsearch_lsh_topk) —
       the data-INDEPENDENT scale path (no training pass, bucket ids
       stable under corpus growth; the recall tradeoff vs IVF is
-      measured and documented on that function).
+      measured and documented on that function);
+    - 'ivf_adaptive' (r10): IVF with sqrt-n centroids
+      (ivf_adaptive_stride) — the 100x probe measured the pinned
+      stride's n^2 assign step at 846.9x growth; this branch is the
+      shipped mitigation, hash-proven per scale against a
+      scalar-subquery stride;
+    - 'lsh_adaptive' (r10): occupancy-targeted SRP width
+      (lsh_adaptive_bits, integer-exact bit_length formula) — the
+      fixed width grew 74.2x at 100x data; at sf0.1 the formula
+      reproduces the pinned 5 bits exactly (boundary parity), at
+      sf0.01 it narrows to 3 and the branch provably diverges from
+      'lsh' (39 differing rows — non-vacuous; ivf_adaptive likewise
+      diverges from 'seed' at both driver scales).
 
     The ANN branches are approximate relative to 'exact' (a true
     neighbor can live in an unprobed list/bucket — recall asserted in
@@ -563,7 +707,33 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("cosine"),
         F.col("rank").alias("rnk"),
     )
-    return exact.unionByName(seed).unionByName(km).unionByName(lsh)
+    # The two r10 scale-mitigation branches (100x-probe findings:
+    # fixed-stride IVF 846.9x, fixed-width LSH 74.2x growth at 100x
+    # data). Their sizing is data-dependent (sqrt-n centroids /
+    # occupancy-targeted bits), so the driver hash proves the adaptive
+    # formulas bit-agree with the oracle's scalar-subquery twins at
+    # every driver scale. One count() action shared by both.
+    n = emb.count()
+    adapt_frames = _ivf_seed_frames_adaptive(spark, sf_dir)
+    ivf_a = _ivf_query(spark, sf_dir, refine=False, frames=adapt_frames).select(
+        F.lit("ivf_adaptive").alias("variant"), "*"
+    )
+    lsh_a = simsearch_lsh_topk(
+        spark, sf_dir, n_bits=lsh_adaptive_bits(n)
+    ).select(
+        F.lit("lsh_adaptive").alias("variant"),
+        "q_id",
+        "vec_id",
+        F.col("score").alias("cosine"),
+        F.col("rank").alias("rnk"),
+    )
+    return (
+        exact.unionByName(seed)
+        .unionByName(km)
+        .unionByName(lsh)
+        .unionByName(ivf_a)
+        .unionByName(lsh_a)
+    )
 
 
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,10 @@ Session caches are cleared before every timed run, so each variant
 pays its own index/signature/checkpoint build — the single-query
 production cost (same protocol as scale_probe_targeted.py).
 
-Usage: python scripts/scale_probe_heavy.py [scaled_dir] [runs]
+Usage: python scripts/scale_probe_heavy.py [scaled_dir] [runs] [only,csv]
+       (optional 3rd arg: comma-separated variant names to probe —
+        used to measure the r10 mitigations without re-running the
+        full sweep)
 """
 
 from __future__ import annotations
@@ -58,11 +61,18 @@ def main() -> None:
     from hgn_spark import registry
     from hgn_spark.operators.dedup import (
         CAP_DF,
+        SIMHASH_CAP,
         dedup_simhash_pairs,
         minhash_lsh_pairs,
         neardup_incremental,
     )
-    from hgn_spark.operators.similarity import _ivf_query, simsearch_lsh_topk
+    from hgn_spark.operators.similarity import (
+        _ivf_query,
+        _ivf_seed_frames_adaptive,
+        load_embeddings,
+        lsh_adaptive_bits,
+        simsearch_lsh_topk,
+    )
     from hgn_spark.registry import clear_session_caches
     from hgn_spark.session import get_spark
 
@@ -78,10 +88,25 @@ def main() -> None:
         "pagerank_row": rows["graph_pagerank"].fn,
         "lpa_row": rows["graph_label_propagation"].fn,
         "hgn_row": rows["hgn_communities"].fn,
+        # r10 mitigations for the superlinear findings of this probe's
+        # first run (ivf fixed-stride 846.9x, lsh fixed-width 74.2x,
+        # simhash fixed-chunk-space 42.7x)
+        "ivf_adaptive_probe": lambda s, d: _ivf_query(
+            s, d, refine=False, frames=_ivf_seed_frames_adaptive(s, d)
+        ),
+        "lsh_adaptive_multiprobe": lambda s, d: simsearch_lsh_topk(
+            s, d, n_bits=lsh_adaptive_bits(load_embeddings(s, d).count())
+        ),
+        "simhash_cap": lambda s, d: dedup_simhash_pairs(
+            s, d, bucket_cap=SIMHASH_CAP
+        ),
         # quadratic-by-design exact branch inside — runs last so a
         # blowup is recorded as its own timeout, not a probe hang
         "simsearch_row": rows["simsearch_topk_cosine"].fn,
     }
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        variants = {k: v for k, v in variants.items() if k in only}
 
     spark = get_spark(app_name="scale_probe_heavy")
     spark.read.parquet(f"{BASE}/nation.parquet").groupBy(

@@ -1237,6 +1237,7 @@ def test_scan_io_pushdown_and_branch_equality(spark):
     assert set(by_io) == {
         "parquet", "csv_roundtrip", "checkpoint_reload", "append_dedupe",
         "sql_view", "jdbc_roundtrip", "config_driven", "csv_partitioned",
+        "pandas_roundtrip",
     }
     base = by_io["parquet"]
     assert len(base) > 0
@@ -1244,6 +1245,12 @@ def test_scan_io_pushdown_and_branch_equality(spark):
         if io == "csv_partitioned":
             # the pruned branch emits exactly the l_linenumber=1 slice
             assert got == {t for t in base if t[1] == 1}
+            assert 0 < len(got) < len(base)
+            continue
+        if io == "pandas_roundtrip":
+            # the capped-hatch branch emits exactly the mod-29 subset
+            # (under the cap, so the hatch's limit() is a no-op)
+            assert got == {t for t in base if t[0] % 29 == 0}
             assert 0 < len(got) < len(base)
             continue
         assert got == base, f"branch {io} diverged from the parquet scan"
@@ -1405,3 +1412,97 @@ def test_stale_context_block_ids_dropped_without_release(spark):
         assert df.count() == 64
     finally:
         release_rdds(spark, ids)
+
+
+def test_ivf_adaptive_and_lsh_adaptive_branches(spark):
+    """The r10 scale-mitigation branches (100x-probe findings):
+
+    - `ivf_adaptive` must genuinely re-derive centroids (sqrt-n
+      stride != the pinned stride at this sf, and the top-k set
+      diverges from `seed`). Its recall floor is intentionally modest:
+      the pinned-stride variant's 0.96 here is partly an artifact —
+      every query (vec_id % 50) is itself a centroid (% 25), so its
+      own inverted list is its neighborhood; the sqrt-n stride (23 at
+      n=500) removes that coincidence and leaves honest isotropic-
+      corpus IVF recall (~0.38 at 3/22 lists probed).
+    - `lsh_adaptive` narrows to 3 bits at n=500 (occupancy-targeted),
+      diverging from the 5-bit `lsh` branch; wider buckets probe MORE
+      of the corpus, so its recall must be >= the fixed branch's.
+    """
+    from hgn_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        LSH_BITS,
+        ivf_adaptive_stride,
+        load_embeddings,
+        lsh_adaptive_bits,
+    )
+
+    n = load_embeddings(spark, SF_SMOKE).count()
+    assert ivf_adaptive_stride(n) != CENTROID_STRIDE
+    assert lsh_adaptive_bits(n) < LSH_BITS
+
+    rows = SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
+    by: dict[str, set] = {}
+    for r in rows:
+        by.setdefault(r["variant"], set()).add((r["q_id"], r["vec_id"]))
+    bf = by["exact"]
+    assert by["ivf_adaptive"] != by["seed"]
+    assert by["lsh_adaptive"] != by["lsh"]
+    assert len(bf & by["ivf_adaptive"]) / len(bf) >= 0.2
+    assert (
+        len(bf & by["lsh_adaptive"]) / len(bf)
+        >= len(bf & by["lsh"]) / len(bf)
+    )
+    # every branch returns a full top-k ranking per query
+    for v, got in by.items():
+        assert len(got) == len(bf), v
+
+
+def test_lsh_adaptive_bits_integer_exact():
+    """The occupancy-targeted width must equal ceil(log2(n/target))
+    wherever libm agrees with exact math, INCLUDING exact power-of-two
+    boundaries (the formula is pure integer bit_length, so there is no
+    last-ulp hazard by construction)."""
+    import math
+
+    from hgn_spark.operators.similarity import (
+        LSH_MAX_BITS,
+        LSH_TARGET_BUCKET,
+        lsh_adaptive_bits,
+    )
+
+    for n in list(range(65, 5000, 7)) + [2**k for k in range(7, 22)] + [
+        64 * 2**k for k in range(1, 14)
+    ]:
+        want = max(
+            1, min(LSH_MAX_BITS, math.ceil(math.log2(n / LSH_TARGET_BUCKET)))
+        )
+        assert lsh_adaptive_bits(n) == want, n
+    # clamps
+    assert lsh_adaptive_bits(1) == 1
+    assert lsh_adaptive_bits(10**9) == LSH_MAX_BITS
+
+
+def test_simhash_bucket_cap_subset_and_nonvacuous(spark):
+    """The chunk-bucket cap gates candidate generation only: every
+    capped pair appears in the uncapped result with the SAME hamming
+    (verify is unchanged), and at the pinned SIMHASH_CAP the capped
+    set is strictly smaller but non-empty at this sf — the branch
+    demonstrably drops mega-bucket candidates rather than vacuously
+    reproducing the uncapped result."""
+    from hgn_spark.operators.dedup import SIMHASH_CAP, dedup_simhash_pairs
+
+    full = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dedup_simhash_pairs(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dedup_simhash_pairs(
+            spark, SF_SMOKE, bucket_cap=SIMHASH_CAP
+        ).collect()
+    }
+    assert set(capped) < set(full)
+    assert len(capped) > 0
+    for k, h in capped.items():
+        assert full[k] == h
