@@ -3,9 +3,10 @@
 Engine extension family (no reference counterpart — the reference's
 similarity is per-edge cosine on one-hot attributes, SURVEY §2.9 G9):
 
-One driver row, `simsearch_topk_cosine`, carries all four strategies
+One driver row, `simsearch_topk_cosine`, carries all six strategies
 as labeled `variant` branches (exact / seed / kmeans — the r7 window
-consolidation — plus srp-lsh multiprobe, the r8 evidence upgrade):
+consolidation — plus srp-lsh multiprobe, the r8 evidence upgrade, plus
+the r10 scale mitigations ivf_adaptive / lsh_adaptive):
 
 - 'exact' (`simsearch_exact_topk`): brute-force top-k — each query
   scans the corpus once. This is the correctness baseline and the
@@ -382,13 +383,14 @@ def _ivf_seed_frames(
 
 
 def _ivf_seed_frames_adaptive(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(emb, seeds, seed_assign) with the sqrt-n centroid stride — the
     scale path (see ivf_adaptive_stride). The count() is 1-scalar loop
-    control, the same class as srp_adaptive_bits' corpus count."""
+    control, the same class as srp_adaptive_bits' corpus count;
+    callers that already counted the corpus pass ``n``."""
     emb = load_embeddings(spark, sf_dir)
-    stride = ivf_adaptive_stride(emb.count())
+    stride = ivf_adaptive_stride(n if n is not None else emb.count())
     seeds = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_e"),
@@ -714,7 +716,7 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulas bit-agree with the oracle's scalar-subquery twins at
     # every driver scale. One count() action shared by both.
     n = emb.count()
-    adapt_frames = _ivf_seed_frames_adaptive(spark, sf_dir)
+    adapt_frames = _ivf_seed_frames_adaptive(spark, sf_dir, n=n)
     ivf_a = _ivf_query(spark, sf_dir, refine=False, frames=adapt_frames).select(
         F.lit("ivf_adaptive").alias("variant"), "*"
     )

@@ -64,6 +64,14 @@ MERGES: dict[str, list[str]] = {
 #   the pinned one), and scan_projection_pushdown (+4 IO round-trip
 #   branches: CSV write/read, durable checkpoint, append+dedupe
 #   accumulator, temp-view SQL — the r9 plumbing evidence upgrade).
+# - vs r9 (the r10 scale-mitigation + evidence branches):
+#   dedup_ngram_jaccard_pairs (+capped-incremental vs_corpus_cap/
+#   in_batch_cap — a third candidate join), dedup_minhash_lsh_pairs
+#   (+simhash_cap — a fifth sketch pipeline), simsearch_topk_cosine
+#   (+ivf_adaptive and lsh_adaptive — two more assign/probe/rerank
+#   pipelines), graph_degrees (+edge_csv CSV round trip + degree
+#   recompute), scan_projection_pushdown (+pandas_roundtrip collect +
+#   re-parallelize).
 WIDENED = {"graph_degrees", "agg_rollup_pivot", "dedup_minhash_lsh_pairs",
            "streaming_windowed_aggs",
            "graph_pagerank", "graph_label_propagation",
