@@ -59,14 +59,23 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (see catalog._load_events).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(path).schema
-    # The file-stream source wants a directory: stream the sf dir with a
-    # glob that selects just the events file.
-    s = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # The file-stream source wants a directory. Two layouts exist:
+    # the driver testdata ships events.parquet as a single FILE (stream
+    # the sf dir with a glob selecting it), while Spark-written tables
+    # (the scale slices, any real deployment) are a DIRECTORY of
+    # part-files (stream it directly — a leaf-name glob of
+    # "events.parquet" matches nothing inside, which made every
+    # streaming row silently emit zero rows on directory-layout
+    # tables until the r10 100x probe caught it).
+    if os.path.isdir(path):
+        s = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        s = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     dt = dict(s.dtypes).get("ts")
     if dt == "bigint":
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

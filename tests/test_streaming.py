@@ -616,3 +616,45 @@ def test_state_store_provider_parity(spark, tmp_path, provider, marker):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", orig
             )
+
+
+def test_stream_events_directory_layout(spark, tmp_path):
+    """Streaming rows must read BOTH events layouts: the testdata's
+    single events.parquet FILE and the Spark-written DIRECTORY of
+    part-files (every real deployment; the scale slices). The r10 100x
+    probe caught the directory case silently matching zero files
+    (pathGlobFilter applies to leaf names), so every streaming row
+    emitted nothing — pin both layouts to the same result."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from hgn_spark.streaming.queries import _stream_events
+
+    # Build a directory-layout copy of the smoke events table.
+    d = str(tmp_path / "slice")
+    load_table(spark, SF_SMOKE, "events").write.parquet(
+        f"{d}/events.parquet"
+    )
+
+    def drain(sf_dir):
+        s = _stream_events(spark, sf_dir).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        name = f"dirlayout_{abs(hash(sf_dir)) % 10**8}"
+        q = (
+            s.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["event_type"], r["n"]) for r in spark.table(name).collect()
+        }
+
+    got_file = drain(SF_SMOKE)
+    got_dir = drain(d)
+    assert got_file == got_dir
+    assert len(got_file) > 0
