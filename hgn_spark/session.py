@@ -57,6 +57,19 @@ _DEFAULTS = {
     ),
 }
 
+if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+    # The 100 TB streaming configuration (ARCHITECTURE §streaming):
+    # off-heap RocksDB state instead of the heap-bound HDFS-backed
+    # default. Opt-in via env because the two providers' checkpoint
+    # state formats are incompatible — flipping it under an existing
+    # checkpoint is a migration, not a conf tweak. Output parity across
+    # both providers is pinned by
+    # tests/test_streaming.py::test_state_store_provider_parity.
+    _DEFAULTS["spark.sql.streaming.stateStore.providerClass"] = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
 
 def get_spark(
     app_name: str = "hgn_spark",
