@@ -111,35 +111,55 @@ def checkpoint_df(df: DataFrame, durable_path: str | None = None) -> DataFrame:
     return read_parquet(df.sparkSession, durable_path)
 
 
-# Scratch dirs already scheduled for atexit reaping — one entry per
-# (tag, application) path, however many times the owning row runs.
+# Scratch parents already scheduled for atexit reaping — one entry per
+# (tag, application) parent, however many times the owning row runs —
+# and the per-parent generation counter behind the unique subdirs.
 _EPHEMERAL_REAPED: set[str] = set()
+_EPHEMERAL_GEN: dict[str, int] = {}
 
 
 def ephemeral_io_dir(spark: SparkSession, tag: str) -> str:
-    """Deterministic per-application scratch dir for driver rows whose
-    evidence branches round-trip through disk (ADVICE/VERDICT r9 #4:
-    the scan row used to mkdtemp a fresh never-removed tree per
-    invocation — several full result copies leaked per bench pass).
+    """Per-application scratch dir for driver rows whose evidence
+    branches round-trip through disk (ADVICE/VERDICT r9 #4: the scan
+    row used to mkdtemp a fresh never-removed tree per invocation —
+    several full result copies leaked per bench pass).
 
-    The dir is WIPED on every call — safe because row invocations are
-    sequential, so the previous call's lazy frames have been collected
-    before the next call runs — and rmtree'd at process exit, the
-    earliest point no lazy consumer can still re-scan it. Bound: one
-    live tree per (tag, application)."""
+    Each call returns a fresh GENERATION subdir of a deterministic
+    per-(tag, application) PARENT; the parent is rmtree'd once at
+    process exit — the earliest point no lazy consumer can still
+    re-scan any generation. The applicationId in the parent name makes
+    cross-session collisions impossible, so nothing is wiped
+    mid-session. Two reasons generations ACCUMULATE instead of the
+    parent being wiped per call (both measured, r10):
+
+    - streaming checkpoints derive StateStoreIds from the checkpoint
+      path, and the JVM keeps loaded StateStoreProviders (plus their
+      maintenance threads) alive after a query stops — deleting or
+      re-using a previous invocation's checkpoint under them triggers
+      recovery churn billed to the NEXT run (stream-stream join early
+      executions: 24/17/13 s with wipe-and-reuse, 19/13/12/25 s with
+      wipe-then-new-subdir, 11/6.9/6.7 s flat when old state is left
+      in place — the r10 spread bench's 54.8 s outlier was this);
+    - the returned frames are lazy, so the previous generation cannot
+      be safely removed at call time anyway.
+
+    Bound: one small tree per invocation within a session (bench: 3-4
+    per row per round), all reaped at exit."""
     import atexit
     import shutil
     import tempfile
 
-    path = os.path.join(
+    parent = os.path.join(
         tempfile.gettempdir(),
         f"hgn_io_{tag}_{spark.sparkContext.applicationId}",
     )
-    shutil.rmtree(path, ignore_errors=True)
+    gen = _EPHEMERAL_GEN.get(parent, 0)
+    _EPHEMERAL_GEN[parent] = gen + 1
+    path = os.path.join(parent, f"g{gen}")
     os.makedirs(path, exist_ok=True)
-    if path not in _EPHEMERAL_REAPED:
-        _EPHEMERAL_REAPED.add(path)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if parent not in _EPHEMERAL_REAPED:
+        _EPHEMERAL_REAPED.add(parent)
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
     return path
 
 
