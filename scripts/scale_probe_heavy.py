@@ -62,9 +62,11 @@ def main() -> None:
     from hgn_spark.operators.dedup import (
         CAP_DF,
         SIMHASH_CAP,
+        dedup_embedding_neardup_pairs_adaptive,
         dedup_simhash_pairs,
         minhash_lsh_pairs,
         neardup_incremental,
+        ngram_jaccard_pairs_capped,
     )
     from hgn_spark.operators.similarity import (
         _ivf_query,
@@ -100,6 +102,13 @@ def main() -> None:
         "simhash_cap": lambda s, d: dedup_simhash_pairs(
             s, d, bucket_cap=SIMHASH_CAP
         ),
+        # whole-corpus guard twins (also in scale_probe_targeted.py) —
+        # here so ONE `only` filter can sweep every shipped guard at a
+        # deeper slice (the 300x tier, r10)
+        f"jaccard_cap_df{CAP_DF}": lambda s, d: ngram_jaccard_pairs_capped(
+            s, d, df_cap=CAP_DF
+        ),
+        "srp_adaptive_bits": dedup_embedding_neardup_pairs_adaptive,
         # quadratic-by-design exact branch inside — runs last so a
         # blowup is recorded as its own timeout, not a probe hang
         "simsearch_row": rows["simsearch_topk_cosine"].fn,

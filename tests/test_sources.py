@@ -194,3 +194,22 @@ def test_orc_and_jsonl_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         write_table(docs, str(tmp_path / "x"), fmt="avro")
+
+
+def test_ephemeral_io_dir_generations(spark):
+    """Scratch-tree contract (r10): each call returns a FRESH
+    generation subdir (never a reused or wiped path — terminated
+    streaming queries' providers may still reference earlier
+    generations), all under one per-(tag, application) parent that is
+    reaped at process exit."""
+    import os
+
+    from hgn_spark.sources.sinks import ephemeral_io_dir
+
+    a = ephemeral_io_dir(spark, "pytest_gen")
+    b = ephemeral_io_dir(spark, "pytest_gen")
+    assert a != b
+    assert os.path.dirname(a) == os.path.dirname(b)
+    assert spark.sparkContext.applicationId in os.path.dirname(a)
+    # earlier generations survive later calls
+    assert os.path.isdir(a) and os.path.isdir(b)
