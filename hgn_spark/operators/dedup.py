@@ -266,6 +266,12 @@ def _drop_hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
         .filter(F.col("df") > df_cap)
         .select("h")
     )
+    # Broadcast is right for PRODUCTION caps (thousands): Zipf puts
+    # only the head above the cap, a set of hashes small enough to
+    # ship. A tiny cap on a huge corpus inverts that (most distinct
+    # shingles exceed df=2) — there, drop the hint and let the
+    # anti-join shuffle, or better, raise the cap: a cap below the
+    # near-dup pair's typical shared-shingle df only costs recall.
     return sh.join(F.broadcast(hot), "h", "left_anti")
 
 
