@@ -451,6 +451,61 @@ def neardup_incremental(
     )
 
 
+def write_standing_shingle_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "standing_shingle_index",
+    num_buckets: int = 32,
+    batch_mod: int = INC_BATCH_MOD,
+    batch_rem: int = INC_BATCH_REM,
+) -> None:
+    """One-time (per-ingestion-epoch) build of the CORPUS shingle
+    inverted index as a managed table BUCKETED BY the shingle hash —
+    the physical layout a 100 TB standing corpus actually stores
+    (SURVEY S6's append+dedupe accumulator, upgraded with the
+    operators/scale.py bucketing lever): pre-shuffled once at write
+    time, so every daily feed's candidate join reads it bucket-local
+    with no Exchange on the index side, feed after feed. Docs in the
+    current batch residue are excluded — they are what gets joined
+    AGAINST it."""
+    from hgn_spark.operators.scale import write_bucketed
+
+    sh = _hashed_shingle_index(spark, sf_dir)
+    corpus = sh.filter(F.col("doc_id") % batch_mod != batch_rem)
+    write_bucketed(corpus, table, ["h"], num_buckets=num_buckets)
+
+
+def neardup_vs_standing_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "standing_shingle_index",
+    batch_mod: int = INC_BATCH_MOD,
+    batch_rem: int = INC_BATCH_REM,
+) -> DataFrame:
+    """The `vs_corpus` half of `neardup_incremental`, but joined
+    against the PRE-BUCKETED standing index table instead of a
+    freshly-derived frame: same results (pinned in
+    tests/test_llm_ops.py), different physics — only the (tiny)
+    incoming batch shuffles, into the index's bucket layout; the
+    standing index is read in place. At 100 TB this is the difference
+    between re-shuffling the corpus index every feed and never
+    shuffling it at all."""
+    sets_ = _doc_shingle_sets(spark, sf_dir)
+    standing = spark.table(table).select(
+        F.col("doc_id").alias("d2"), F.col("h").alias("h")
+    )
+    batch = (
+        _hashed_shingle_index(spark, sf_dir)
+        .filter(F.col("doc_id") % batch_mod == batch_rem)
+        .select(F.col("doc_id").alias("d1"), "h")
+    )
+    cands = batch.join(standing, "h").select("d1", "d2").distinct()
+    verified = _verified_jaccard(cands, sets_)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRES).select(
+        F.lit("vs_corpus").alias("op"), "d1", "d2", "jaccard"
+    )
+
+
 # Shared oracle CTE block: exact-jaccard near-dup pairs from the
 # shingle inverted index. `jpairs` is the thresholded (d1 < d2) pair
 # list; dedup_canonical_groups builds its duplicate graph on top of it.

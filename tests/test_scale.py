@@ -71,3 +71,70 @@ def test_salted_join_outer_kind(spark):
     out = salted_join(big, small, "k", salt_factor=4, how="left")
     assert out.count() == 100
     assert out.filter(F.col("tag").isNull()).count() == 40  # keys 3,4 unmatched
+
+
+def test_standing_index_bucketed_join(spark):
+    """The 100 TB ingestion layout (r10): the standing shingle index
+    as a bucketed table. Pins BOTH halves of the claim:
+
+    - correctness: the bucketed-index path returns exactly the
+      oracle-checked vs_corpus branch of neardup_incremental;
+    - physics: with broadcast disabled, the candidate join plans ONE
+      Exchange (the incoming batch shuffled into the bucket layout) —
+      the standing-index side reads in place, bucket-local.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_vs_standing_index,
+        write_standing_shingle_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS t_standing_idx")
+    shutil.rmtree(f"{warehouse}/t_standing_idx", ignore_errors=True)
+    write_standing_shingle_index(
+        spark, SF_SMOKE, table="t_standing_idx", num_buckets=8
+    )
+
+    got = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in neardup_vs_standing_index(
+            spark, SF_SMOKE, table="t_standing_idx"
+        ).collect()
+    }
+    want = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in neardup_incremental(spark, SF_SMOKE).collect()
+        if r["op"] == "vs_corpus"
+    }
+    assert got == want
+    assert len(got) > 0
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from hgn_spark.operators.dedup import (
+            INC_BATCH_MOD,
+            INC_BATCH_REM,
+            _hashed_shingle_index,
+        )
+
+        standing = spark.table("t_standing_idx").select(
+            F.col("doc_id").alias("d2"), "h"
+        )
+        batch = (
+            _hashed_shingle_index(spark, SF_SMOKE)
+            .filter(F.col("doc_id") % INC_BATCH_MOD == INC_BATCH_REM)
+            .select(F.col("doc_id").alias("d1"), "h")
+        )
+        joined = batch.join(standing, "h")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
