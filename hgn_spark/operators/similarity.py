@@ -540,6 +540,110 @@ def _lsh_oracle() -> str:
     """
 
 
+def _lsh_topk_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    configs: list[tuple[str, int]],
+    k: int = TOP_K,
+    multiprobe: int = LSH_MULTIPROBE,
+) -> DataFrame:
+    """Several SRP-LSH ANN widths in ONE shared pass → labeled
+    ``(label, q_id, vec_id, score, rank)`` rows, per-label identical
+    to `simsearch_lsh_topk(n_bits=...)` per config (pinned in
+    tests/test_llm_ops.py) — the ANN twin of the dedup row's
+    `_srp_pairs_multi` fusion.
+
+    What the widths share: the sign projections, computed ONCE up to
+    max(bits) (plane j is the same md5 derivation at every width, so
+    a narrow config reads a prefix) — the HOF dot products are the
+    expensive part of the pipeline. Per-width bucket ids are cheap
+    integer folds over the shared bits; bucket rows carry a config
+    label so the single probe join never mixes widths; candidates
+    re-rank once through one window keyed by (label, q_id)."""
+    from hgn_spark.operators.dedup import EMB_DIM, _srp_planes
+
+    emb = load_embeddings(spark, sf_dir)
+    max_bits = max(b for _, b in configs)
+    planes = _srp_planes(max_bits, EMB_DIM)
+
+    def _proj(j: int):
+        vec_d = as_double(F.col("embedding"))
+        plane = F.array(*[F.lit(v) for v in planes[j]])
+        return F.aggregate(
+            F.zip_with(vec_d, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bit_cols = [
+        F.when(F.round(_proj(j), 6) > 0, 1).otherwise(0).alias(f"b{j}")
+        for j in range(max_bits)
+    ]
+    # Buckets carry vec_id ONLY (the dedup fusion's shuffle
+    # discipline); embeddings rejoin at the candidate level.
+    sig = emb.select("vec_id", *bit_cols)
+    import itertools
+
+    bucket_arms, probe_arms = [], []
+    for label, n_bits in configs:
+        bucket = sum(F.col(f"b{j}") * (1 << j) for j in range(n_bits))
+        arm = sig.select(
+            F.lit(label).alias("label"), "vec_id", bucket.alias("bucket")
+        )
+        bucket_arms.append(arm)
+        flip_masks = [0] + [
+            sum(1 << j for j in combo)
+            for r in range(1, multiprobe + 1)
+            for combo in itertools.combinations(range(n_bits), r)
+        ]
+        probe_arms.append(
+            arm.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+                "label",
+                F.col("vec_id").alias("q_id"),
+                F.explode(
+                    F.array(
+                        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flip_masks]
+                    )
+                ).alias("bucket"),
+            )
+        )
+    buckets = bucket_arms[0]
+    for a in bucket_arms[1:]:
+        buckets = buckets.unionByName(a)
+    probes = probe_arms[0]
+    for a in probe_arms[1:]:
+        probes = probes.unionByName(a)
+    cand = probes.join(buckets, ["label", "bucket"]).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ce = emb.select("vec_id", "embedding", "nrm")
+    scored = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ce, "vec_id")
+        .withColumn(
+            "score",
+            F.round(
+                dot(as_double(F.col("q_emb")), as_double(F.col("embedding")))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("label", "q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "q_id", "vec_id", "score", "rank")
+    )
+
+
 def _lsh_adaptive_oracle() -> str:
     """DuckDB replay of the ADAPTIVE-width SRP-LSH pipeline (r10 —
     the 100x mitigation for the fixed-width lsh branch): all
@@ -702,13 +806,6 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = _ivf_query(spark, sf_dir, refine=True, frames=frames).select(
         F.lit("kmeans").alias("variant"), "*"
     )
-    lsh = simsearch_lsh_topk(spark, sf_dir).select(
-        F.lit("lsh").alias("variant"),
-        "q_id",
-        "vec_id",
-        F.col("score").alias("cosine"),
-        F.col("rank").alias("rnk"),
-    )
     # The two r10 scale-mitigation branches (100x-probe findings:
     # fixed-stride IVF 846.9x, fixed-width LSH 74.2x growth at 100x
     # data). Their sizing is data-dependent (sqrt-n centroids /
@@ -720,10 +817,16 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_a = _ivf_query(spark, sf_dir, refine=False, frames=adapt_frames).select(
         F.lit("ivf_adaptive").alias("variant"), "*"
     )
-    lsh_a = simsearch_lsh_topk(
-        spark, sf_dir, n_bits=lsh_adaptive_bits(n)
+    # Both LSH widths run FUSED in one shared pass (projections
+    # computed once to max(bits), labeled buckets, one probe join /
+    # re-rank) — per-label identical to simsearch_lsh_topk, pinned in
+    # tests/test_llm_ops.py; the _srp_pairs_multi discipline.
+    lsh_both = _lsh_topk_multi(
+        spark,
+        sf_dir,
+        [("lsh", LSH_BITS), ("lsh_adaptive", lsh_adaptive_bits(n))],
     ).select(
-        F.lit("lsh_adaptive").alias("variant"),
+        F.col("label").alias("variant"),
         "q_id",
         "vec_id",
         F.col("score").alias("cosine"),
@@ -732,9 +835,8 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.unionByName(seed)
         .unionByName(km)
-        .unionByName(lsh)
         .unionByName(ivf_a)
-        .unionByName(lsh_a)
+        .unionByName(lsh_both)
     )
 
 

@@ -1506,3 +1506,28 @@ def test_simhash_bucket_cap_subset_and_nonvacuous(spark):
     assert len(capped) > 0
     for k, h in capped.items():
         assert full[k] == h
+
+
+def test_lsh_topk_fused_multi_matches_standalone(spark):
+    """The registered row's fused multi-width LSH pass must reproduce
+    the standalone per-width pipelines exactly — a physical
+    optimization (shared projections / probe join / re-rank), never a
+    semantic change (the `_srp_pairs_multi` contract, ANN edition)."""
+    from hgn_spark.operators.similarity import (
+        _lsh_topk_multi,
+        simsearch_lsh_topk,
+    )
+
+    fused = _lsh_topk_multi(spark, SF_SMOKE, [("a", 5), ("b", 3)]).collect()
+    for label, bits in (("a", 5), ("b", 3)):
+        got = sorted(
+            (r["q_id"], r["vec_id"], r["score"], r["rank"])
+            for r in fused
+            if r["label"] == label
+        )
+        want = sorted(
+            tuple(r)
+            for r in simsearch_lsh_topk(spark, SF_SMOKE, n_bits=bits).collect()
+        )
+        assert got == want, label
+        assert len(got) > 0
