@@ -274,6 +274,25 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "agg": "min",
     }
+    # Code provenance for the spread protocol (ADVICE r10): a spread
+    # envelope only excuses an over-threshold reading if it was
+    # measured on the same code — bench_regression.py compares this
+    # field between the spread artifact and the reading under test.
+    try:
+        import subprocess
+
+        out["commit"] = (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001 — provenance is best-effort
+        out["commit"] = None
     if N_RUNS >= 3:
         # Per-query noise envelope over all passes — the committed
         # BENCH_rN_spread.json record bench_regression.py consults.

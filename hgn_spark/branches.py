@@ -1,0 +1,119 @@
+"""Branch-role registry (VERDICT r10 #4): which labeled branches of a
+multi-branch driver row are BASELINE-FOR-EVIDENCE (kept so the driver
+hash-proves a scale-killer or ground truth against its mitigation —
+deliberately NOT runnable at probe scale) vs PRODUCTION-AT-SCALE (the
+path a 100 TB deployment runs, probed at 100x/300x).
+
+This is the single source of truth: ARCHITECTURE.md's table is
+rendered from it (``python -m hgn_spark.branches``), the scale probes
+consult it before timing a composite row
+(scripts/scale_probe_heavy.py warns-and-skips composites whose
+evidence baselines would dominate the probe unless they are selected
+explicitly), and tests/test_plan_guard.py asserts the labels match
+the rows' actual branch values so the map cannot rot.
+
+Rows absent from this map are single-path: their registered query IS
+the production shape.
+"""
+
+from __future__ import annotations
+
+EVIDENCE = "baseline-for-evidence"
+PRODUCTION = "production-at-scale"
+
+# row name -> (branch column, {branch label -> role}, note)
+BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
+    "simsearch_topk_cosine": (
+        "variant",
+        {
+            # exact: the recall ground truth — structurally quadratic
+            # (queries grow with the corpus x a full scan each).
+            "exact": EVIDENCE,
+            # seed/kmeans: fixed CENTROID_STRIDE -> nlist ~ n -> n^2
+            # assign; measured 846.9x at 100x (PROBE_100x_heavy_r10).
+            "seed": EVIDENCE,
+            "kmeans": EVIDENCE,
+            # lsh: pinned LSH_BITS -> candidates ~ n^2/2^bits; 74.2x
+            # at 100x.
+            "lsh": EVIDENCE,
+            "ivf_adaptive": PRODUCTION,
+            "lsh_adaptive": PRODUCTION,
+        },
+        "ANN row; adaptive branches probed at 100x/300x "
+        "(PROBE_100x_mitigations_r10, PROBE_300x_guards_r10); "
+        "recall/knob trade in PROBE_recall_r11.",
+    ),
+    "dedup_minhash_lsh_pairs": (
+        "method",
+        {
+            # minhash: band space scales with the corpus via band
+            # hashes; measured 19.9x at 100x — at-scale-linear, kept
+            # production.
+            "minhash": PRODUCTION,
+            # simhash: FIXED 4 x 2^12 chunk space -> candidates
+            # ~n^2/4096; 42.7x at 100x.
+            "simhash": EVIDENCE,
+            "simhash_cap": PRODUCTION,
+            # srp: pinned 16-bit signature -> candidates ~n^2/256;
+            # 361x at 30x (r9).
+            "srp": EVIDENCE,
+            "srp_adaptive": PRODUCTION,
+        },
+        "Sketch row; capped/adaptive twins probed at 100x/300x; "
+        "recall of each guard vs its uncapped twin in "
+        "PROBE_recall_r11.",
+    ),
+    "dedup_ngram_jaccard_pairs": (
+        "op",
+        {
+            # all/vs_corpus/in_batch: exact-jaccard truth over the
+            # UNCAPPED inverted index — correct at any scale the
+            # shingle df distribution allows, but mega-buckets are
+            # unguarded; the capped twins are what ships against
+            # adversarial corpora.
+            "all": EVIDENCE,
+            "vs_corpus": EVIDENCE,
+            "in_batch": EVIDENCE,
+            "cap": PRODUCTION,
+            "vs_corpus_cap": PRODUCTION,
+            "in_batch_cap": PRODUCTION,
+        },
+        "Exact-jaccard row; PROBE_recall_r11 sizes the production "
+        "df_cap (the driver-evidence CAP_DF=2 keeps hash-proof "
+        "non-vacuous at sf0.01 but is NOT a production value).",
+    ),
+}
+
+# Composite registered rows whose callable unions evidence baselines
+# with production branches — a scale probe that times the WHOLE row
+# measures the deliberate scale-killers, not the engine
+# (simsearch_row at 100x: 3118 s, dominated by exact+seed+kmeans).
+COMPOSITE_SCALE_UNSAFE = {
+    "simsearch_row": "simsearch_topk_cosine",
+}
+
+
+def roles_for(row: str) -> dict[str, str] | None:
+    entry = BRANCH_ROLES.get(row)
+    return entry[1] if entry else None
+
+
+def render_table() -> str:
+    """Markdown table for ARCHITECTURE.md."""
+    lines = [
+        "| row | branch column | branch | role | note |",
+        "|---|---|---|---|---|",
+    ]
+    for row, (col, roles, note) in BRANCH_ROLES.items():
+        first = True
+        for label, role in roles.items():
+            lines.append(
+                f"| {row if first else ''} | {col if first else ''} "
+                f"| `{label}` | {role} | {note if first else ''} |"
+            )
+            first = False
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    print(render_table())

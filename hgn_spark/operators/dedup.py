@@ -458,6 +458,7 @@ def write_standing_shingle_index(
     num_buckets: int = 32,
     batch_mod: int = INC_BATCH_MOD,
     batch_rem: int = INC_BATCH_REM,
+    exclude_rems: tuple[int, ...] | None = None,
 ) -> None:
     """One-time (per-ingestion-epoch) build of the CORPUS shingle
     inverted index as a managed table BUCKETED BY the shingle hash —
@@ -467,12 +468,47 @@ def write_standing_shingle_index(
     time, so every daily feed's candidate join reads it bucket-local
     with no Exchange on the index side, feed after feed. Docs in the
     current batch residue are excluded — they are what gets joined
-    AGAINST it."""
+    AGAINST it. ``exclude_rems`` widens the exclusion to SEVERAL
+    residues (default: just ``batch_rem``) so a multi-epoch test can
+    hold future feeds out of the initial corpus."""
     from hgn_spark.operators.scale import write_bucketed
 
+    excl = exclude_rems if exclude_rems is not None else (batch_rem,)
     sh = _hashed_shingle_index(spark, sf_dir)
-    corpus = sh.filter(F.col("doc_id") % batch_mod != batch_rem)
+    corpus = sh.filter(~(F.col("doc_id") % batch_mod).isin(list(excl)))
     write_bucketed(corpus, table, ["h"], num_buckets=num_buckets)
+
+
+def append_batch_to_standing_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "standing_shingle_index",
+    num_buckets: int = 32,
+    batch_mod: int = INC_BATCH_MOD,
+    batch_rem: int = INC_BATCH_REM,
+) -> None:
+    """Epoch append (VERDICT r10 #7): after a feed has been deduped and
+    ACCEPTED into the corpus, fold its shingles into the standing
+    bucketed index so the NEXT feed's candidate join sees it — the
+    feed-after-feed ingestion loop a 100 TB corpus actually runs.
+
+    The append writes through the same bucketBy(h) spec (Spark
+    validates it against the table's), so new rows land bucket-aligned
+    and the next feed's join still plans exactly ONE Exchange — the
+    batch side; the index is still never re-shuffled (pinned across
+    two epochs in tests/test_scale.py::test_standing_index_two_epochs).
+    Each epoch adds up to one file per (task, bucket): bucket-local
+    reads stay valid at any file count, but small files accumulate —
+    compaction cadence is a rewrite of the table (one job, index
+    offline for no reads — it is a derived artifact) every O(100)
+    epochs or when per-bucket file counts pass the scan-latency budget
+    (see ARCHITECTURE 'Standing index across epochs')."""
+    from hgn_spark.operators.scale import write_bucketed
+
+    batch = _hashed_shingle_index(spark, sf_dir).filter(
+        F.col("doc_id") % batch_mod == batch_rem
+    )
+    write_bucketed(batch, table, ["h"], num_buckets=num_buckets, mode="append")
 
 
 def neardup_vs_standing_index(
@@ -1127,6 +1163,7 @@ def dedup_embedding_neardup_pairs(
     sf_dir: str,
     bucket_cap: int | None = None,
     n_bits: int = SRP_BITS,
+    n_bands: int = 2,
 ) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH:
     16-bit sign signature, candidates share one of two 8-bit bands,
@@ -1177,11 +1214,23 @@ def dedup_embedding_neardup_pairs(
     # the verify uses cosine_prenormed (bit-identical to cosine; the
     # per-pair norm folds were 2/3 of every pairwise cosine).
     sig = emb.select("vec_id", *bit_cols)
-    half = n_bits // 2
-    lo = sum(F.col(f"b{j}") * (1 << j) for j in range(half))
-    hi = sum(F.col(f"b{j}") * (1 << (j - half)) for j in range(half, n_bits))
+    # Band layout: ``n_bands`` contiguous segments of n_bits//n_bands
+    # bits (the last band absorbs any remainder — for the default
+    # n_bands=2 this is exactly the historical lo/hi halves, so the
+    # driver oracle is untouched). Band WIDTH is the recall dial the
+    # r11 recall probe measures: recall per band ≈ p^width (p = sign
+    # agreement at the target cosine), total 1-(1-p^w)^b — more,
+    # narrower bands buy recall with linearly more candidate volume.
+    w_band = n_bits // n_bands
+    band_cols = []
+    for bi in range(n_bands):
+        lo_j = bi * w_band
+        hi_j = (bi + 1) * w_band if bi < n_bands - 1 else n_bits
+        band_cols.append(
+            sum(F.col(f"b{j}") * (1 << (j - lo_j)) for j in range(lo_j, hi_j))
+        )
     banded = sig.select(
-        "vec_id", F.posexplode(F.array(lo, hi)).alias("band", "bh")
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
     )
     if bucket_cap is not None:
         # Drop mega-buckets BEFORE the pair join: one aggregation over
@@ -1239,7 +1288,10 @@ def dedup_embedding_neardup_pairs(
 
 
 def dedup_embedding_neardup_pairs_adaptive(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = None,
+    n_bands: int = 2,
 ) -> DataFrame:
     """The adaptive-bits SRP variant (scale knob (a) on
     `dedup_embedding_neardup_pairs`, promoted to driver evidence —
@@ -1254,7 +1306,11 @@ def dedup_embedding_neardup_pairs_adaptive(
 
     n = load_embeddings(spark, sf_dir).count()
     return dedup_embedding_neardup_pairs(
-        spark, sf_dir, bucket_cap=bucket_cap, n_bits=srp_adaptive_bits(n)
+        spark,
+        sf_dir,
+        bucket_cap=bucket_cap,
+        n_bits=srp_adaptive_bits(n),
+        n_bands=n_bands,
     )
 
 

@@ -264,35 +264,39 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hgn_spark.config import load_config
 
     # Namespaced and restored after load_config (the only consumer) —
-    # the r9 version mutated the process env permanently (ADVICE r9).
+    # the r9 version mutated the process env permanently (ADVICE r9);
+    # try/finally so a YAML-write or load_config failure can't leak it
+    # either (ADVICE r10).
     _prev_qty = _os.environ.get("HGN_SCAN_IO_QTY")
     _os.environ["HGN_SCAN_IO_QTY"] = "45"
-    conf_path = os.path.join(tmp, "scan_io.yml")
-    with open(conf_path, "w", encoding="utf-8") as fh:
-        fh.write(
-            "query:\n"
-            "  ship_before: '1997-01-01'\n"
-            "  min_qty: !ENV ${HGN_SCAN_IO_QTY}\n"
-        )
-    schema = {
-        "type": "object",
-        "required": ["query"],
-        "properties": {
-            "query": {
-                "type": "object",
-                "required": ["ship_before", "min_qty"],
-                "properties": {
-                    "ship_before": {"type": "string"},
-                    "min_qty": {"type": "string", "pattern": "^[0-9]+$"},
-                },
-            }
-        },
-    }
-    qconf = load_config(conf_path, schema)["query"]
-    if _prev_qty is None:
-        del _os.environ["HGN_SCAN_IO_QTY"]
-    else:
-        _os.environ["HGN_SCAN_IO_QTY"] = _prev_qty
+    try:
+        conf_path = os.path.join(tmp, "scan_io.yml")
+        with open(conf_path, "w", encoding="utf-8") as fh:
+            fh.write(
+                "query:\n"
+                "  ship_before: '1997-01-01'\n"
+                "  min_qty: !ENV ${HGN_SCAN_IO_QTY}\n"
+            )
+        schema = {
+            "type": "object",
+            "required": ["query"],
+            "properties": {
+                "query": {
+                    "type": "object",
+                    "required": ["ship_before", "min_qty"],
+                    "properties": {
+                        "ship_before": {"type": "string"},
+                        "min_qty": {"type": "string", "pattern": "^[0-9]+$"},
+                    },
+                }
+            },
+        }
+        qconf = load_config(conf_path, schema)["query"]
+    finally:
+        if _prev_qty is None:
+            del _os.environ["HGN_SCAN_IO_QTY"]
+        else:
+            _os.environ["HGN_SCAN_IO_QTY"] = _prev_qty
     conf_back = (
         load_table(spark, sf_dir, "lineitem")
         .filter(

@@ -250,10 +250,12 @@ def mixture_thresholds_frame(
     """Fully-distributed remix planner (VERDICT r8 #7): the per-group
     keep-rate THRESHOLDS as a tiny DataFrame ``(g, t)`` — one row per
     observed group — computed entirely inside the plan, so the remix
-    path has no driver-side data hop at all (`mixture_rates` keeps the
-    dict-returning API for callers that want the plan inspectable).
+    path has no driver-side data hop at all. (A dict-returning
+    collect-based planner existed through r10; it was superseded by
+    this frame and deleted per VERDICT r10 — its arithmetic survives
+    as the pure-Python oracle in tests/test_llm_ops.py.)
 
-    Same arithmetic as `mixture_rates` + `apply_mixture_sample`,
+    Same arithmetic as that oracle + `apply_mixture_sample`,
     expression tree mirrored against the oracle's thr CTE so binary64
     results are bit-equal: w_total sums the (exact-power-of-two)
     weights of OBSERVED groups, the binding group is min over
@@ -296,43 +298,6 @@ def mixture_thresholds_frame(
         )
     )
     return j.select("g", t.alias("t"))
-
-
-def mixture_rates(
-    df: DataFrame, group_col: str, target_weights: dict[str, float]
-) -> dict[str, float]:
-    """Plan a corpus remix: per-group keep rates that reshape observed
-    group sizes toward ``target_weights`` (relative proportions) without
-    upsampling. The binding group is the one whose observed share,
-    relative to its target, is smallest — it keeps rate 1.0 and every
-    other group downsamples proportionally, which yields the largest
-    corpus exactly matching the target mix.
-
-    The aggregation is one map-side-combinable groupBy count; only the
-    per-group summary (one row per group — a plan, not data) reaches
-    the driver.
-    """
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g")).count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
-    # Groups absent from target_weights get weight 0 → rate 0 (dropped
-    # from the remix), the conventional reading of a mixture spec.
-    w_total = sum(target_weights.get(g, 0.0) for g in counts)
-    if w_total <= 0:
-        raise ValueError("target_weights assigns no mass to any observed group")
-    # size of the output corpus if group g binds: counts[g] / share_g
-    binding_total = min(
-        counts[g] / (target_weights[g] / w_total)
-        for g in counts
-        if target_weights.get(g, 0) > 0
-    )
-    return {
-        g: min(1.0, (target_weights.get(g, 0.0) / w_total) * binding_total / n)
-        for g, n in counts.items()
-    }
 
 
 def apply_mixture_sample(

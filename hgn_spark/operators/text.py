@@ -757,7 +757,7 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     volumes, exact-duplicate rate (via the md5 whitespace-normalized
     fingerprint — the same key exact dedup groups on) and the
     quality-gate pass rate. This is the aggregation a mixture-planning
-    step consumes (operators/sampling.py `mixture_rates`).
+    step consumes (operators/sampling.py `mixture_thresholds_frame`).
 
     Scale shape: one scan-side pass computes per-doc stats (no UDF,
     whole-stage codegen), then a single aggregation by (source, lang)

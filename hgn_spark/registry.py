@@ -186,10 +186,23 @@ def clear_session_caches(blocking: bool = False) -> None:
     # spike to 25-31 s once several invocations' providers pile up,
     # vs flat 8-9 s with the unload; the reload on next use costs
     # ~1-2 s). Providers reload lazily from their checkpoints, so this
-    # is safe whenever no streaming query is mid-flight — which is the
-    # contract of this function already.
+    # is safe whenever no streaming query is mid-flight — and instead
+    # of trusting that documented convention, the unload is now gated
+    # on spark.streams.active being empty (ADVICE r10): stopping the
+    # coordinator under a live query would unload providers it is
+    # actively writing.
     if spark is not None:
         try:
-            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            if spark.streams.active:
+                import warnings
+
+                warnings.warn(
+                    "clear_session_caches: skipping StateStore.stop() — "
+                    f"{len(spark.streams.active)} streaming query(ies) "
+                    "still active",
+                    stacklevel=2,
+                )
+            else:
+                spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         except Exception:  # noqa: BLE001 — best-effort; internal JVM surface
             pass

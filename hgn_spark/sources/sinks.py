@@ -19,6 +19,7 @@ Reference parity with deliberate scale fixes:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,6 +117,11 @@ def checkpoint_df(df: DataFrame, durable_path: str | None = None) -> DataFrame:
 # and the per-parent generation counter behind the unique subdirs.
 _EPHEMERAL_REAPED: set[str] = set()
 _EPHEMERAL_GEN: dict[str, int] = {}
+# Guards the generation read-modify-write: two threads asking for the
+# same (tag, app) parent concurrently must not receive the same g{N}
+# path — a collision would hand two sinks/checkpoints one directory,
+# exactly what the per-call-site tag exists to prevent (ADVICE r10).
+_EPHEMERAL_LOCK = threading.Lock()
 
 
 def ephemeral_io_dir(spark: SparkSession, tag: str) -> str:
@@ -153,13 +159,14 @@ def ephemeral_io_dir(spark: SparkSession, tag: str) -> str:
         tempfile.gettempdir(),
         f"hgn_io_{tag}_{spark.sparkContext.applicationId}",
     )
-    gen = _EPHEMERAL_GEN.get(parent, 0)
-    _EPHEMERAL_GEN[parent] = gen + 1
+    with _EPHEMERAL_LOCK:
+        gen = _EPHEMERAL_GEN.get(parent, 0)
+        _EPHEMERAL_GEN[parent] = gen + 1
+        if parent not in _EPHEMERAL_REAPED:
+            _EPHEMERAL_REAPED.add(parent)
+            atexit.register(shutil.rmtree, parent, ignore_errors=True)
     path = os.path.join(parent, f"g{gen}")
     os.makedirs(path, exist_ok=True)
-    if parent not in _EPHEMERAL_REAPED:
-        _EPHEMERAL_REAPED.add(parent)
-        atexit.register(shutil.rmtree, parent, ignore_errors=True)
     return path
 
 

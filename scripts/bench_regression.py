@@ -86,22 +86,36 @@ def _queries(path: str) -> dict[str, float]:
     return d["queries"]
 
 
-def _spread(path: str | None) -> dict[str, dict[str, float]]:
-    if path is None:
-        return {}
+def _load(path: str) -> dict:
     d = json.load(open(path))
     if "parsed" in d:
         d = d["parsed"]
-    return d.get("spread", {})
+    return d
 
 
 def main() -> None:
     new = _queries(sys.argv[1])
-    base = _queries(sys.argv[2])
+    base_doc = _load(sys.argv[2])
+    base = base_doc["queries"]
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
-    spread = _spread(sys.argv[4] if len(sys.argv) > 4 else None)
+    spread_doc = _load(sys.argv[4]) if len(sys.argv) > 4 else {}
+    spread = spread_doc.get("spread", {})
+    # Provenance gate (ADVICE r10): a spread envelope fully exonerates
+    # an over-threshold reading only if it was measured on the SAME
+    # code as the baseline — otherwise a real regression baked into
+    # the spread's own passes would excuse itself. bench.py stamps
+    # "commit" into its JSON; when the spread's commit matches the
+    # baseline's, INSPREAD is a verdict. When provenance can't be
+    # established (driver artifacts carry no commit) or doesn't match,
+    # rows are downgraded to SPREADWARN — still listing the delta so a
+    # human adjudicates — never silently cleared.
+    spread_verified = (
+        spread_doc.get("commit") is not None
+        and spread_doc.get("commit") == base_doc.get("commit")
+    )
 
     failures = []
+    spread_warns = []
     for q, t in sorted(new.items()):
         names = MERGES.get(q, [q])
         eq = [n for n in names if n in base]
@@ -122,9 +136,17 @@ def main() -> None:
             print(f"WIDENED  {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
                   f"(absorbed unbenched branches — attribute, don't fail)")
         elif ratio > thresh and q in spread and t <= spread[q]["max"]:
-            print(f"INSPREAD {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
-                  f"(<= recorded same-code max {spread[q]['max']:.2f}s "
-                  f"over {spread[q]['passes']} passes — noise, not code)")
+            if spread_verified:
+                print(f"INSPREAD {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
+                      f"(<= recorded same-code max {spread[q]['max']:.2f}s "
+                      f"over {spread[q]['passes']} passes — noise, not code)")
+            else:
+                spread_warns.append((q, t, b, ratio))
+                print(f"SPREADWARN {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
+                      f"(<= spread max {spread[q]['max']:.2f}s over "
+                      f"{spread[q]['passes']} passes, but spread commit "
+                      f"{spread_doc.get('commit') or '?'} != baseline commit "
+                      f"{base_doc.get('commit') or '?'} — adjudicate manually)")
         elif ratio > thresh:
             over = (f", outside recorded max {spread[q]['max']:.2f}s"
                     if q in spread else "")
@@ -132,6 +154,10 @@ def main() -> None:
             print(f"FAIL     {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}{over}")
         else:
             print(f"ok       {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}")
+    if spread_warns:
+        print(f"\n{len(spread_warns)} spread-unverified warning(s) — "
+              "inside a spread envelope whose code provenance does not "
+              "match the baseline; adjudicate before accepting")
     if failures:
         print(f"\n{len(failures)} regression(s) over {thresh}x")
         sys.exit(1)

@@ -116,6 +116,25 @@ def main() -> None:
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))
         variants = {k: v for k, v in variants.items() if k in only}
+    else:
+        # Branch-role gate (VERDICT r10 #4): composite rows that union
+        # baseline-for-evidence branches with production ones measure
+        # the DELIBERATE scale-killers, not the engine (simsearch_row
+        # at 100x: 3118 s, dominated by exact+seed+kmeans). The default
+        # sweep skips them; name one explicitly in the `only` arg to
+        # probe it anyway.
+        from hgn_spark.branches import COMPOSITE_SCALE_UNSAFE
+
+        for name, row in COMPOSITE_SCALE_UNSAFE.items():
+            if name in variants:
+                print(
+                    f"# skipping {name}: composite of row '{row}' carries "
+                    "baseline-for-evidence branches (see "
+                    "hgn_spark/branches.py); pass it in the only-list to "
+                    "probe deliberately",
+                    file=sys.stderr,
+                )
+                variants.pop(name)
 
     spark = get_spark(app_name="scale_probe_heavy")
     spark.read.parquet(f"{BASE}/nation.parquet").groupBy(

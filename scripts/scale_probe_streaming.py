@@ -17,7 +17,11 @@ drain through their own per-application scratch checkpoints
 checkpoint — the probe measures full reprocessing, the cost shape a
 backfill at 100 TB would see.
 
-Usage: python scripts/scale_probe_streaming.py [scaled_dir] [runs]
+Usage: python scripts/scale_probe_streaming.py [scaled_dir] [runs] [only,csv]
+       (3rd arg: comma-separated row subset — the r11 300x tier
+        focuses the steepest rows. Set SPARK_GRAFT_STATESTORE=rocksdb
+        to probe the RocksDB provider; the JSON records which provider
+        ran.)
 """
 
 from __future__ import annotations
@@ -45,6 +49,9 @@ ROWS = (
 def main() -> None:
     scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hgn_scale/sf10"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    rows_to_probe = (
+        tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ROWS
+    )
 
     from hgn_spark import registry
     from hgn_spark.registry import clear_session_caches
@@ -59,7 +66,7 @@ def main() -> None:
     out: dict[str, dict[str, float | str]] = {}
     for sf_dir, label in ((BASE, "sf0.1"), (scaled, "scaled")):
         times: dict[str, float | str] = {}
-        for name in ROWS:
+        for name in rows_to_probe:
             fn = rows[name].fn
             best: float | None = None
             for _ in range(runs):
@@ -84,7 +91,7 @@ def main() -> None:
 
     growth = {
         n: round(out["scaled"][n] / out["sf0.1"][n], 1)
-        for n in ROWS
+        for n in rows_to_probe
         if isinstance(out["sf0.1"].get(n), float)
         and isinstance(out["scaled"].get(n), float)
     }
@@ -92,6 +99,9 @@ def main() -> None:
         json.dumps(
             {
                 "probe": "streaming_100x",
+                "state_store_provider": os.environ.get(
+                    "SPARK_GRAFT_STATESTORE", "hdfs"
+                ),
                 "scaled_dir": scaled,
                 "base": out["sf0.1"],
                 "scaled": out["scaled"],

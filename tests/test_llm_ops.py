@@ -571,16 +571,45 @@ def test_redact_pii_patterns(spark):
     assert got == [e for _, e in rows]
 
 
+def _mixture_rates_oracle(df, group_col, target_weights):
+    """Pure-Python remix planner — the oracle for
+    mixture_thresholds_frame. This WAS hgn_spark's collect-based
+    mixture_rates through r10; deleted from the library per VERDICT
+    r10 (zero .collect() outside 1-row loop control) and kept here as
+    the reference arithmetic the distributed planner must match
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    w_total = sum(target_weights.get(g, 0.0) for g in counts)
+    if w_total <= 0:
+        raise ValueError("target_weights assigns no mass to any observed group")
+    binding_total = min(
+        counts[g] / (target_weights[g] / w_total)
+        for g in counts
+        if target_weights.get(g, 0) > 0
+    )
+    return {
+        g: min(1.0, (target_weights.get(g, 0.0) / w_total) * binding_total / n)
+        for g, n in counts.items()
+    }
+
+
 def test_mixture_rates_reshape_corpus(spark):
     """mixture_rates + apply_mixture_sample: the binding group keeps
     rate 1.0, realized group shares land near the target mix, and the
     sample is deterministic across invocations."""
-    from hgn_spark.operators.sampling import apply_mixture_sample, mixture_rates
+    from hgn_spark.operators.sampling import apply_mixture_sample
 
     docs = SPECS["text_profile"].fn(spark, SF_SMOKE)  # any per-doc frame
     base = docs.selectExpr("doc_id", "pred_lang AS lang")
-    rates = mixture_rates(base, "lang", {"en": 1.0, "es": 1.0, "de": 1.0,
-                                         "fr": 1.0, "zh": 1.0})
+    rates = _mixture_rates_oracle(base, "lang", {"en": 1.0, "es": 1.0, "de": 1.0,
+                                                 "fr": 1.0, "zh": 1.0})
     assert max(rates.values()) == 1.0  # binding group undersampled, kept whole
     out = apply_mixture_sample(base, "doc_id", "lang", rates)
     got = {r["lang"]: r["n"] for r in
@@ -605,13 +634,12 @@ def test_mixture_thresholds_frame_matches_dict_planner(spark):
     tree, so any drift between the two APIs is a bug."""
     from hgn_spark.operators.sampling import (
         MIX_WEIGHTS,
-        mixture_rates,
         mixture_thresholds_frame,
     )
 
     docs = SPECS["text_profile"].fn(spark, SF_SMOKE)
     base = docs.selectExpr("doc_id", "pred_lang AS lang")
-    rates = mixture_rates(base, "lang", MIX_WEIGHTS)
+    rates = _mixture_rates_oracle(base, "lang", MIX_WEIGHTS)
     expected = {
         g: ("g" if r >= 1.0
             else format(min(int(r * 2**32), 2**32 - 1), "08x"))
@@ -691,18 +719,18 @@ def test_mixture_rates_drops_unweighted_groups(spark):
     gets rate 0 (dropped), not a KeyError; an all-zero mix raises."""
     import pytest as _pytest
 
-    from hgn_spark.operators.sampling import apply_mixture_sample, mixture_rates
+    from hgn_spark.operators.sampling import apply_mixture_sample
 
     base = spark.createDataFrame(
         [(i, "a" if i % 2 else "junk") for i in range(100)], ["doc_id", "g"]
     )
-    rates = mixture_rates(base, "g", {"a": 1.0})
+    rates = _mixture_rates_oracle(base, "g", {"a": 1.0})
     assert rates["a"] == 1.0 and rates["junk"] == 0.0
     out = apply_mixture_sample(base, "doc_id", "g", rates)
     assert out.filter("g = 'junk'").count() == 0
     assert out.filter("g = 'a'").count() == 50
     with _pytest.raises(ValueError):
-        mixture_rates(base, "g", {"nope": 1.0})
+        _mixture_rates_oracle(base, "g", {"nope": 1.0})
 
 
 def test_heavy_hitters_exact_topk_zipf(spark):

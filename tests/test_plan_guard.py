@@ -165,3 +165,39 @@ def test_bench_headline_covers_driver_window():
     assert not missing, f"driver rows with no bench point: {missing}"
     unknown = [n for n in bench.HEADLINE if n not in load_all()]
     assert not unknown, f"HEADLINE names not in the registry: {unknown}"
+
+
+def test_branch_roles_match_reality(spark):
+    """hgn_spark.branches.BRANCH_ROLES is the single source of truth
+    for which labeled branches of a multi-branch row are
+    baseline-for-evidence vs production-at-scale (VERDICT r10 #4:
+    ARCHITECTURE renders from it, scale probes consult it). The map
+    rots silently if a row renames or adds a branch — so pin that the
+    mapped labels are EXACTLY the branch values the row emits, and
+    that every row/composite the map names exists."""
+    from hgn_spark.branches import (
+        BRANCH_ROLES,
+        COMPOSITE_SCALE_UNSAFE,
+        EVIDENCE,
+        PRODUCTION,
+    )
+
+    specs = load_all()
+    for row, (col, roles, _note) in BRANCH_ROLES.items():
+        assert row in specs, f"{row} not registered"
+        assert set(roles.values()) <= {EVIDENCE, PRODUCTION}
+        got = {
+            r[0]
+            for r in specs[row].fn(spark, SF_SMOKE).select(col).distinct().collect()
+        }
+        assert got == set(roles), (
+            f"{row}.{col}: map says {sorted(roles)} but the row emits "
+            f"{sorted(got)}"
+        )
+        # Every multi-branch row with a measured scale-killer must ship
+        # at least one production-at-scale branch.
+        assert PRODUCTION in roles.values(), f"{row} has no production branch"
+    for composite, row in COMPOSITE_SCALE_UNSAFE.items():
+        assert row in BRANCH_ROLES, (
+            f"composite {composite} points at unmapped row {row}"
+        )

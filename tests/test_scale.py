@@ -138,3 +138,107 @@ def test_standing_index_bucketed_join(spark):
         assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_standing_index_two_epochs(spark):
+    """Feed-after-feed ingestion over the bucketed standing index
+    (VERDICT r10 #7): epoch 1's batch joins the initial corpus index,
+    is accepted, and APPENDS its shingles in place
+    (append_batch_to_standing_index, same bucketBy(h) spec); epoch 2's
+    batch must then see corpus + epoch-1 docs — parity pinned against
+    the whole-corpus exact-jaccard pair list, and the epoch-2 join
+    must STILL plan exactly one Exchange (the index is never
+    re-shuffled, no matter how many epochs appended)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.dedup import (
+        append_batch_to_standing_index,
+        dedup_ngram_jaccard_pairs,
+        neardup_vs_standing_index,
+        write_standing_shingle_index,
+        _hashed_shingle_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    MOD, EP1, EP2 = 5, 0, 4  # corpus = residues 1-3; two feeds
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS t_standing_2ep")
+    shutil.rmtree(f"{warehouse}/t_standing_2ep", ignore_errors=True)
+    write_standing_shingle_index(
+        spark,
+        SF_SMOKE,
+        table="t_standing_2ep",
+        num_buckets=8,
+        batch_mod=MOD,
+        exclude_rems=(EP1, EP2),
+    )
+
+    # The whole-corpus exact pair list is the oracle for both epochs
+    # (same verify, candidate generation un-gated).
+    allp = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup_ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+
+    def _expected(feed_rem: int, indexed_rems: set[int]) -> set:
+        # vs_corpus orientation: the feed doc is d1.
+        out = set()
+        for d1, d2, j in allp:
+            r1, r2 = d1 % MOD, d2 % MOD
+            if r1 == feed_rem and r2 in indexed_rems:
+                out.add((d1, d2, j))
+            elif r2 == feed_rem and r1 in indexed_rems:
+                out.add((d2, d1, j))
+        return out
+
+    got1 = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in neardup_vs_standing_index(
+            spark, SF_SMOKE, table="t_standing_2ep", batch_mod=MOD, batch_rem=EP1
+        ).collect()
+    }
+    assert got1 == _expected(EP1, {1, 2, 3})
+
+    # Epoch 1 accepted -> append its shingles in place.
+    append_batch_to_standing_index(
+        spark,
+        SF_SMOKE,
+        table="t_standing_2ep",
+        num_buckets=8,
+        batch_mod=MOD,
+        batch_rem=EP1,
+    )
+
+    got2 = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in neardup_vs_standing_index(
+            spark, SF_SMOKE, table="t_standing_2ep", batch_mod=MOD, batch_rem=EP2
+        ).collect()
+    }
+    want2 = _expected(EP2, {1, 2, 3, EP1})
+    assert got2 == want2
+    # Non-vacuous: epoch 2 must actually surface at least one pair
+    # against an epoch-1 doc, or the append proved nothing.
+    assert any(d2 % MOD == EP1 for _, d2, _ in got2), got2
+
+    # Physics after the append: one Exchange, batch side only.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        standing = spark.table("t_standing_2ep").select(
+            F.col("doc_id").alias("d2"), "h"
+        )
+        batch = (
+            _hashed_shingle_index(spark, SF_SMOKE)
+            .filter(F.col("doc_id") % MOD == EP2)
+            .select(F.col("doc_id").alias("d1"), "h")
+        )
+        plan = (
+            batch.join(standing, "h")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
