@@ -53,7 +53,16 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
             # simhash: FIXED 4 x 2^12 chunk space -> candidates
             # ~n^2/4096; 42.7x at 100x.
             "simhash": EVIDENCE,
-            "simhash_cap": PRODUCTION,
+            # simhash_cap: DEMOTED r11 — PROBE_recall_r11 measured the
+            # fixed cap's recall at 0.0 by 10x (fixed bucket space
+            # means every bucket outgrows any fixed cap); kept as the
+            # guard-shape evidence twin.
+            "simhash_cap": EVIDENCE,
+            # simhash_manku: C(6,3)=20 combination tables, 24-bit
+            # keys — result-identical to `simhash` by pigeonhole
+            # (driver-hashed against the same oracle), bucket space
+            # 4096x the chunk scheme's.
+            "simhash_manku": PRODUCTION,
             # srp: pinned 16-bit signature -> candidates ~n^2/256;
             # 361x at 30x (r9).
             "srp": EVIDENCE,

@@ -54,6 +54,15 @@ JACCARD_THRES = 0.8
 # nothing). One constant feeds BOTH the Spark branch and the oracle's
 # shingle-df CTE so the two sides cannot drift.
 CAP_DF = 2
+# The PRODUCTION df-cap, sized by measurement (PROBE_recall_r11): at
+# df_cap=16 the capped candidate join recovers recall 1.0 vs the
+# uncapped exact twin at sf0.1, 10x and 30x (vs 0.039 at the
+# driver-evidence CAP_DF=2) for ~1.6-2x the capped runtime — still
+# bounded candidates (<= 16 docs per shingle bucket), so the 100 TB
+# growth envelope of the cap guard is unchanged. A deployment tunes
+# this against its own boilerplate profile; the probe artifact carries
+# the sweep.
+PRODUCTION_CAP_DF = 16
 # Which doc_id residue (mod INC_BATCH_MOD) plays the "incoming batch"
 # in the incremental near-dup branches. One constant feeds the Spark
 # call sites, the oracle SQL, and the pytest split so they cannot
@@ -74,6 +83,20 @@ SIMHASH_MAX_HAMMING = 3
 # the capped pair set provably DIFFERS from the uncapped one at
 # sf0.01 (13 pairs vs 17) without being empty.
 SIMHASH_CAP = 2
+# Manku-style combination bucketing ("Detecting Near-Duplicates for Web
+# Crawling", WWW'07 §3): split the 48-bit signature into 6 chunks of
+# 8 bits and key candidate buckets on every 3-chunk combination —
+# C(6,3) = 20 tables of 24-bit keys. Pigeonhole: hamming <= 3 touches
+# at most 3 chunks, so at least 3 chunks are clean and SOME 3-subset
+# of clean chunks matches — candidates remain a superset of every true
+# pair, so the verified result is IDENTICAL to the 4 x 12-bit chunk
+# scheme (recall 1.0 by construction, pinned in tests and
+# PROBE_recall_r11). What changes is the bucket space: 2^24 per table
+# vs 2^12, deferring the occupancy blowup (42.7x growth at 100x for
+# the 12-bit chunks) by a factor of 4096 while scanning only
+# 20n / 4n = 5x more key rows.
+SIMHASH_COMBO_CHUNKS = 6
+SIMHASH_COMBO_PICK = SIMHASH_COMBO_CHUNKS - SIMHASH_MAX_HAMMING  # = 3
 EMB_COS_THRES = 0.4  # testdata has no planted embedding dups (max pair
                      # cosine 0.479); threshold chosen to exercise the path
 SRP_BITS = 16
@@ -948,7 +971,10 @@ def _simhash_oracle(bucket_cap: int | None = None) -> str:
 
 
 def dedup_simhash_pairs(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = None,
+    scheme: str = "chunk",
 ) -> DataFrame:
     """SimHash near-dup pairs: 48-bit signature per doc (sign of the
     per-bit ±1 sum over distinct portable shingle hashes), pigeonhole
@@ -972,7 +998,22 @@ def dedup_simhash_pairs(
     shares one ~50-word vocabulary, so token SETS are near-identical
     across unrelated docs and token-simhash collapses; shingle sets are
     distinctive (measured: 8/28 planted pairs recovered with tokens vs
-    a clean separation with shingles)."""
+    a clean separation with shingles).
+
+    ``scheme`` picks the candidate-bucket keying — the VERIFIED result
+    is identical either way (both candidate sets are supersets of
+    every hamming <= SIMHASH_MAX_HAMMING pair by pigeonhole, and the
+    exact bit_count(xor) verify is shared), so both replay against the
+    same oracle:
+
+    - 'chunk': 4 tables keyed on one 12-bit chunk each — the compact
+      evidence baseline whose fixed 2^12 bucket space the 100x probe
+      measured at 42.7x growth.
+    - 'combo' (r11, production): C(6,3) = 20 tables keyed on a 3-chunk
+      24-bit combination (Manku WWW'07 §3) — 4096x the bucket space
+      for 5x the key rows, so occupancy (and with it the quadratic
+      candidate term) is deferred 4096x; measured growth in
+      PROBE_100x_mitigations_r11."""
     sets_ = _doc_shingle_sets(spark, sf_dir)
     # Bit-packed signature build, entirely scan-side: for each bit lane,
     # the ±1 sum over a doc's shingle hashes is positive iff popcount of
@@ -993,16 +1034,42 @@ def dedup_simhash_pairs(
             "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
         ).alias("sig"),
     )
-    chunks = sig.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
+    if scheme == "combo":
+        # 20 combination keys per doc, each the concatenation of three
+        # 8-bit chunks — built as one literal array so the whole keying
+        # stays a scan-side projection (no shuffle before the join).
+        from itertools import combinations
+
+        cb = SIMHASH_BITS // SIMHASH_COMBO_CHUNKS
+        cmask = (1 << cb) - 1
+        key_exprs = [
             F.expr(
-                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
-                f"i -> shiftright(sig, i * {chunk_bits}) & {mask})"
+                " | ".join(
+                    f"shiftleft(shiftright(sig, {c * cb}) & {cmask}, "
+                    f"{pos * cb})"
+                    for pos, c in enumerate(combo)
+                )
             )
-        ).alias("chunk_idx", "chunk"),
-    )
+            for combo in combinations(
+                range(SIMHASH_COMBO_CHUNKS), SIMHASH_COMBO_PICK
+            )
+        ]
+        chunks = sig.select(
+            "doc_id",
+            "sig",
+            F.posexplode(F.array(*key_exprs)).alias("chunk_idx", "chunk"),
+        )
+    else:
+        chunks = sig.select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+                    f"i -> shiftright(sig, i * {chunk_bits}) & {mask})"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
     if bucket_cap is not None:
         # Drop mega-buckets BEFORE the pair join: one tiny aggregation
         # (one row per (chunk_idx, chunk) bucket) broadcast back, so
@@ -1438,6 +1505,12 @@ def _srp_pairs_multi(
         + _simhash_oracle()
         + ") UNION ALL SELECT 'simhash_cap', d1, d2, CAST(hamming AS DOUBLE) FROM ("
         + _simhash_oracle(SIMHASH_CAP)
+        # simhash_manku replays against the SAME uncapped oracle: the
+        # combination bucketing's verified pairs are identical to the
+        # chunk scheme's by pigeonhole (see dedup_simhash_pairs) — the
+        # driver hash proves the equality per sf, not just the theorem.
+        + ") UNION ALL SELECT 'simhash_manku', d1, d2, CAST(hamming AS DOUBLE) FROM ("
+        + _simhash_oracle()
         + ") UNION ALL SELECT 'srp', v1, v2, cosine FROM ("
         + _srp_oracle()
         + ") UNION ALL SELECT 'srp_adaptive', v1, v2, cosine FROM ("
@@ -1458,7 +1531,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'simhash_cap' (r10): the same pipeline behind the chunk-bucket
       cap (SIMHASH_CAP) — the guard for simhash's fixed chunk space,
       whose occupancy the 100x probe measured going superlinear
-      (42.7x at 100x data);
+      (42.7x at 100x data); PROBE_recall_r11 then measured the fixed
+      cap's recall collapsing to 0.0 by 10x (every bucket outgrows any
+      fixed cap when the bucket SPACE is fixed), demoting this branch
+      to guard-shape evidence;
+    - 'simhash_manku' (r11, production): the same signatures keyed on
+      C(6,3) = 20 three-chunk combinations (24-bit keys) — verified
+      result identical to 'simhash' by pigeonhole, bucket space 4096x,
+      so no cap is needed in the first place;
     - 'srp_adaptive': the same pipeline at the 2*ceil(log2(n))
       adaptive signature width (dedup_embedding_neardup_pairs_adaptive)
       — the scale mitigation that holds bucket occupancy constant as
@@ -1490,6 +1570,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("b"),
         F.col("hamming").cast("double").alias("score"),
     )
+    # r11: the production simhash keying — Manku combination buckets
+    # (2^24 key space vs the chunk scheme's 2^12; PROBE_recall_r11
+    # measured the capped chunk scheme at recall 0.0 by 10x, while this
+    # branch is result-identical to `simhash` by pigeonhole).
+    shm = dedup_simhash_pairs(spark, sf_dir, scheme="combo").select(
+        F.lit("simhash_manku").alias("method"),
+        F.col("d1").alias("a"),
+        F.col("d2").alias("b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
     # Both SRP widths run FUSED in one shared pass (one signature
     # scan up to max(bits), one labeled bucket join, one verify of the
     # union'd pairs) — per-label results identical to the standalone
@@ -1507,7 +1597,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v2").alias("b"),
         F.col("cosine").alias("score"),
     )
-    return mh.unionByName(sh).unionByName(shc).unionByName(srp_both)
+    return (
+        mh.unionByName(sh)
+        .unionByName(shc)
+        .unionByName(shm)
+        .unionByName(srp_both)
+    )
 
 
 def _semantic_oracle() -> str:

@@ -102,6 +102,12 @@ def main() -> None:
         "simhash_cap": lambda s, d: dedup_simhash_pairs(
             s, d, bucket_cap=SIMHASH_CAP
         ),
+        # r11 production simhash keying: Manku combination buckets
+        # (2^24 key space; result-identical to `simhash`); expected
+        # at-or-below-linear growth where the chunk scheme hit 42.7x.
+        "simhash_manku": lambda s, d: dedup_simhash_pairs(
+            s, d, scheme="combo"
+        ),
         # whole-corpus guard twins (also in scale_probe_targeted.py) —
         # here so ONE `only` filter can sweep every shipped guard at a
         # deeper slice (the 300x tier, r10)

@@ -1536,6 +1536,30 @@ def test_simhash_bucket_cap_subset_and_nonvacuous(spark):
         assert full[k] == h
 
 
+def test_simhash_combo_scheme_identical_to_chunk(spark):
+    """The Manku combination bucketing (scheme='combo', r11 production
+    path) must return EXACTLY the chunk scheme's verified pairs: both
+    candidate sets are supersets of every hamming <= 3 pair by
+    pigeonhole (>= 1 clean 12-bit chunk of 4, resp. >= 1 clean 3-of-6
+    8-bit-chunk combination), and the bit_count(xor) verify is shared —
+    so the keying is a physical choice, never a semantic one. This is
+    the theorem the driver hash re-proves per sf via the shared
+    oracle; here it is pinned directly, pair for pair, hamming for
+    hamming."""
+    from hgn_spark.operators.dedup import dedup_simhash_pairs
+
+    chunk = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dedup_simhash_pairs(spark, SF_SMOKE).collect()
+    }
+    combo = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dedup_simhash_pairs(spark, SF_SMOKE, scheme="combo").collect()
+    }
+    assert combo == chunk
+    assert len(combo) > 0
+
+
 def test_lsh_topk_fused_multi_matches_standalone(spark):
     """The registered row's fused multi-width LSH pass must reproduce
     the standalone per-width pipelines exactly — a physical
