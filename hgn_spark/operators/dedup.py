@@ -970,6 +970,126 @@ def _simhash_oracle(bucket_cap: int | None = None) -> str:
     """
 
 
+def _simhash_pairs_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    specs: list[tuple[str, str, int | None]],
+) -> DataFrame:
+    """Run several simhash configurations — ``(label, scheme,
+    bucket_cap)`` with scheme in {'chunk', 'combo'} — as ONE fused
+    pipeline, per-label results identical to standalone
+    `dedup_simhash_pairs` calls (pinned in tests/test_llm_ops.py; the
+    `_srp_pairs_multi` contract, simhash edition).
+
+    What the configs share: the 48-lane signature fold runs once and
+    is localCheckpoint'ed (it is the expensive scan-side step — 48
+    popcount filters over each doc's hash array — and the frame is
+    tiny: one BIGINT per doc); bucket rows carry a config label so
+    buckets never mix across configs; the self-join, distinct and
+    bit_count verify run once over the union of all arms. The chunk
+    and combo schemes read the SAME signatures, so fusing changes
+    physical cost only, never a pair set."""
+    sets_ = _doc_shingle_sets(spark, sf_dir)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    sig = sets_.filter(F.col("sz") > 0).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc + "
+            "IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > sz, "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        ).alias("sig"),
+    )
+    if len(specs) > 1:
+        # Materialize the fold once for all arms (lazy: first arm pays).
+        sig = sig.localCheckpoint(eager=False)
+
+    chunk_explode = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+                f"i -> shiftright(sig, i * {chunk_bits}) & {mask})"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+
+    def _combo_explode():
+        from itertools import combinations
+
+        cb = SIMHASH_BITS // SIMHASH_COMBO_CHUNKS
+        cmask = (1 << cb) - 1
+        key_exprs = [
+            F.expr(
+                " | ".join(
+                    f"shiftleft(shiftright(sig, {c * cb}) & {cmask}, "
+                    f"{pos * cb})"
+                    for pos, c in enumerate(combo)
+                )
+            )
+            for combo in combinations(
+                range(SIMHASH_COMBO_CHUNKS), SIMHASH_COMBO_PICK
+            )
+        ]
+        return sig.select(
+            "doc_id",
+            "sig",
+            F.posexplode(F.array(*key_exprs)).alias("chunk_idx", "chunk"),
+        )
+
+    arms = []
+    for label, scheme, bucket_cap in specs:
+        chunks = _combo_explode() if scheme == "combo" else chunk_explode
+        if bucket_cap is not None:
+            # Drop mega-buckets BEFORE the pair join: one tiny
+            # aggregation (one row per (chunk_idx, chunk) bucket)
+            # broadcast back, so the bound applies to candidate
+            # GENERATION (the SRP bucket_cap shape).
+            sizes = chunks.groupBy("chunk_idx", "chunk").agg(
+                F.count(F.lit(1)).alias("bsz")
+            )
+            chunks = chunks.join(
+                F.broadcast(sizes.filter(F.col("bsz") <= bucket_cap)),
+                ["chunk_idx", "chunk"],
+            ).drop("bsz")
+        arms.append(chunks.select(F.lit(label).alias("label"), "*"))
+    banded = arms[0]
+    for a in arms[1:]:
+        banded = banded.unionByName(a)
+    left = banded.select(
+        "label",
+        F.col("doc_id").alias("d1"),
+        F.col("sig").alias("sig1"),
+        "chunk_idx",
+        "chunk",
+    )
+    right = banded.select(
+        F.col("label").alias("label2"),
+        F.col("doc_id").alias("d2"),
+        F.col("sig").alias("sig2"),
+        F.col("chunk_idx").alias("ci2"),
+        F.col("chunk").alias("c2"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("label") == F.col("label2"))
+            & (F.col("chunk_idx") == F.col("ci2"))
+            & (F.col("chunk") == F.col("c2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("label", "d1", "d2", "sig1", "sig2")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("label", "d1", "d2", "hamming")
+    )
+
+
 def dedup_simhash_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -1014,96 +1134,14 @@ def dedup_simhash_pairs(
       for 5x the key rows, so occupancy (and with it the quadratic
       candidate term) is deferred 4096x; measured growth in
       PROBE_100x_mitigations_r11."""
-    sets_ = _doc_shingle_sets(spark, sf_dir)
-    # Bit-packed signature build, entirely scan-side: for each bit lane,
-    # the ±1 sum over a doc's shingle hashes is positive iff popcount of
-    # that lane exceeds half the set size, so the signature is one fold
-    # over the materialized hash array per lane — no rows-per-shingle
-    # posexplode (whose intermediate was 64× the index size) and no
-    # shuffles at all (the previous form needed two).
-    # shiftright/shiftleft take only literal shift amounts through the
-    # Python API; the SQL forms accept column expressions.
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
-    mask = (1 << chunk_bits) - 1
-    sig = sets_.filter(F.col("sz") > 0).select(
-        "doc_id",
-        F.expr(
-            f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
-            "(acc, i) -> acc + "
-            "IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > sz, "
-            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
-        ).alias("sig"),
-    )
-    if scheme == "combo":
-        # 20 combination keys per doc, each the concatenation of three
-        # 8-bit chunks — built as one literal array so the whole keying
-        # stays a scan-side projection (no shuffle before the join).
-        from itertools import combinations
-
-        cb = SIMHASH_BITS // SIMHASH_COMBO_CHUNKS
-        cmask = (1 << cb) - 1
-        key_exprs = [
-            F.expr(
-                " | ".join(
-                    f"shiftleft(shiftright(sig, {c * cb}) & {cmask}, "
-                    f"{pos * cb})"
-                    for pos, c in enumerate(combo)
-                )
-            )
-            for combo in combinations(
-                range(SIMHASH_COMBO_CHUNKS), SIMHASH_COMBO_PICK
-            )
-        ]
-        chunks = sig.select(
-            "doc_id",
-            "sig",
-            F.posexplode(F.array(*key_exprs)).alias("chunk_idx", "chunk"),
-        )
-    else:
-        chunks = sig.select(
-            "doc_id",
-            "sig",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
-                    f"i -> shiftright(sig, i * {chunk_bits}) & {mask})"
-                )
-            ).alias("chunk_idx", "chunk"),
-        )
-    if bucket_cap is not None:
-        # Drop mega-buckets BEFORE the pair join: one tiny aggregation
-        # (one row per (chunk_idx, chunk) bucket) broadcast back, so
-        # the bound applies to candidate GENERATION (the SRP
-        # bucket_cap shape).
-        sizes = chunks.groupBy("chunk_idx", "chunk").agg(
-            F.count(F.lit(1)).alias("bsz")
-        )
-        chunks = chunks.join(
-            F.broadcast(sizes.filter(F.col("bsz") <= bucket_cap)),
-            ["chunk_idx", "chunk"],
-        ).drop("bsz")
-    left = chunks.select(
-        F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "chunk_idx", "chunk"
-    )
-    right = chunks.select(
-        F.col("doc_id").alias("d2"),
-        F.col("sig").alias("sig2"),
-        F.col("chunk_idx").alias("ci2"),
-        F.col("chunk").alias("c2"),
-    )
-    pairs = (
-        left.join(
-            right,
-            (F.col("chunk_idx") == F.col("ci2"))
-            & (F.col("chunk") == F.col("c2"))
-            & (F.col("d1") < F.col("d2")),
-        )
-        .select("d1", "d2", "sig1", "sig2")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-    )
-    return pairs.select("d1", "d2", "hamming")
+    # One-spec delegation to the fused pipeline: the multi variant IS
+    # the implementation (signature fold, scheme keying, cap gate,
+    # join, verify live there once); a single spec skips the shared
+    # localCheckpoint and adds only a constant label column, so this
+    # wrapper is plan-identical to the pre-fusion standalone form.
+    return _simhash_pairs_multi(
+        spark, sf_dir, [("_solo", scheme, bucket_cap)]
+    ).select("d1", "d2", "hamming")
 
 
 def _srp_planes(bits: int, dim: int) -> list[list[float]]:
@@ -1556,26 +1594,26 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("b"),
         F.col("jaccard").alias("score"),
     )
-    sh = dedup_simhash_pairs(spark, sf_dir).select(
-        F.lit("simhash").alias("method"),
-        F.col("d1").alias("a"),
-        F.col("d2").alias("b"),
-        F.col("hamming").cast("double").alias("score"),
-    )
-    # r10: the chunk-bucket-capped guard path as its own hash-checked
-    # branch (non-vacuous at sf0.01: 13 pairs vs simhash's 17).
-    shc = dedup_simhash_pairs(spark, sf_dir, bucket_cap=SIMHASH_CAP).select(
-        F.lit("simhash_cap").alias("method"),
-        F.col("d1").alias("a"),
-        F.col("d2").alias("b"),
-        F.col("hamming").cast("double").alias("score"),
-    )
-    # r11: the production simhash keying — Manku combination buckets
-    # (2^24 key space vs the chunk scheme's 2^12; PROBE_recall_r11
-    # measured the capped chunk scheme at recall 0.0 by 10x, while this
-    # branch is result-identical to `simhash` by pigeonhole).
-    shm = dedup_simhash_pairs(spark, sf_dir, scheme="combo").select(
-        F.lit("simhash_manku").alias("method"),
+    # All three simhash configurations run FUSED in one shared pass
+    # (one 48-lane signature fold — localCheckpoint'ed — one labeled
+    # bucket join, one verify of the union'd candidates): 'simhash' is
+    # the chunk-scheme evidence baseline, 'simhash_cap' the r10 guard
+    # (non-vacuous at sf0.01: 13 pairs vs simhash's 17; demoted to
+    # evidence by PROBE_recall_r11's 0.0-by-10x recall), and
+    # 'simhash_manku' (r11) the production combination keying
+    # (result-identical to 'simhash' by pigeonhole, 2^24 bucket
+    # space). Per-label parity with the standalone pipelines is pinned
+    # in tests — the `_srp_pairs_multi` contract, simhash edition.
+    sh_all = _simhash_pairs_multi(
+        spark,
+        sf_dir,
+        [
+            ("simhash", "chunk", None),
+            ("simhash_cap", "chunk", SIMHASH_CAP),
+            ("simhash_manku", "combo", None),
+        ],
+    ).select(
+        F.col("label").alias("method"),
         F.col("d1").alias("a"),
         F.col("d2").alias("b"),
         F.col("hamming").cast("double").alias("score"),
@@ -1597,12 +1635,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v2").alias("b"),
         F.col("cosine").alias("score"),
     )
-    return (
-        mh.unionByName(sh)
-        .unionByName(shc)
-        .unionByName(shm)
-        .unionByName(srp_both)
-    )
+    return mh.unionByName(sh_all).unionByName(srp_both)
 
 
 def _semantic_oracle() -> str:

@@ -1560,6 +1560,43 @@ def test_simhash_combo_scheme_identical_to_chunk(spark):
     assert len(combo) > 0
 
 
+def test_simhash_fused_multi_matches_standalone(spark):
+    """The registered row's fused three-config simhash pass must
+    reproduce the standalone per-config pipelines exactly — a physical
+    optimization (shared signature fold / labeled bucket join / shared
+    verify), never a semantic change (the `_srp_pairs_multi` contract,
+    simhash edition)."""
+    from hgn_spark.operators.dedup import (
+        SIMHASH_CAP,
+        _simhash_pairs_multi,
+        dedup_simhash_pairs,
+    )
+
+    fused = _simhash_pairs_multi(
+        spark,
+        SF_SMOKE,
+        [
+            ("simhash", "chunk", None),
+            ("simhash_cap", "chunk", SIMHASH_CAP),
+            ("simhash_manku", "combo", None),
+        ],
+    ).collect()
+    by_label = {}
+    for r in fused:
+        by_label.setdefault(r["label"], {})[(r["d1"], r["d2"])] = r["hamming"]
+    for label, kwargs in (
+        ("simhash", {}),
+        ("simhash_cap", {"bucket_cap": SIMHASH_CAP}),
+        ("simhash_manku", {"scheme": "combo"}),
+    ):
+        solo = {
+            (r["d1"], r["d2"]): r["hamming"]
+            for r in dedup_simhash_pairs(spark, SF_SMOKE, **kwargs).collect()
+        }
+        assert by_label.get(label, {}) == solo, label
+    assert len(by_label["simhash"]) > 0
+
+
 def test_lsh_topk_fused_multi_matches_standalone(spark):
     """The registered row's fused multi-width LSH pass must reproduce
     the standalone per-width pipelines exactly — a physical
