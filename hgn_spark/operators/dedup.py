@@ -1594,30 +1594,39 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("b"),
         F.col("jaccard").alias("score"),
     )
-    # All three simhash configurations run FUSED in one shared pass
-    # (one 48-lane signature fold — localCheckpoint'ed — one labeled
-    # bucket join, one verify of the union'd candidates): 'simhash' is
-    # the chunk-scheme evidence baseline, 'simhash_cap' the r10 guard
-    # (non-vacuous at sf0.01: 13 pairs vs simhash's 17; demoted to
-    # evidence by PROBE_recall_r11's 0.0-by-10x recall), and
-    # 'simhash_manku' (r11) the production combination keying
-    # (result-identical to 'simhash' by pigeonhole, 2^24 bucket
-    # space). Per-label parity with the standalone pipelines is pinned
-    # in tests — the `_srp_pairs_multi` contract, simhash edition.
-    sh_all = _simhash_pairs_multi(
-        spark,
-        sf_dir,
-        [
-            ("simhash", "chunk", None),
-            ("simhash_cap", "chunk", SIMHASH_CAP),
-            ("simhash_manku", "combo", None),
-        ],
-    ).select(
-        F.col("label").alias("method"),
-        F.col("d1").alias("a"),
-        F.col("d2").alias("b"),
-        F.col("hamming").cast("double").alias("score"),
-    )
+    # The three simhash configurations run as standalone pipelines —
+    # 'simhash' (chunk-scheme evidence baseline), 'simhash_cap' (the
+    # r10 guard; non-vacuous at sf0.01 with 13 pairs vs simhash's 17,
+    # demoted to evidence by PROBE_recall_r11's 0.0-by-10x recall) and
+    # 'simhash_manku' (r11 production combination keying,
+    # result-identical to 'simhash' by pigeonhole). A fused
+    # single-join variant exists (`_simhash_pairs_multi`, parity
+    # pinned in tests) and wins in a warm dedicated session (6.8 s vs
+    # 7.1 s row floor), but MEASURED UNDER THE BENCH SUITE it loses
+    # (5-pass spread min 9.26 s vs 7.10 s): the three small
+    # per-config joins broadcast and pipeline, while the fused
+    # 28n-row union join + checkpoint barrier serializes — so the
+    # registered row keeps the standalone plans and the fusion stays
+    # the measured-and-rejected alternative, not the shipped one.
+    sh_parts = []
+    for label, scheme, cap in (
+        ("simhash", "chunk", None),
+        ("simhash_cap", "chunk", SIMHASH_CAP),
+        ("simhash_manku", "combo", None),
+    ):
+        sh_parts.append(
+            dedup_simhash_pairs(
+                spark, sf_dir, bucket_cap=cap, scheme=scheme
+            ).select(
+                F.lit(label).alias("method"),
+                F.col("d1").alias("a"),
+                F.col("d2").alias("b"),
+                F.col("hamming").cast("double").alias("score"),
+            )
+        )
+    sh_all = sh_parts[0]
+    for p in sh_parts[1:]:
+        sh_all = sh_all.unionByName(p)
     # Both SRP widths run FUSED in one shared pass (one signature
     # scan up to max(bits), one labeled bucket join, one verify of the
     # union'd pairs) — per-label results identical to the standalone
