@@ -95,6 +95,39 @@ HEADLINE = [
 ]
 
 
+def code_tree_hash() -> str | None:
+    """sha256 over the sorted (path, bytes) of every tracked file under
+    the paths that determine bench timings: hgn_spark/, scripts/,
+    __spark_entry__.py, bench.py. Reads WORKING-TREE contents (not git
+    blobs), so an uncommitted edit changes the hash — the provenance
+    question is "was the measured code identical", not "was HEAD
+    identical"."""
+    import hashlib
+    import subprocess
+
+    try:
+        ls = subprocess.run(
+            ["git", "ls-files", "-z", "hgn_spark", "scripts",
+             "__spark_entry__.py", "bench.py"],
+            capture_output=True,
+            cwd=str(_REPO),
+            timeout=10,
+            check=True,
+        )
+        h = hashlib.sha256()
+        for rel in sorted(p for p in ls.stdout.decode().split("\0") if p):
+            f = _REPO / rel
+            if not f.is_file():
+                continue  # tracked but deleted in the working tree
+            h.update(rel.encode())
+            h.update(b"\0")
+            h.update(f.read_bytes())
+            h.update(b"\0")
+        return h.hexdigest()
+    except Exception:  # noqa: BLE001 — provenance is best-effort
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -293,6 +326,24 @@ def main() -> None:
         )
     except Exception:  # noqa: BLE001 — provenance is best-effort
         out["commit"] = None
+    # Content-addressed provenance (VERDICT r11 #4): commit ids
+    # false-mismatch when a log-only commit (PROGRESS.jsonl, artifact
+    # files) lands between the spread run and the driver bench — r11's
+    # spread was recorded one commit before HEAD on an identical code
+    # tree and the INSPREAD adjudication degraded to manual. tree_hash
+    # covers exactly the code that determines query timings, so
+    # bench_regression.py can verify same-code across log-only commits.
+    out["tree_hash"] = code_tree_hash()
+    # Host-contention context (VERDICT r11 #8): the driver bench lands
+    # ~9% uniformly high whenever its window is busy (r9, r11). The
+    # 1-minute load average and process count at the end of the run let
+    # adjudication distinguish contention from regression without
+    # re-deriving it.
+    try:
+        out["load_avg"] = round(os.getloadavg()[0], 2)
+        out["n_procs"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except Exception:  # noqa: BLE001 — context is best-effort
+        pass
     if N_RUNS >= 3:
         # Per-query noise envelope over all passes — the committed
         # BENCH_rN_spread.json record bench_regression.py consults.

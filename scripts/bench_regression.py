@@ -94,7 +94,8 @@ def _load(path: str) -> dict:
 
 
 def main() -> None:
-    new = _queries(sys.argv[1])
+    new_doc = _load(sys.argv[1])
+    new = new_doc["queries"]
     base_doc = _load(sys.argv[2])
     base = base_doc["queries"]
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
@@ -103,15 +104,30 @@ def main() -> None:
     # Provenance gate (ADVICE r10): a spread envelope fully exonerates
     # an over-threshold reading only if it was measured on the SAME
     # code as the baseline — otherwise a real regression baked into
-    # the spread's own passes would excuse itself. bench.py stamps
-    # "commit" into its JSON; when the spread's commit matches the
-    # baseline's, INSPREAD is a verdict. When provenance can't be
-    # established (driver artifacts carry no commit) or doesn't match,
-    # rows are downgraded to SPREADWARN — still listing the delta so a
-    # human adjudicates — never silently cleared.
+    # the spread's own passes would excuse itself. bench.py stamps a
+    # content hash of the code tree (hgn_spark/ scripts/
+    # __spark_entry__.py bench.py) as "tree_hash" — the primary key
+    # (VERDICT r11 #4: commit ids false-mismatch across log-only
+    # commits; r11's spread was code-identical to the driver bench yet
+    # one artifact commit apart, degrading INSPREAD to manual). The
+    # commit id remains the fallback for pre-r12 artifacts that carry
+    # no tree_hash. When provenance can't be established (driver
+    # artifacts carry neither field) or doesn't match, rows are
+    # downgraded to SPREADWARN — still listing the delta so a human
+    # adjudicates — never silently cleared.
+    #
+    # The envelope must match the code of the READING UNDER TEST (the
+    # NEW artifact): the claim being adjudicated is "NEW's over-line
+    # value sits inside the noise band measured on the same code NEW
+    # ran" — matching the baseline instead would demand the spread be
+    # same-code with LAST round's tree, which is never true after any
+    # code change and was the wrong key even when commits matched.
     spread_verified = (
+        spread_doc.get("tree_hash") is not None
+        and spread_doc.get("tree_hash") == new_doc.get("tree_hash")
+    ) or (
         spread_doc.get("commit") is not None
-        and spread_doc.get("commit") == base_doc.get("commit")
+        and spread_doc.get("commit") == new_doc.get("commit")
     )
 
     failures = []
@@ -142,11 +158,13 @@ def main() -> None:
                       f"over {spread[q]['passes']} passes — noise, not code)")
             else:
                 spread_warns.append((q, t, b, ratio))
+                sk = spread_doc.get("tree_hash") or spread_doc.get("commit") or "?"
+                nk = new_doc.get("tree_hash") or new_doc.get("commit") or "?"
                 print(f"SPREADWARN {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
                       f"(<= spread max {spread[q]['max']:.2f}s over "
-                      f"{spread[q]['passes']} passes, but spread commit "
-                      f"{spread_doc.get('commit') or '?'} != baseline commit "
-                      f"{base_doc.get('commit') or '?'} — adjudicate manually)")
+                      f"{spread[q]['passes']} passes, but spread code "
+                      f"{sk[:12]} != new-reading code {nk[:12]} — "
+                      f"adjudicate manually)")
         elif ratio > thresh:
             over = (f", outside recorded max {spread[q]['max']:.2f}s"
                     if q in spread else "")
