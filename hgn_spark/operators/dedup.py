@@ -758,6 +758,55 @@ def ngram_jaccard_pairs_capped(
     return _verified_jaccard(cands, sets_).filter(F.col("jaccard") >= JACCARD_THRES)
 
 
+def choose_jaccard_path(max_df: int, df_cap: int = PRODUCTION_CAP_DF) -> str:
+    """The capped-vs-exact dispatch rule (VERDICT r11 what's-wrong #2):
+    'exact' when the observed max shingle document-frequency is at or
+    under the cap, 'capped' otherwise.
+
+    Rationale, from PROBE_recall_r11: on a benign df distribution the
+    cap drops NO buckets — the capped path then returns the identical
+    pair set while paying +70% runtime at 30x (26.8 s vs exact 15.6 s)
+    for the df aggregation + broadcast filter it threads through the
+    candidate join. The cap exists for adversarial distributions
+    (boilerplate mega-buckets); when max df <= df_cap there provably
+    are none, so exact is both the faster AND the recall-1.0 choice.
+    When any bucket exceeds the cap, bounded candidate generation is
+    the contract that survives 100 TB, so the capped path wins.
+
+    A pure function of the plan-time scalar so tests pin the dispatch
+    on both corpus shapes without running either pipeline."""
+    return "exact" if max_df <= df_cap else "capped"
+
+
+def ngram_jaccard_pairs_auto(
+    spark: SparkSession, sf_dir: str, df_cap: int = PRODUCTION_CAP_DF
+) -> DataFrame:
+    """Exact-jaccard near-dup pairs with PLAN-TIME dispatch between the
+    uncapped exact candidate path and the df-capped guard
+    (`choose_jaccard_path`) — the production entry point that wires
+    PRODUCTION_CAP_DF into executable code (ADVICE r11 #1: the
+    constant was doc-only; now it is both this function's default cap
+    and the dispatch threshold).
+
+    The dispatch scalar is one aggregation over the standing shingle
+    index — the same frame both candidate paths scan anyway (and the
+    session-cached index at that), reduced to a 1-row max, the same
+    loop-control class as the adaptive sketches' count(). A deployment
+    maintaining a standing index would keep the df histogram as index
+    metadata and skip even that pass."""
+    max_df = (
+        _hashed_shingle_index(spark, sf_dir)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .first()[0]
+        or 0
+    )
+    if choose_jaccard_path(max_df, df_cap) == "exact":
+        return dedup_ngram_jaccard_pairs(spark, sf_dir)
+    return ngram_jaccard_pairs_capped(spark, sf_dir, df_cap=df_cap)
+
+
 @register(
     "dedup_canonical_groups",
     oracle=f"""
@@ -1261,6 +1310,72 @@ def srp_adaptive_bits(n: int) -> int:
     import math
 
     return max(2, min(SRP_MAX_BITS, 2 * math.ceil(math.log2(n))))
+
+
+def srp_recall_bands(
+    n: int, target_cos: float = 0.9, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """(n_bits, n_bands) for a RECALL-TARGETED SRP configuration — the
+    r12 production sizing for embedding near-dup at a stated operating
+    point (VERDICT r11 #1: srp_adaptive's label claimed cos >= 0.9
+    recall it never measured; the hicos probe then measured it at
+    <= 0.33 in that stratum — see PROBE_recall_r12).
+
+    Classic LSH amplification, solved for the two dials:
+
+    - band width w = ceil(log2 n): expected same-band collisions for
+      UNRELATED vectors stay ~n * const as the corpus grows (bucket
+      space tracks n — the same occupancy argument as
+      srp_adaptive_bits, per band). This is the dial srp_adaptive
+      already turns; what it misses is that per-band recall p^w at any
+      FIXED cosine then decays polynomially in n (p = 1 - acos(c)/pi
+      is the SRP per-bit agreement), which is exactly the decay the
+      r11/r12 probes measured (0.33 at base -> 0.16 at 30x in the
+      cos >= 0.9 stratum).
+    - band count b = ceil(ln(1-R) / ln(1-p^w)): enough independent
+      bands that a true pair at the design cosine collides in at
+      least one with probability >= R. b grows ~n^(-log2 p) —
+      sublinear (n^0.22 at cos 0.9, n^0.15 at 0.95), the known LSH
+      price for holding recall under corpus growth; total key rows
+      b*n and candidate volume ~b*n both stay linear-times-sublinear.
+
+    The signature build cost is b*w scan-side projections per vector —
+    linear in n, no shuffle amplification beyond the banded explode
+    the fixed-width variant already pays per band."""
+    import math
+
+    w = max(2, (max(n, 2) - 1).bit_length())  # integer-exact ceil(log2 n)
+    p = 1.0 - math.acos(target_cos) / math.pi
+    per_band = p**w
+    # Guard: per_band underflowing to ~0 (absurd n) would make the log
+    # ratio explode; cap bands at a sane ceiling and let the caller's
+    # probe expose the recall shortfall rather than building a
+    # million-plane signature.
+    b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band)))
+    b = min(b, 64)
+    return b * w, b
+
+
+def dedup_embedding_neardup_pairs_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    target_cos: float = 0.9,
+    target_recall: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs with the recall-targeted multi-band
+    SRP sizing (`srp_recall_bands`) — the production embedding
+    near-dup path at a stated (design-cosine, recall) operating point.
+    Same pipeline as `dedup_embedding_neardup_pairs` (shared code —
+    multi-band is just more, narrower bands over a wider signature);
+    only the sizing differs. One 1-row count fixes (bits, bands),
+    the same loop-control discipline as the adaptive variant."""
+    from hgn_spark.operators.similarity import load_embeddings
+
+    n = load_embeddings(spark, sf_dir).count()
+    n_bits, n_bands = srp_recall_bands(n, target_cos, target_recall)
+    return dedup_embedding_neardup_pairs(
+        spark, sf_dir, n_bits=n_bits, n_bands=n_bands
+    )
 
 
 def dedup_embedding_neardup_pairs(

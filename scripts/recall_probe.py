@@ -138,6 +138,12 @@ def _np_exact_topk(
     qmask = ids % stride == 0
     out: dict[int, list[int]] = {}
     qs = np.nonzero(qmask)[0]
+    # k >= n would let the self sentinel (-2.0) become the kth value —
+    # the query's own vec_id could then pass the >= kth filter — and
+    # k > n flips np.partition's kth index negative (ADVICE r11 #2).
+    # The full-lexsort code this replaced excluded self unconditionally;
+    # clamping to n-1 (corpus minus self) restores that.
+    k = min(k, len(ids) - 1)
     for s in range(0, len(qs), 512):
         qi = qs[s : s + 512]
         cos = np.round(unit[qi] @ unit.T, 6)
@@ -379,9 +385,13 @@ def _recall_by_bucket(
     """Recall stratified by the TRUE cosine — LSH recall rises steeply
     with similarity (per-bit agreement p = 1 - acos(cos)/pi), so the
     overall number on a low-threshold isotropic corpus under-represents
-    the near-dup regime the sketch targets. Buckets of 0.05."""
+    the near-dup regime the sketch targets. Buckets of 0.05; the
+    65..95 strata are empty on the shipped isotropic corpus (max pair
+    cosine 0.479) and populated by gen_probe_corpus.py's hicos
+    planting — the cos>=0.85 rows are THE srp_adaptive
+    production-operating-point measurement (VERDICT r11 #1)."""
     out: dict[str, float | int] = {}
-    for lo10 in (40, 45, 50, 55, 60):
+    for lo10 in (40, 45, 50, 55, 60, 65, 70, 75, 80, 85, 90, 95):
         lo = lo10 / 100.0
         bucket = {p for p, c in truth_scores.items() if lo <= c < lo + 0.05}
         if bucket:
@@ -412,8 +422,11 @@ def probe_srp(spark, sf_dir: str, label: str) -> dict:
         "exact_n": len(truth),
         "secs_exact_numpy": t_truth,
     }
-    if label == BASE_LABEL:
+    if label.endswith(BASE_LABEL):
         # Cross-validate the numpy oracle against a Spark brute force
+        # — also for the base-sized hicos/clustered probe corpora
+        # (labels like 'hicos_sf0.1'), so each corpus family's truth
+        # is validated once at its smallest scale.
         # built from the engine's own cosine path.
         from pyspark.sql import functions as F
 
@@ -450,12 +463,24 @@ def probe_srp(spark, sf_dir: str, label: str) -> dict:
         )
         res["oracle_validated"] = spark_truth == truth
         res["oracle_mismatch_n"] = len(spark_truth ^ truth)
+    from hgn_spark.operators.dedup import (
+        dedup_embedding_neardup_pairs_recall,
+        srp_recall_bands,
+    )
+
     pinned = adaptive = None
     for name, fn in (
         ("srp_pinned16", lambda: dedup_embedding_neardup_pairs(spark, sf_dir)),
         (
             "srp_adaptive",
             lambda: dedup_embedding_neardup_pairs_adaptive(spark, sf_dir),
+        ),
+        # r12: the recall-targeted multi-band sizing (srp_recall_bands)
+        # — the production candidate for the cos>=0.9 operating point
+        # the srp_adaptive label claimed without measurement.
+        (
+            "srp_recall",
+            lambda: dedup_embedding_neardup_pairs_recall(spark, sf_dir),
         ),
     ):
         clear_session_caches(blocking=True)
@@ -468,8 +493,12 @@ def probe_srp(spark, sf_dir: str, label: str) -> dict:
         }
         if name == "srp_pinned16":
             pinned = got
-        else:
+        elif name == "srp_adaptive":
             adaptive = got
+        else:
+            res[name]["knob"] = dict(
+                zip(("n_bits", "n_bands"), srp_recall_bands(len(ids)))
+            )
     if pinned is not None and adaptive is not None and pinned:
         res["srp_adaptive"]["overlap_vs_pinned"] = _recall(adaptive, pinned)
     if res["srp_adaptive"]["recall_vs_exact"] is not None and (
@@ -535,7 +564,7 @@ def probe_ann(spark, sf_dir: str, label: str) -> dict:
         "k": TOP_K,
         "secs_exact_numpy": t_truth,
     }
-    if label == BASE_LABEL:
+    if label.endswith(BASE_LABEL):
         from hgn_spark.operators.similarity import simsearch_exact_topk
 
         spark_truth = _collect_topk(simsearch_exact_topk(spark, sf_dir))
@@ -613,7 +642,7 @@ def main() -> None:
     from hgn_spark.session import get_spark
 
     spark = get_spark(app_name="recall_probe")
-    out: dict = {"probe": "recall_r11", "scales": {}}
+    out: dict = {"probe": "recall_r12", "scales": {}}
     for label, sf_dir in scales:
         if not os.path.isdir(sf_dir):
             _log(f"skip {label}: {sf_dir} missing")

@@ -1620,3 +1620,111 @@ def test_lsh_topk_fused_multi_matches_standalone(spark):
         )
         assert got == want, label
         assert len(got) > 0
+
+
+def test_jaccard_dispatch_rule_benign_corpus(spark):
+    """VERDICT r11 what's-wrong #2: on a benign df distribution the
+    cap is a provable no-op, so the auto entry point must take the
+    exact path (which is also the faster one — the capped twin costs
+    +70% at 30x, PROBE_recall_r11). sf0.001's max shingle df is 9,
+    under PRODUCTION_CAP_DF=16; cache identity proves the exact path
+    ran (the capped path builds a fresh frame)."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.dedup import (
+        PRODUCTION_CAP_DF,
+        _hashed_shingle_index,
+        choose_jaccard_path,
+        dedup_ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+    )
+
+    max_df = (
+        _hashed_shingle_index(spark, SF_SMOKE)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .first()[0]
+    )
+    assert 0 < max_df <= PRODUCTION_CAP_DF
+    assert choose_jaccard_path(max_df) == "exact"
+    auto = ngram_jaccard_pairs_auto(spark, SF_SMOKE)
+    assert auto is dedup_ngram_jaccard_pairs(spark, SF_SMOKE)
+
+
+def test_jaccard_dispatch_rule_adversarial_corpus(spark, tmp_path):
+    """The other corpus shape: every shared shingle hotter than the
+    cap (20 identical boilerplate docs) — the dispatch must choose the
+    capped path, whose bounded candidate generation drops the
+    mega-bucket entirely (0 pairs) while the exact twin would verify
+    all C(20,2)=190. That divergence is what proves the dispatch
+    actually switched paths, not just that both happen to agree."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.dedup import (
+        PRODUCTION_CAP_DF,
+        _hashed_shingle_index,
+        choose_jaccard_path,
+        dedup_ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler, "en", "web", len(boiler)) for i in range(20)] + [
+        (100 + i, f"unique document number {i} with dist{i} words w{i}a w{i}b",
+         "en", "web", 40)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "adversarial")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    max_df = (
+        _hashed_shingle_index(spark, sf_dir)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .first()[0]
+    )
+    assert max_df == 20 > PRODUCTION_CAP_DF
+    assert choose_jaccard_path(max_df) == "capped"
+    assert ngram_jaccard_pairs_auto(spark, sf_dir).count() == 0
+    assert dedup_ngram_jaccard_pairs(spark, sf_dir).count() == 190
+
+
+def test_srp_recall_bands_sizing_and_parity(spark):
+    """The recall-targeted SRP sizing (VERDICT r11 #1): width tracks
+    ceil(log2 n) (per-band occupancy constant), band count solves the
+    amplification equation for the target, and the wrapper reproduces
+    the directly-parameterized pipeline exactly."""
+    import math
+
+    from hgn_spark.operators.dedup import (
+        dedup_embedding_neardup_pairs,
+        dedup_embedding_neardup_pairs_recall,
+        srp_recall_bands,
+    )
+
+    for n in (500, 2030, 60900):
+        n_bits, n_bands = srp_recall_bands(n)
+        w = n_bits // n_bands
+        assert w == max(2, (n - 1).bit_length())
+        p = 1.0 - math.acos(0.9) / math.pi
+        # the chosen band count actually meets the design recall
+        assert 1.0 - (1.0 - p**w) ** n_bands >= 0.95
+        # and one band fewer would not (b is minimal, not padded)
+        assert 1.0 - (1.0 - p**w) ** (n_bands - 1) < 0.95
+    got = sorted(
+        tuple(r)
+        for r in dedup_embedding_neardup_pairs_recall(spark, SF_SMOKE).collect()
+    )
+    n_bits, n_bands = srp_recall_bands(500)
+    want = sorted(
+        tuple(r)
+        for r in dedup_embedding_neardup_pairs(
+            spark, SF_SMOKE, n_bits=n_bits, n_bands=n_bands
+        ).collect()
+    )
+    assert got == want
