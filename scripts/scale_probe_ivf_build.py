@@ -19,6 +19,15 @@ index-quality cost is a number, not a hope. Same-isotropic-corpus
 caveat as the recall probe: no cluster structure means these recalls
 lower-bound a structured corpus's.
 
+r12 (VERDICT r11 #2): each index additionally gets the full
+nprobe ∈ {3, 8, 16, 32} recall/cost sweep — r11 measured the dial
+only over the exact-assign index (0.59 at nprobe=32 at 30x), leaving
+the linear index's rescue curve unknown. The assignment frame is
+localCheckpoint'ed before the query sweep so secs_query measures the
+QUERY path against a materialized index (as served in production),
+not a per-query re-build — r11's exact_assign secs_query numbers
+included the re-derived assign and are superseded by this shape.
+
 Usage: python scripts/scale_probe_ivf_build.py [scales] [out.json]
   scales default: "sf0.1=/root/testdata/sf0.1,100x=/tmp/hgn_scale/sf10,300x=/tmp/hgn_scale/sf30"
 """
@@ -64,7 +73,7 @@ def main() -> None:
         "exact_assign": lambda d, n: _ivf_seed_frames_adaptive(spark, d, n=n),
         "linear": lambda d, n: ivf_build_linear(spark, d, n=n),
     }
-    out: dict = {"probe": "ivf_build_r11", "scales": {}}
+    out: dict = {"probe": "ivf_build_r12", "scales": {}}
     for label, sf_dir in scales:
         if not os.path.isdir(sf_dir):
             print(f"# skip {label}: missing", file=sys.stderr)
@@ -77,19 +86,26 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             frames = build(sf_dir, len(ids))
-            # Build = materialize the full assignment (index lists).
-            frames[2].write.format("noop").mode("overwrite").save()
+            # Build = materialize the full assignment (index lists) —
+            # checkpointed, so the nprobe sweep below queries a SERVED
+            # index instead of re-deriving the assign per pass.
+            assign = frames[2].localCheckpoint(eager=True)
+            frames = (frames[0], frames[1], assign)
             t_build = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            got = _collect_topk(
-                _ivf_query(spark, sf_dir, refine=False, frames=frames)
-            )
-            t_query = round(time.perf_counter() - t0, 2)
-            res[name] = {
-                "secs_build": t_build,
-                "secs_query": t_query,
-                "recall_at_k": _topk_overlap(got, truth, TOP_K),
-            }
+            res[name] = {"secs_build": t_build}
+            for nprobe in (3, 8, 16, 32):
+                t0 = time.perf_counter()
+                got = _collect_topk(
+                    _ivf_query(
+                        spark, sf_dir, refine=False, frames=frames, nprobe=nprobe
+                    )
+                )
+                t_query = round(time.perf_counter() - t0, 2)
+                res[name][f"nprobe{nprobe}"] = {
+                    "secs_query": t_query,
+                    "recall_at_k": _topk_overlap(got, truth, TOP_K),
+                }
+            assign.unpersist(blocking=True)
             print(f"# {label} {name}: {json.dumps(res[name])}",
                   file=sys.stderr, flush=True)
         out["scales"][label] = res
