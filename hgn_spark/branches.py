@@ -36,12 +36,22 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
             # lsh: pinned LSH_BITS -> candidates ~ n^2/2^bits; 74.2x
             # at 100x.
             "lsh": EVIDENCE,
+            # ivf_adaptive: sqrt-n centroids retire the n^2 assign,
+            # but its own exact argmax still grows n x sqrt(n) — the
+            # QUERY-side production dial; the BUILD-side production
+            # path is ivf_linear.
             "ivf_adaptive": PRODUCTION,
             "lsh_adaptive": PRODUCTION,
+            # ivf_linear (r12): the linear-build topology (sampled
+            # Lloyd + SRP-bucket assign + rescue) driver-hashed —
+            # PROBE_ivf_build: 0.94x build growth per 3x data vs 4.68x
+            # for the exact assign.
+            "ivf_linear": PRODUCTION,
         },
         "ANN row; adaptive branches probed at 100x/300x "
         "(PROBE_100x_mitigations_r10, PROBE_300x_guards_r10); "
-        "recall/knob trade in PROBE_recall_r11.",
+        "recall/knob trade in PROBE_recall_r11; linear-build recall "
+        "sweep in PROBE_ivf_build_r12.",
     ),
     "dedup_minhash_lsh_pairs": (
         "method",
@@ -66,11 +76,23 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
             # srp: pinned 16-bit signature -> candidates ~n^2/256;
             # 361x at 30x (r9).
             "srp": EVIDENCE,
-            "srp_adaptive": PRODUCTION,
+            # srp_adaptive: DEMOTED r12 — the adaptive width holds
+            # candidate VOLUME constant, but PROBE_recall_r12's
+            # planted cos>=0.9 pairs measured recall at the claimed
+            # operating point decaying with growth (0.50 base ->
+            # 0.17 at 10x -> 0.15 at 30x). Kept as the volume-dial
+            # evidence twin.
+            "srp_adaptive": EVIDENCE,
+            # srp_recall (r12): recall-targeted multi-band sizing
+            # (srp_recall_bands) — measured 1.0/0.96/0.97 recall at
+            # cos>=0.9 across sf0.1/10x/30x, flat under growth, for
+            # b ~ n^0.22 bands.
+            "srp_recall": PRODUCTION,
         },
         "Sketch row; capped/adaptive twins probed at 100x/300x; "
         "recall of each guard vs its uncapped twin in "
-        "PROBE_recall_r11.",
+        "PROBE_recall_r11; srp operating-point recall (planted "
+        "cos>=0.9 pairs) in PROBE_recall_r12.",
     ),
     "dedup_ngram_jaccard_pairs": (
         "op",

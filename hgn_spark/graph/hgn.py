@@ -55,16 +55,39 @@ def hgn_communities(
     edges: DataFrame,
     feature_cols: list[str],
     params: HGNParams | None = None,
+    phase_timings: dict[str, float] | None = None,
 ) -> DataFrame:
     """Run the full loop → (id, component).
 
     ``vertices``: (id, *features); ``edges``: (src, dst) any orientation.
+
+    ``phase_timings`` (r12, VERDICT r11 #7): pass a dict to receive
+    wall-clock attribution per phase — init_sims / init_betweenness /
+    loop_delete_rule / loop_anti_join (the loop keys accumulate across
+    iterations; n_steps records how many ran) and final_cc. Every
+    phase boundary is an EAGER checkpoint (or the isEmpty action), so
+    the numbers are true materialization costs, not lazy-plan noise;
+    instrumentation costs two time.perf_counter() calls per phase and
+    nothing when the dict is omitted. The 1000x-class probe
+    (scripts/scale_probe_hgn_phases.py) uses this to attribute the
+    row's 13.7x growth instead of guessing which phase is superlinear.
     """
+    import time as _time
+
     p = params or HGNParams()
+    t = phase_timings
+
+    def _mark(key: str, t0: float) -> None:
+        if t is not None:
+            t[key] = round(t.get(key, 0.0) + _time.perf_counter() - t0, 3)
+
     jan = CheckpointJanitor(edges.sparkSession)
+    t0 = _time.perf_counter()
     e, e_ids = jan.checkpoint(canonicalize(edges))
+    _mark("init_canonicalize", t0)
 
     # --- init step (computed once, like main.py:243-258) ---------------
+    t0 = _time.perf_counter()
     sims = one_hot_cosine_similarities(e, vertices, feature_cols)
     # Symmetrize similarities so common-neighbor membership checks see
     # both orientations; the hybrid ratio is invariant to the doubling
@@ -76,10 +99,16 @@ def hgn_communities(
             )
         )
     )
+    _mark("init_sims", t0)
+    t0 = _time.perf_counter()
     betw, betw_ids = jan.checkpoint(edge_betweenness(e, max_sp_length=p.max_sp_length))
+    _mark("init_betweenness", t0)
 
     # --- main loop ------------------------------------------------------
     for _step in range(1, p.max_steps + 1):
+        if t is not None:
+            t["n_steps"] = _step
+        t0 = _time.perf_counter()
         edges_r = r_metrics_edges(e, p.r_lvl1_thres, p.r_lvl2_thres)
         weights = hybrid_edge_weights(edges_r, sims, p.feature_min_avg)
         # Canonical edges → single equi-join against canonical betweenness
@@ -95,12 +124,16 @@ def hgn_communities(
             )
             .select("src", "dst")
         )
-        if to_delete.isEmpty():
+        empty = to_delete.isEmpty()
+        _mark("loop_delete_rule", t0)
+        if empty:
             jan.release(td_ids)
             break
+        t0 = _time.perf_counter()
         new_e, new_e_ids = jan.checkpoint(
             e.join(to_delete, ["src", "dst"], "left_anti")
         )
+        _mark("loop_anti_join", t0)
         # Iteration N's edge set is materialized: its inputs — the
         # previous generation and this round's deletion set — can never
         # be read again. Free them now so the loop carries ONE edge
@@ -112,8 +145,10 @@ def hgn_communities(
         jan.release(td_ids)
         e_ids = new_e_ids
 
+    t0 = _time.perf_counter()
     survivors = drop_isolated_vertices(vertices.select("id"), e)
     out = connected_components(e, survivors)
+    _mark("final_cc", t0)
     # The returned plan references only the final edge generation (via
     # the survivors join) and CC's fixpoint mapping — the init-step
     # similarity and betweenness checkpoints are dead weight from here.

@@ -61,7 +61,9 @@ CAP_DF = 2
 # bounded candidates (<= 16 docs per shingle bucket), so the 100 TB
 # growth envelope of the cap guard is unchanged. A deployment tunes
 # this against its own boilerplate profile; the probe artifact carries
-# the sweep.
+# the sweep. Wired into executable code as `ngram_jaccard_pairs_auto`'s
+# default cap AND dispatch threshold (`choose_jaccard_path` — ADVICE
+# r11 #1), so the constant cannot silently drift from what ships.
 PRODUCTION_CAP_DF = 16
 # Which doc_id residue (mod INC_BATCH_MOD) plays the "incoming batch"
 # in the incremental near-dup branches. One constant feeds the Spark
@@ -1205,6 +1207,36 @@ def _srp_planes(bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _srp_bit_cols(planes: list[list[float]], vec_col: str = "embedding"):
+    """Sign-bit columns (`b{j}`) for ±1 hyperplanes — the IDENTICAL
+    ``aggregate(zip_with(transform(vec, double), plane, *), 0.0, +)``
+    expression the SRP pipelines have always evaluated (so the DuckDB
+    oracles and every recorded hash are untouched), but built as ONE
+    ``F.expr`` SQL string per bit instead of composed Column objects.
+
+    Why: profiling the 165-bit recall-targeted signature at sf0.1
+    showed the cost was never execution — it was py4j. The historical
+    composition makes 64 ``F.lit`` round-trips per plane (10,560 for
+    the wide signature: ~14 s of driver-side Column building per plan
+    construction, re-paid on every bench pass), and a plain-arithmetic
+    rewrite paid even more (82 s build) plus a multi-second Janino
+    compile of the 10k-op generated class per execution. The SQL
+    string parses JVM-side in milliseconds and keeps the interpreted
+    fold's execution profile (~3 s for the full wide scan at sf0.1)."""
+    cols = []
+    for j, row in enumerate(planes):
+        lits = ",".join("1.0D" if v > 0 else "-1.0D" for v in row)
+        cols.append(
+            F.expr(
+                "CASE WHEN round(aggregate(zip_with("
+                f"transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+                f"array({lits}), (x, y) -> x * y), 0D, "
+                "(acc, v) -> acc + v), 6) > 0 THEN 1 ELSE 0 END"
+            ).alias(f"b{j}")
+        )
+    return cols
+
+
 def _plane_values_sql(planes: list[list[float]]) -> str:
     """``(j, p)`` VALUES rows for a plane list — the fast oracle shape:
     planes as DATA joined to the vectors, one vectorized
@@ -1300,6 +1332,79 @@ def _srp_adaptive_oracle(dim: int = EMB_DIM) -> str:
     return _srp_pairs_oracle(bits_sql, SRP_MAX_BITS, dim)
 
 
+# Plane budget for the srp_recall oracle's VALUES table and the (w -> b)
+# lookup ceiling: w <= SRP_RECALL_MAX_W covers n <= 2^16 vectors — every
+# driver/test scale with headroom — and max(w * b(w)) over that range is
+# 560 <= SRP_RECALL_MAX_PLANES. A corpus past the ceiling joins NO (w, b)
+# row and the oracle returns empty -> a loud driver mismatch instead of a
+# silent truncated replay.
+SRP_RECALL_MAX_W = 16
+SRP_RECALL_MAX_PLANES = 576
+
+
+def _srp_recall_oracle(dim: int = EMB_DIM) -> str:
+    """DuckDB replay of the RECALL-TARGETED multi-band SRP pipeline
+    (the r12 `srp_recall` driver branch — VERDICT r11 #1's retune).
+
+    Determinism strategy for the data-dependent sizing: the band WIDTH
+    is the integer-exact bit_length formula (no libm), and the band
+    COUNT — whose Python derivation walks acos/log floating point —
+    is NOT recomputed in SQL at all: `srp_recall_bands` depends on n
+    only through w, so the oracle inlines a (w -> b) lookup VALUES
+    table computed once in Python and joins it on the SQL-computed w.
+    Both engines then agree by construction, with zero cross-libm
+    boundary hazard (the failure class the adaptive oracle's log2
+    analysis had to argue away).
+
+    Band hashes avoid the single-BIGINT signature packing of
+    `_srp_pairs_oracle` (b*w can exceed 63 bits): each plane's sign
+    bit groups directly into its band via j // w, j % w — the exact
+    twin of the Spark side's contiguous-segment band columns."""
+    planes = _srp_planes(SRP_RECALL_MAX_PLANES, dim)
+    wb_rows = ", ".join(
+        f"({w}, {srp_recall_bands((1 << (w - 1)) + 1)[1]})"
+        for w in range(2, SRP_RECALL_MAX_W + 1)
+    )
+    return f"""
+    WITH rwb AS (SELECT * FROM (VALUES {wb_rows}) AS t(w, b)),
+    rw AS (SELECT greatest(2, CAST(length(bin(greatest(count(*), 2) - 1))
+                                   AS BIGINT)) AS w
+           FROM embeddings),
+    rparams AS (SELECT rw.w, rwb.b, rw.w * rwb.b AS nbits
+                FROM rw JOIN rwb ON rwb.w = rw.w),
+    rplanes AS (SELECT * FROM (VALUES {_plane_values_sql(planes)}) AS t(j, p)),
+    remb AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             FROM embeddings),
+    rproj AS (SELECT e.vec_id, pl.j,
+                     CASE WHEN round(list_dot_product(e.emb, pl.p), 6) > 0
+                          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                       AS bit
+              FROM remb e CROSS JOIN rplanes pl, rparams
+              WHERE pl.j < rparams.nbits),
+    rbands AS (SELECT vec_id, j // w AS band,
+                      CAST(sum(bit * (CAST(1 AS BIGINT) << (j % w)))
+                           AS BIGINT) AS bh
+               FROM rproj, rparams GROUP BY vec_id, j // w),
+    rcand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM rbands a JOIN rbands b
+        ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
+    rbase AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+      FROM embeddings),
+    rver AS (
+      SELECT v1, v2,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+                   / (e1.nrm * e2.nrm), 6) AS cosine
+      FROM rcand JOIN rbase e1 ON e1.vec_id = v1 JOIN rbase e2 ON e2.vec_id = v2)
+    SELECT v1, v2, cosine FROM rver WHERE cosine >= {EMB_COS_THRES}
+    """
+
+
 def srp_adaptive_bits(n: int) -> int:
     """Adaptive SRP signature width: bits ~ 2*log2(n) keeps expected
     bucket occupancy constant as the corpus grows (band space 2^(bits/2)
@@ -1318,8 +1423,9 @@ def srp_recall_bands(
     """(n_bits, n_bands) for a RECALL-TARGETED SRP configuration — the
     r12 production sizing for embedding near-dup at a stated operating
     point (VERDICT r11 #1: srp_adaptive's label claimed cos >= 0.9
-    recall it never measured; the hicos probe then measured it at
-    <= 0.33 in that stratum — see PROBE_recall_r12).
+    recall it never measured; the hicos probe then measured it
+    DECAYING there — 0.50 at base, 0.17 at 10x, 0.15 at 30x — while
+    this sizing holds 1.0/0.96/0.97, see PROBE_recall_r12).
 
     Classic LSH amplification, solved for the two dials:
 
@@ -1411,22 +1517,11 @@ def dedup_embedding_neardup_pairs(
 
     emb = load_embeddings(spark, sf_dir)
     planes = _srp_planes(n_bits, EMB_DIM)
-
-    def _proj(j: int):
-        vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        plane = F.array(*[F.lit(v) for v in planes[j]])
-        return F.aggregate(
-            F.zip_with(vec_d, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     # round(…, 6) before the sign test (mirrored in the oracle): the
-    # fold's last-ulp noise must not flip a near-zero projection's bit.
-    bit_cols = [
-        F.when(F.round(_proj(j), 6) > 0, 1).otherwise(0).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
+    # sum's last-ulp noise must not flip a near-zero projection's bit.
+    # Codegen'd arithmetic form — bit-identical to the historical
+    # interpreted fold (see _srp_bit_cols).
+    bit_cols = _srp_bit_cols(planes)
     # Bands carry vec_id ONLY: shipping the 64-float arrays through the
     # 2x band explode and both sides of the bucket join would multiply
     # the shuffled bytes for nothing — candidates rejoin the embedding
@@ -1449,6 +1544,15 @@ def dedup_embedding_neardup_pairs(
         band_cols.append(
             sum(F.col(f"b{j}") * (1 << (j - lo_j)) for j in range(lo_j, hi_j))
         )
+    if n_bits > 32:
+        # Wide (recall-targeted) configs: materialize the sign bits so
+        # the self-join's two sides don't each recompute hundreds of
+        # interpreted-HOF projections (same rationale as the fused
+        # pass). Narrow configs keep their historical single-pass plan
+        # — the projections are cheaper than the checkpoint.
+        from hgn_spark.checkpoint import loose_local_checkpoint
+
+        sig = loose_local_checkpoint(sig)
     banded = sig.select(
         "vec_id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
     )
@@ -1535,12 +1639,17 @@ def dedup_embedding_neardup_pairs_adaptive(
 
 
 def _srp_pairs_multi(
-    spark: SparkSession, sf_dir: str, configs: list[tuple[str, int]]
+    spark: SparkSession, sf_dir: str, configs: list[tuple]
 ) -> DataFrame:
     """Several SRP signature widths in ONE shared pass → labeled
     ``(label, v1, v2, cosine)`` rows, per-label identical to running
     `dedup_embedding_neardup_pairs(n_bits=...)` per config (pinned in
-    tests/test_llm_ops.py).
+    tests/test_llm_ops.py). A config is ``(label, n_bits)`` (two
+    contiguous half-width bands — the historical layout) or
+    ``(label, n_bits, n_bands)`` (r12 — the recall-targeted multi-band
+    sizing joins the fused pass with its own band count; contiguous
+    segments of n_bits // n_bands, matching
+    `dedup_embedding_neardup_pairs`'s layout exactly).
 
     Running the pinned and adaptive widths separately costs two
     signature scans, two bucket joins and two verify joins; fused they
@@ -1556,36 +1665,45 @@ def _srp_pairs_multi(
     from hgn_spark.operators.similarity import cosine_prenormed, load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
-    max_bits = max(b for _, b in configs)
+    max_bits = max(c[1] for c in configs)
     planes = _srp_planes(max_bits, EMB_DIM)
+    # Codegen'd sign bits (see _srp_bit_cols): bit-identical to the
+    # interpreted fold the function shipped with, ~20x cheaper on the
+    # wide recall-targeted signature.
+    sig = emb.select("vec_id", *_srp_bit_cols(planes))
+    if max_bits > 32:
+        # Materialize the sign bits ONCE: Catalyst shares no subplans,
+        # so every per-config union arm below — and both sides of the
+        # bucket self-join — would re-run the full interpreted-HOF
+        # projection scan. Harmless at the historical 16-22 bits;
+        # ruinous once the r12 recall-targeted config raises max_bits
+        # to ~165 at sf0.1 (the uncheckpointed fused row measured
+        # 38.5-50 s vs 7.7 s — the scan ran 3x inside the union alone).
+        # The frame is n rows of small ints; the band sums derived from
+        # it are cheap codegen'd arithmetic.
+        from hgn_spark.checkpoint import loose_local_checkpoint
 
-    def _proj(j: int):
-        vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        plane = F.array(*[F.lit(v) for v in planes[j]])
-        return F.aggregate(
-            F.zip_with(vec_d, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    bit_cols = [
-        F.when(F.round(_proj(j), 6) > 0, 1).otherwise(0).alias(f"b{j}")
-        for j in range(max_bits)
-    ]
-    sig = emb.select("vec_id", *bit_cols)
+        sig = loose_local_checkpoint(sig)
     # One banded frame for all configs: (label, band, bh) keys a
     # config-scoped bucket, so the single self-join below can never
     # pair vectors across configs or bands.
     arms = []
-    for label, n_bits in configs:
-        half = n_bits // 2
-        lo = sum(F.col(f"b{j}") * (1 << j) for j in range(half))
-        hi = sum(F.col(f"b{j}") * (1 << (j - half)) for j in range(half, n_bits))
+    for cfg in configs:
+        label, n_bits = cfg[0], cfg[1]
+        n_bands = cfg[2] if len(cfg) > 2 else 2
+        w_band = n_bits // n_bands
+        band_cols = []
+        for bi in range(n_bands):
+            lo_j = bi * w_band
+            hi_j = (bi + 1) * w_band if bi < n_bands - 1 else n_bits
+            band_cols.append(
+                sum(F.col(f"b{j}") * (1 << (j - lo_j)) for j in range(lo_j, hi_j))
+            )
         arms.append(
             sig.select(
                 F.lit(label).alias("label"),
                 "vec_id",
-                F.posexplode(F.array(lo, hi)).alias("band", "bh"),
+                F.posexplode(F.array(*band_cols)).alias("band", "bh"),
             )
         )
     banded = arms[0]
@@ -1668,6 +1786,8 @@ def _srp_pairs_multi(
         + _srp_oracle()
         + ") UNION ALL SELECT 'srp_adaptive', v1, v2, cosine FROM ("
         + _srp_adaptive_oracle()
+        + ") UNION ALL SELECT 'srp_recall', v1, v2, cosine FROM ("
+        + _srp_recall_oracle()
         + ")"
     ),
     tags=("dedup", "lsh", "ann"),
@@ -1694,9 +1814,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       so no cap is needed in the first place;
     - 'srp_adaptive': the same pipeline at the 2*ceil(log2(n))
       adaptive signature width (dedup_embedding_neardup_pairs_adaptive)
-      — the scale mitigation that holds bucket occupancy constant as
-      the corpus grows, hash-checked per sf rather than only measured
-      in the 30x probe (VERDICT r8 #4).
+      — holds bucket occupancy (candidate VOLUME) constant as the
+      corpus grows, hash-checked per sf rather than only measured in
+      the 30x probe (VERDICT r8 #4). DEMOTED to evidence in r12:
+      PROBE_recall_r12's planted cos>=0.9 pairs measured its recall at
+      the claimed near-dup operating point DECAYING with corpus growth
+      (0.50 at base -> 0.17 at 10x -> 0.15 at 30x) — two half-width
+      bands of ceil(log2 n) bits each lose p^w per band polynomially
+      in n. The volume dial was right; it needed the band-count dial
+      beside it;
+    - 'srp_recall' (r12, production): the recall-TARGETED sizing
+      (srp_recall_bands — band width ceil(log2 n) for constant
+      occupancy, band count solving 1-(1-p^w)^b >= R at the design
+      cosine). Measured recall at cos>=0.9: 1.0 / 0.96 / 0.97 at
+      sf0.1 / 10x / 30x — flat where srp_adaptive decayed — for
+      b ~ n^0.22 bands (15 -> 35 over that range), the classic LSH
+      price of holding recall under growth.
 
     The branches share the scan-side-signature → bucket-equi-join →
     exact-verify shape that keeps candidate generation linear in corpus
@@ -1749,17 +1882,21 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hgn_spark.operators.similarity import load_embeddings
 
     n = load_embeddings(spark, sf_dir).count()
-    srp_both = _srp_pairs_multi(
+    srp_all = _srp_pairs_multi(
         spark,
         sf_dir,
-        [("srp", SRP_BITS), ("srp_adaptive", srp_adaptive_bits(n))],
+        [
+            ("srp", SRP_BITS),
+            ("srp_adaptive", srp_adaptive_bits(n)),
+            ("srp_recall", *srp_recall_bands(n)),
+        ],
     ).select(
         F.col("label").alias("method"),
         F.col("v1").alias("a"),
         F.col("v2").alias("b"),
         F.col("cosine").alias("score"),
     )
-    return mh.unionByName(sh_all).unionByName(srp_both)
+    return mh.unionByName(sh_all).unionByName(srp_all)
 
 
 def _semantic_oracle() -> str:

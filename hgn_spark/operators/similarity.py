@@ -408,6 +408,8 @@ def ivf_build_linear(
     sf_dir: str,
     n: int | None = None,
     lloyd_iters: int = 1,
+    pinned: bool = False,
+    sample_floor: int = IVF_SAMPLE_FLOOR,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Linear-time IVF index build (VERDICT r10 #2): the sqrt-n-centroid
     `ivf_adaptive` bounded the fixed-stride variant's n^2 assign at
@@ -442,7 +444,21 @@ def ivf_build_linear(
     that branch is the bit-replayable evidence; this builder is the
     production path at 100 TB, where the exact assign is the
     superlinear step. Returns `(emb, cents, assign)` ready for
-    `_ivf_query(frames=...)`."""
+    `_ivf_query(frames=...)`.
+
+    r12 (VERDICT r11 #2 — "the production build path stops being
+    tests-only"): ``pinned=True`` swaps the avg-based `lloyd_refine`
+    for `_lloyd_refine_pinned` (vec_id-sorted fold means — the same
+    oracle-replay discipline as the kmeans branch) so the registered
+    `ivf_linear` driver branch can hash-check THIS builder's full
+    topology (md5 sample -> Lloyd -> SRP-bucket assign -> rescue)
+    against DuckDB; production callers keep the default avg path,
+    whose constant aggregation state survives any cluster size.
+    ``sample_floor`` exists for the same reason: at the driver scales
+    (n <= 2000) the production IVF_SAMPLE_FLOOR=4096 would swallow the
+    corpus and make the sampled-Lloyd arm vacuous; the driver branch
+    pins it to 256 so the md5 sample provably fires at sf0.01/sf0.001
+    while production keeps the 4096 floor."""
     from hgn_spark.operators.dedup import EMB_DIM, _srp_planes
 
     emb = load_embeddings(spark, sf_dir)
@@ -457,7 +473,7 @@ def ivf_build_linear(
     nlist = max(1, n // stride)
     # Deterministic hash sample: first 8 md5 hex chars of the id as a
     # uniform u32 (the sampling family's _u8 convention).
-    target = max(IVF_SAMPLE_FLOOR, 8 * nlist)
+    target = max(sample_floor, 8 * nlist)
     if target < n:
         thres = format(min(0xFFFFFFFF, (target << 32) // n), "08x")
         sample = emb.filter(
@@ -468,11 +484,12 @@ def ivf_build_linear(
         )
     else:
         sample = emb
+    refine = _lloyd_refine_pinned if pinned else lloyd_refine
     cents = seeds
     for _ in range(max(0, lloyd_iters)):
-        # lloyd_refine keeps the seed cent_ids (clusters with no sample
+        # the refine keeps the seed cent_ids (clusters with no sample
         # member drop out — nlist is approximate, as in any IVF train).
-        cents = lloyd_refine(sample, cents)
+        cents = refine(sample, cents)
     # sqrt-n rows consumed by three downstream joins (bucket hash,
     # query probing, rescue argmax) — materialize once.
     cents = loose_local_checkpoint(cents)
@@ -859,6 +876,169 @@ _SQL_ADAPTIVE_CENTS = """,
               FROM base, astride WHERE vec_id % s = 0)"""
 
 
+# The registered ivf_linear branch's sample floor: IVF_SAMPLE_FLOOR
+# (4096) would swallow the <=2000-row driver corpora and make the
+# sampled-Lloyd arm vacuous; 256 keeps target < n at sf0.01/sf0.001 so
+# the md5 sample provably gates the Lloyd input. Max planes for the
+# oracle's VALUES table: bits = log2(sqrt n) - 4, so 24 covers corpora
+# past 2^56 vectors.
+IVF_LINEAR_DRIVER_FLOOR = 256
+IVF_LIN_MAX_BITS = 24
+
+
+def _ivf_linear_oracle() -> str:
+    """DuckDB replay of `ivf_build_linear(pinned=True,
+    sample_floor=IVF_LINEAR_DRIVER_FLOOR)` + the standard probe/rerank
+    tail — every stage of the linear-time index build as data-driven
+    SQL:
+
+    - scalars: stride = ceil(sqrt(n)) (the `ivf_adaptive` recipe),
+      nlist = n // stride, sample target = max(floor, 8*nlist), the
+      md5 threshold printf('%08x', (target<<32)//n) (the sampling
+      family's u8 convention), and the SRP bucket width
+      bits = max(1, bit_length(nlist-1) - 4) — each the integer-exact
+      twin of the Python formula, so no libm boundary hazard;
+    - sampled pinned Lloyd: the kmeans arm's vec_id-sorted fold means,
+      but trained on the md5-sampled subset;
+    - SRP-bucket assign: all IVF_LIN_MAX_BITS planes as VALUES rows
+      (the fast-oracle shape `_plane_values_sql` introduced), signature
+      masked to the data-dependent bits, points probe their own bucket
+      plus every 1-bit flip, exact argmax inside the probed buckets;
+    - rescue: exact argmax over all centroids for points whose probed
+      buckets held none — same unconditional-assignment contract;
+    - tail: NPROBE nearest lists per query, exact re-rank, TOP_K.
+    """
+    from hgn_spark.operators.dedup import EMB_DIM, _plane_values_sql, _srp_planes
+
+    planes = _srp_planes(IVF_LIN_MAX_BITS, EMB_DIM)
+    return f"""
+    WITH lbase AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings),
+    lparams AS (
+      SELECT s, n, nlist,
+             greatest({IVF_LINEAR_DRIVER_FLOOR}, 8 * nlist) AS target,
+             greatest(1, CAST(length(bin(greatest(nlist, 2) - 1)) AS BIGINT)
+                         - {IVF_ASSIGN_BUCKET.bit_length()} + 1) AS bits
+      FROM (SELECT s, n, greatest(1, n // s) AS nlist
+            FROM (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS s,
+                         count(*) AS n
+                  FROM lbase))),
+    lthres AS (
+      SELECT *,
+             printf('%08x', least(4294967295,
+                    (target * 4294967296) // n)) AS thres
+      FROM lparams),
+    lseeds AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn
+               FROM lbase, lthres WHERE vec_id % s = 0),
+    lsample AS (
+      SELECT b.vec_id, b.emb, b.nrm FROM lbase b, lthres p
+      WHERE p.target >= p.n
+         OR substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 8) < p.thres),
+    lassign0 AS (
+      SELECT vec_id, cent_id, emb FROM (
+        SELECT e.vec_id, c.cent_id, e.emb,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.ce)
+                          / (e.nrm * c.cn), 6) DESC, c.cent_id) AS rn
+        FROM lsample e CROSS JOIN lseeds c)
+      WHERE rn = 1),
+    lvals AS (
+      SELECT cent_id, vec_id, i, emb[i] AS val
+      FROM (SELECT cent_id, vec_id, emb,
+                   unnest(generate_series(1, len(emb))) AS i
+            FROM lassign0)),
+    lcents AS (
+      SELECT cent_id, ce,
+             sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+      FROM (SELECT cent_id, list(m ORDER BY i) AS ce FROM (
+              SELECT cent_id, i,
+                     round(list_sum(list(val ORDER BY vec_id)) / count(*), 6)
+                       AS m
+              FROM lvals GROUP BY cent_id, i)
+            GROUP BY cent_id)),
+    lplanes AS (SELECT * FROM (VALUES {_plane_values_sql(planes)}) AS t(j, p)),
+    lcsig AS (
+      SELECT cent_id,
+             CAST(sum(CASE WHEN round(list_dot_product(ce, p), 6) > 0
+                           THEN CAST(1 AS BIGINT) << j
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM lcents CROSS JOIN lplanes GROUP BY cent_id),
+    lcentb AS (
+      SELECT c.cent_id, c.ce, c.cn,
+             s.sig & ((CAST(1 AS BIGINT) << bits) - 1) AS bucket
+      FROM lcsig s JOIN lcents c USING (cent_id), lthres),
+    lpsig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN round(list_dot_product(emb, p), 6) > 0
+                           THEN CAST(1 AS BIGINT) << j
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM lbase CROSS JOIN lplanes GROUP BY vec_id),
+    lpointb AS (
+      SELECT e.vec_id,
+             s.sig & ((CAST(1 AS BIGINT) << bits) - 1) AS b0
+      FROM lpsig s JOIN lbase e USING (vec_id), lthres),
+    lprobes AS (
+      SELECT vec_id,
+             unnest(list_prepend(b0, list_transform(range(0, bits),
+                    j -> xor(b0, CAST(1 AS BIGINT) << j)))) AS bucket
+      FROM lpointb, lthres),
+    lscored AS (
+      SELECT p.vec_id, c.cent_id,
+             round(list_dot_product(e.emb, c.ce) / (e.nrm * c.cn), 6) AS cos_c
+      FROM lprobes p
+      JOIN lcentb c USING (bucket)
+      JOIN lbase e ON e.vec_id = p.vec_id),
+    lmatched AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, cent_id) AS rn
+        FROM lscored)
+      WHERE rn = 1),
+    lunmatched AS (SELECT * FROM lbase ANTI JOIN lmatched USING (vec_id)),
+    lrescued AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.ce)
+                                / (e.nrm * c.cn), 6) DESC, c.cent_id) AS rn
+        FROM lunmatched e CROSS JOIN lcents c)
+      WHERE rn = 1),
+    lassign AS (
+      SELECT a.vec_id, a.cent_id, e.emb, e.nrm
+      FROM (SELECT * FROM lmatched UNION ALL SELECT * FROM lrescued) a
+      JOIN lbase e USING (vec_id)),
+    lq AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM lbase
+           WHERE vec_id % {QUERY_STRIDE} = 0),
+    lqprobes AS (
+      SELECT q_id, qe, qn, cent_id FROM (
+        SELECT q.q_id, q.qe, q.qn, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_dot_product(q.qe, c.ce)
+                                / (q.qn * c.cn), 6) DESC, c.cent_id) AS rn
+        FROM lq q CROSS JOIN lcents c)
+      WHERE rn <= {NPROBE}),
+    lcands AS (
+      SELECT p.q_id, a.vec_id,
+             round(list_dot_product(p.qe, a.emb) / (p.qn * a.nrm), 6) AS cosine
+      FROM lqprobes p JOIN lassign a USING (cent_id)
+      WHERE a.vec_id <> p.q_id),
+    lranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM lcands)
+    SELECT q_id, vec_id, cosine, rnk FROM lranked WHERE rnk <= {TOP_K}
+    """
+
+
 @register(
     "simsearch_topk_cosine",
     # Deterministic end to end (stride-sampled centroids, one pinned
@@ -888,6 +1068,8 @@ _SQL_ADAPTIVE_CENTS = """,
         + _SQL_TAIL
         + ") UNION ALL SELECT 'lsh_adaptive' AS variant, * FROM ("
         + _lsh_adaptive_oracle()
+        + ") UNION ALL SELECT 'ivf_linear' AS variant, * FROM ("
+        + _ivf_linear_oracle()
         + ")"
     ),
     tags=("similarity", "ann", "kmeans", "lsh"),
@@ -919,7 +1101,14 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       reproduces the pinned 5 bits exactly (boundary parity), at
       sf0.01 it narrows to 3 and the branch provably diverges from
       'lsh' (39 differing rows — non-vacuous; ivf_adaptive likewise
-      diverges from 'seed' at both driver scales).
+      diverges from 'seed' at both driver scales);
+    - 'ivf_linear' (r12, VERDICT r11 #2): the linear-time index build
+      (ivf_build_linear — sampled pinned-Lloyd train + SRP-bucket
+      assign + exact rescue) under the same probe/rerank tail, so the
+      hash proves the production build topology, not just its query
+      path. Diverges from 'ivf_adaptive' wherever the bucket-local
+      argmax lands a vector in a near- rather than nearest list — the
+      approximation the build buys its 0.94x-per-3x-data growth with.
 
     The ANN branches are approximate relative to 'exact' (a true
     neighbor can live in an unprobed list/bucket — recall asserted in
@@ -961,6 +1150,26 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_a = _ivf_query(spark, sf_dir, refine=False, frames=adapt_frames).select(
         F.lit("ivf_adaptive").alias("variant"), "*"
     )
+    # r12 (VERDICT r11 #2): the LINEAR-TIME index build — the stated
+    # 100 TB build path (sampled Lloyd + SRP-bucket-local assign +
+    # exact-argmax rescue, PROBE_ivf_build 0.94x growth per 3x data vs
+    # 4.68x for the exact assign) — as a driver-hashed branch instead
+    # of tests-only coverage. pinned=True swaps in the fold-order-
+    # pinned Lloyd so DuckDB replays the training bit-exactly; the
+    # driver-scale sample floor keeps the md5 sample non-vacuous (see
+    # ivf_build_linear's docstring). Same probe/rerank tail, so the
+    # branch differs from ivf_adaptive exactly by the build topology
+    # under test.
+    lin_frames = ivf_build_linear(
+        spark,
+        sf_dir,
+        n=n,
+        pinned=True,
+        sample_floor=IVF_LINEAR_DRIVER_FLOOR,
+    )
+    ivf_lin = _ivf_query(spark, sf_dir, refine=False, frames=lin_frames).select(
+        F.lit("ivf_linear").alias("variant"), "*"
+    )
     # Both LSH widths run FUSED in one shared pass (projections
     # computed once to max(bits), labeled buckets, one probe join /
     # re-rank) — per-label identical to simsearch_lsh_topk, pinned in
@@ -981,6 +1190,7 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(km)
         .unionByName(ivf_a)
         .unionByName(lsh_both)
+        .unionByName(ivf_lin)
     )
 
 

@@ -72,6 +72,10 @@ MERGES: dict[str, list[str]] = {
 #   pipelines), graph_degrees (+edge_csv CSV round trip + degree
 #   recompute), scan_projection_pushdown (+pandas_roundtrip collect +
 #   re-parallelize).
+# - vs r10/r11: dedup_minhash_lsh_pairs (+simhash_manku, r11),
+#   simsearch_topk_cosine (+ivf_linear, r12 — a seventh pipeline:
+#   sampled-Lloyd train + SRP-bucket assign + rescue + its own
+#   probe/rerank tail, never timed by earlier benches).
 WIDENED = {"graph_degrees", "agg_rollup_pivot", "dedup_minhash_lsh_pairs",
            "streaming_windowed_aggs",
            "graph_pagerank", "graph_label_propagation",

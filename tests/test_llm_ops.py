@@ -401,14 +401,26 @@ def test_srp_fused_multi_matches_standalone(spark):
         _srp_pairs_multi,
         dedup_embedding_neardup_pairs,
         dedup_embedding_neardup_pairs_adaptive,
+        dedup_embedding_neardup_pairs_recall,
+        srp_recall_bands,
     )
 
     fused = _srp_pairs_multi(
-        spark, SF_SMOKE, [("srp", SRP_BITS), ("srp_adaptive", 18)]
+        spark,
+        SF_SMOKE,
+        [
+            ("srp", SRP_BITS),
+            ("srp_adaptive", 18),
+            # the r12 multi-band config shape: (label, n_bits, n_bands)
+            ("srp_recall", *srp_recall_bands(500)),
+        ],
     ).collect()
     got_srp = {(r["v1"], r["v2"], r["cosine"]) for r in fused if r["label"] == "srp"}
     got_ada = {
         (r["v1"], r["v2"], r["cosine"]) for r in fused if r["label"] == "srp_adaptive"
+    }
+    got_rec = {
+        (r["v1"], r["v2"], r["cosine"]) for r in fused if r["label"] == "srp_recall"
     }
     want_srp = {
         (r["v1"], r["v2"], r["cosine"])
@@ -418,8 +430,14 @@ def test_srp_fused_multi_matches_standalone(spark):
         (r["v1"], r["v2"], r["cosine"])
         for r in dedup_embedding_neardup_pairs_adaptive(spark, SF_SMOKE).collect()
     }
+    want_rec = {
+        (r["v1"], r["v2"], r["cosine"])
+        for r in dedup_embedding_neardup_pairs_recall(spark, SF_SMOKE).collect()
+    }
     assert got_srp == want_srp
     assert got_ada == want_ada
+    assert got_rec == want_rec
+    assert len(got_rec) > 0
 
 
 def test_cap_branch_strict_subset_of_all(spark):
