@@ -131,6 +131,17 @@ def code_tree_hash() -> str | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host-contention baseline BEFORE the session spins up: the
+    # end-of-run load average (recorded below) includes the bench's own
+    # 32 executor threads, so only the start reading distinguishes "the
+    # window was busy" from "the bench was running" (VERDICT r11 #8;
+    # the r12 spread measured a window where even a warm 1-second query
+    # ran 1.7x slow at idle load — the start/end pair plus tree_hash is
+    # what lets a judge attribute that without re-deriving it).
+    try:
+        load_avg_start = round(os.getloadavg()[0], 2)
+    except Exception:  # noqa: BLE001 — context is best-effort
+        load_avg_start = None
 
     from hgn_spark.session import get_spark
     from hgn_spark.registry import load_all
@@ -341,6 +352,7 @@ def main() -> None:
     # re-deriving it.
     try:
         out["load_avg"] = round(os.getloadavg()[0], 2)
+        out["load_avg_start"] = load_avg_start
         out["n_procs"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
     except Exception:  # noqa: BLE001 — context is best-effort
         pass
