@@ -41,6 +41,14 @@ Usage: python scripts/recall_probe.py [scales] [guards] [out.json]
           "sf0.1=/root/testdata/sf0.1,10x=/tmp/hgn_scale/sf1,30x=/tmp/hgn_scale/sf3"
   guards: comma subset of
           jaccard_cap,inc_cap,simhash_cap,minhash,srp,ann (default all)
+
+r12 corpora (scripts/gen_probe_corpus.py; PROBE_recall_r12 merges the
+runs): labels ending in the BASE_LABEL re-cross-validate the numpy
+truth against the Spark exact paths, so name them accordingly —
+  python scripts/gen_probe_corpus.py hicos /root/testdata/sf0.1 DIR
+  python scripts/recall_probe.py "hicos_sf0.1=DIR,..." srp out.json
+  python scripts/gen_probe_corpus.py clustered 2000 DIR2
+  python scripts/recall_probe.py "clustered_sf0.1=DIR2,..." srp,ann out2.json
 """
 
 from __future__ import annotations

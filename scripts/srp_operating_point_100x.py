@@ -1,0 +1,153 @@
+"""Focused 100x extension of the srp operating-point measurement
+(PROBE_recall_r12 covers sf0.1/10x/30x): recall of `srp_recall` (and
+`srp_adaptive` for contrast) in the cos>=0.85 strata on a 200k-vector
+hicos corpus.
+
+Truth at this scale is computed EXACTLY but restricted: a cos>=0.85
+pair must involve a planted companion. Why that restriction is sound
+(and verified, not assumed, below):
+
+- original-original pairs: replicas are circular dim-rotations of the
+  sf0.1 corpus — intra-replica cosines equal sf0.1's exactly (max
+  0.479 < 0.85; re-verified here with a full 2k x 2k check on the
+  base slice), and cross-replica cosines are scrambled rotations
+  (empirically max ~0.55 across 30x's 1.8e9 pairs; 0.85 is ~6.8
+  sigma for the scrambled distribution). The script verifies the
+  claim directly on a uniform sample of original rows: each sampled
+  original's full cosine row against every other original must stay
+  < 0.85.
+- companion-involved pairs: computed EXACTLY — every companion's full
+  cosine row against the whole corpus (a ~3k x 200k matmul, seconds)
+  — so any accidental companion-original or companion-companion pair
+  at >= 0.85 is in the truth, not just the planted ones.
+
+The full >= 0.4 truth (14M scrambled-noise pairs at this scale) stays
+the r12 probe's job at the scales where the n^2 oracle is cheap; the
+operating-point claim is about these strata only.
+
+Usage: python scripts/srp_operating_point_100x.py [corpus_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+
+ORIGINAL_SAMPLE = 4096  # originals whose full cosine rows verify the claim
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hgn_scale/probe_hicos_100x"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from recall_probe import _load_vectors, _pairs, _recall
+
+    ids, mat = _load_vectors(sf_dir)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    unit = mat / nrm[:, None]
+    # Companions sit above the original id range: gen_probe_corpus pads
+    # them past max(original)+50. Originals are everything else; the
+    # companion block is contiguous at the top of the sorted id order.
+    # companion ids are pad + 50*i + 1 => id % 50 == 1 AND above every
+    # original (pad > max original id by construction). An original of
+    # that residue above max_non_res would merely be treated as a
+    # companion — extra EXACT rows, never missing truth.
+    max_non_res = int(ids[ids % 50 != 1].max())
+    comp_mask = (ids % 50 == 1) & (ids > max_non_res)
+    n_comp = int(comp_mask.sum())
+
+    t0 = time.perf_counter()
+    truth_scores: dict[tuple[int, int], float] = {}
+    comp_idx = np.nonzero(comp_mask)[0]
+    for s in range(0, len(comp_idx), 512):
+        blk = comp_idx[s : s + 512]
+        cos = np.round(unit[blk] @ unit.T, 6)
+        ii, jj = np.nonzero(cos >= 0.85)
+        for bi, j in zip(ii, jj):
+            i = blk[bi]
+            if i == j:
+                continue
+            a, b = int(ids[i]), int(ids[j])
+            truth_scores[(min(a, b), max(a, b))] = float(cos[bi, j])
+    # Verification pass: sampled originals' full rows must stay < 0.85
+    # against every OTHER original (companion columns excluded — those
+    # pairs are already exact above).
+    orig_idx = np.nonzero(~comp_mask)[0]
+    rng = np.random.default_rng(3)
+    sample = rng.choice(orig_idx, min(ORIGINAL_SAMPLE, len(orig_idx)), replace=False)
+    viol = 0
+    for s in range(0, len(sample), 512):
+        blk = sample[s : s + 512]
+        cos = np.round(unit[blk] @ unit[orig_idx].T, 6)
+        for bi in range(len(blk)):
+            row = cos[bi]
+            # exclude self
+            hits = int((row >= 0.85).sum()) - 1
+            viol += max(0, hits)
+    t_truth = round(time.perf_counter() - t0, 2)
+
+    from hgn_spark.operators.dedup import (
+        dedup_embedding_neardup_pairs_adaptive,
+        dedup_embedding_neardup_pairs_recall,
+        srp_recall_bands,
+    )
+    from hgn_spark.registry import clear_session_caches
+    from hgn_spark.session import get_spark
+
+    spark = get_spark(app_name="srp_op_point_100x")
+    out: dict = {
+        "probe": "srp_operating_point_100x_r12",
+        "n": len(ids),
+        "n_companions": n_comp,
+        "truth": (
+            "exact companion-row cosines (every >=0.85 pair involves a "
+            "companion; see module docstring) + sampled-original "
+            "no-high-cos verification"
+        ),
+        "truth_n": len(truth_scores),
+        "original_sample_checked": int(len(sample)),
+        "original_high_cos_violations": viol,
+        "secs_truth": t_truth,
+        "knob": dict(zip(("n_bits", "n_bands"), srp_recall_bands(len(ids)))),
+    }
+    for name, fn in (
+        ("srp_recall", lambda: dedup_embedding_neardup_pairs_recall(spark, sf_dir)),
+        (
+            "srp_adaptive",
+            lambda: dedup_embedding_neardup_pairs_adaptive(spark, sf_dir),
+        ),
+    ):
+        clear_session_caches(blocking=True)
+        t0 = time.perf_counter()
+        got = _pairs(fn(), "v1", "v2")
+        t = round(time.perf_counter() - t0, 2)
+        res: dict = {"secs_guard": t, "guard_n": len(got)}
+        for lo in (0.85, 0.90, 0.95):
+            bucket = {p for p, c in truth_scores.items() if lo <= c < lo + 0.05}
+            if bucket:
+                res[f"recall_cos_{lo:.2f}"] = _recall(got & bucket, bucket)
+                res[f"n_cos_{lo:.2f}"] = len(bucket)
+        out[name] = res
+        print(f"# {name}: {json.dumps(res)}", file=sys.stderr, flush=True)
+
+    js = json.dumps(out)
+    print(js)
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            fh.write(js + "\n")
+
+
+if __name__ == "__main__":
+    main()
