@@ -97,17 +97,23 @@ HEADLINE = [
 
 def code_tree_hash() -> str | None:
     """sha256 over the sorted (path, bytes) of every tracked file under
-    the paths that determine bench timings: hgn_spark/, scripts/,
+    the paths that determine bench timings: hgn_spark/,
     __spark_entry__.py, bench.py. Reads WORKING-TREE contents (not git
     blobs), so an uncommitted edit changes the hash — the provenance
     question is "was the measured code identical", not "was HEAD
-    identical"."""
+    identical".
+
+    scripts/ is deliberately EXCLUDED: probe and adjudication tooling
+    never executes inside a bench run, and including it reproduced the
+    r11 false-mismatch one level down — this round's first spread was
+    invalidated by a probe-script commit that could not have changed a
+    single timing."""
     import hashlib
     import subprocess
 
     try:
         ls = subprocess.run(
-            ["git", "ls-files", "-z", "hgn_spark", "scripts",
+            ["git", "ls-files", "-z", "hgn_spark",
              "__spark_entry__.py", "bench.py"],
             capture_output=True,
             cwd=str(_REPO),
