@@ -109,8 +109,9 @@ def main() -> None:
     # an over-threshold reading only if it was measured on the SAME
     # code as the baseline — otherwise a real regression baked into
     # the spread's own passes would excuse itself. bench.py stamps a
-    # content hash of the code tree (hgn_spark/ scripts/
-    # __spark_entry__.py bench.py) as "tree_hash" — the primary key
+    # content hash of the code tree (hgn_spark/ __spark_entry__.py
+    # bench.py — scripts/ is deliberately excluded; see
+    # bench.py code_tree_hash) as "tree_hash" — the primary key
     # (VERDICT r11 #4: commit ids false-mismatch across log-only
     # commits; r11's spread was code-identical to the driver bench yet
     # one artifact commit apart, degrading INSPREAD to manual). The
@@ -156,10 +157,27 @@ def main() -> None:
             print(f"WIDENED  {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
                   f"(absorbed unbenched branches — attribute, don't fail)")
         elif ratio > thresh and q in spread and t <= spread[q]["max"]:
-            if spread_verified:
+            # INSPREAD needs BOTH provenance and a fast-floor check
+            # (ADVICE r12): the spread is recorded on the NEW code, so
+            # a real regression would sit in every one of its passes —
+            # "t <= spread max" alone would then self-exonerate.
+            # Demand the spread's own FASTEST pass be under the line:
+            # a genuine noise band straddles the threshold (its min is
+            # a clean reading), a consistent regression does not.
+            spread_min_ok = spread[q].get("min", spread[q]["max"]) <= thresh * b
+            if spread_verified and spread_min_ok:
                 print(f"INSPREAD {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
                       f"(<= recorded same-code max {spread[q]['max']:.2f}s "
-                      f"over {spread[q]['passes']} passes — noise, not code)")
+                      f"over {spread[q]['passes']} passes, spread min "
+                      f"{spread[q].get('min', spread[q]['max']):.2f}s under "
+                      f"the {thresh}x line — noise, not code)")
+            elif spread_verified:
+                spread_warns.append((q, t, b, ratio))
+                print(f"SPREADWARN {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x "
+                      f"(same-code spread covers it, but even the spread's "
+                      f"fastest pass {spread[q].get('min', float('nan')):.2f}s "
+                      f"exceeds {thresh}x baseline — consistent slowdown, "
+                      f"not noise; adjudicate manually)")
             else:
                 spread_warns.append((q, t, b, ratio))
                 sk = spread_doc.get("tree_hash") or spread_doc.get("commit") or "?"
@@ -177,9 +195,10 @@ def main() -> None:
         else:
             print(f"ok       {q}: {t:.2f}s vs {b:.2f}s = {ratio:.2f}x {tag}")
     if spread_warns:
-        print(f"\n{len(spread_warns)} spread-unverified warning(s) — "
-              "inside a spread envelope whose code provenance does not "
-              "match the baseline; adjudicate before accepting")
+        print(f"\n{len(spread_warns)} spread warning(s) — inside a spread "
+              "envelope that either lacks matching code provenance or "
+              "whose fastest pass is itself over the line; adjudicate "
+              "before accepting")
     if failures:
         print(f"\n{len(failures)} regression(s) over {thresh}x")
         sys.exit(1)

@@ -142,11 +142,25 @@ def main() -> None:
         out[name] = res
         print(f"# {name}: {json.dumps(res)}", file=sys.stderr, flush=True)
 
+    # ADVICE r12: a violated truth-set restriction (some sampled
+    # original-original pair at cos>=0.85) means every recall above is
+    # computed against a provably incomplete truth set. Stamp the
+    # artifact so downstream adjudication cannot cite those recalls,
+    # and exit non-zero so an unattended run fails loudly.
+    out["truth_invalid"] = bool(viol > 0)
     js = json.dumps(out)
     print(js)
     if out_path:
         with open(out_path, "w", encoding="utf-8") as fh:
             fh.write(js + "\n")
+    if viol > 0:
+        print(
+            f"# TRUTH INVALID: {viol} sampled original-original pair(s) at "
+            "cos>=0.85 — recalls above are against an incomplete truth set",
+            file=sys.stderr,
+            flush=True,
+        )
+        sys.exit(3)
 
 
 if __name__ == "__main__":

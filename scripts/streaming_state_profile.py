@@ -61,9 +61,19 @@ def main() -> None:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 2)
-    # availableNow delivers progress events asynchronously; give the
-    # listener bus a moment to drain before summarizing.
-    time.sleep(3)
+    # availableNow delivers progress events asynchronously. A fixed
+    # sleep can silently miss late events on a loaded host (ADVICE
+    # r12) — poll until the captured count is stable for 2 s (bounded
+    # at 30 s) and record whether the drain converged so an
+    # undercounted artifact is visibly flagged rather than trusted.
+    drain_converged = False
+    deadline = time.monotonic() + 30.0
+    while time.monotonic() < deadline:
+        seen = len(progresses)
+        time.sleep(2.0)
+        if len(progresses) == seen:
+            drain_converged = True
+            break
 
     batches = []
     for p in progresses:
@@ -106,6 +116,7 @@ def main() -> None:
         "state_store_provider": os.environ.get("SPARK_GRAFT_STATESTORE", "hdfs"),
         "wall_s": wall,
         "n_batches": len(batches),
+        "drain_converged": drain_converged,
         "totals_ms": {
             "updates": _tot("updates_ms"),
             "removals": _tot("removals_ms"),
