@@ -94,6 +94,20 @@ HEADLINE = [
     "streaming_stream_stream_join",
 ]
 
+# Dedicated re-spread of a row subset (VERDICT r12 #6: adjudicating
+# two 1.3x-straddling rows needs a 5-pass spread of JUST those rows in
+# one idle window, without paying the full 50-row suite per pass).
+# Comma-separated row names; unknown names are reported as MISSING by
+# the normal path. The artifact keeps the same shape (queries/spread/
+# tree_hash), so bench_regression.py consumes it unchanged — but it is
+# NOT a headline artifact: the total covers only the subset.
+_ONLY = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+if _ONLY:
+    _keep = [q.strip() for q in _ONLY.split(",") if q.strip()]
+    HEADLINE = [q for q in HEADLINE if q in _keep] + [
+        q for q in _keep if q not in HEADLINE
+    ]
+
 
 def code_tree_hash() -> str | None:
     """sha256 over the sorted (path, bytes) of every tracked file under
@@ -314,6 +328,45 @@ def main() -> None:
     # unambiguous story per query for consumers of the JSON.
     errors = {n: m for n, m in pass_errors.items() if n not in timings}
 
+    # Per-branch wall times for the multi-branch evidence rows
+    # (VERDICT r12 #7): the headline rows keep widening with labeled
+    # evidence branches (simsearch carries 7 ANN pipelines, minhash 7
+    # sketches), so the headline total creeps with EVIDENCE weight.
+    # Time each branch's own drain once, after the timed passes, in a
+    # non-headline field — filtering the unioned row on its branch
+    # literal folds every other arm to an empty relation (constant
+    # folding + PropagateEmptyRelation), so each drain executes that
+    # branch's subtree only. Caveats recorded with the data: shared
+    # session-cached builds bill to the FIRST branch of a row that
+    # needs them, and driver-side sizing scalars (counts, nprobe
+    # calibration) re-run per drain — the numbers attribute a row's
+    # widening, they are not additive to the headline min.
+    from pyspark.sql import functions as _Fb
+
+    from hgn_spark.branches import BRANCH_ROLES
+
+    branch_timings: dict[str, dict[str, float]] = {}
+    for row, (bcol, roles, _note) in BRANCH_ROLES.items():
+        spec = specs.get(row)
+        if spec is None or row not in timings:
+            continue
+        clear_session_caches(blocking=True)
+        per: dict[str, float] = {}
+        for label in roles:
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            try:
+                spec.fn(spark, sf_dir).filter(
+                    _Fb.col(bcol) == label
+                ).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — keep the rest
+                msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:120]
+                print(f"# BRANCH ERROR {row}/{label}: {msg}", file=sys.stderr)
+                continue
+            per[label] = round(time.perf_counter() - t0, 4)
+            print(f"# branch {row}/{label}: {per[label]:.3f}s", file=sys.stderr)
+        branch_timings[row] = per
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_query_wall_clock_total",
@@ -323,6 +376,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": N_RUNS,
         "agg": "min",
+        "branch_timings": branch_timings,
+        "branch_timings_note": (
+            "single post-pass drain per labeled branch (other union arms "
+            "constant-fold to empty); first branch of a row absorbs "
+            "session-cached shared builds; driver-side sizing scalars "
+            "re-run per drain — attributes row widening, not additive "
+            "to the headline min"
+        ),
     }
     # Code provenance for the spread protocol (ADVICE r10): a spread
     # envelope only excuses an over-threshold reading if it was

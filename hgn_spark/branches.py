@@ -39,13 +39,20 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
             # ivf_adaptive: sqrt-n centroids retire the n^2 assign,
             # but its own exact argmax still grows n x sqrt(n) — the
             # QUERY-side production dial; the BUILD-side production
-            # path is ivf_linear.
+            # path is ivf_linear. r13: nprobe is RECALL-CALIBRATED on
+            # the built index (ivf_calibrate_nprobe, target 90%) —
+            # PROBE_ivf_build_r12 measured every fixed nprobe's recall
+            # decaying with n (0.95 -> 0.44-0.51 at 100x) because
+            # nlist ~ sqrt(n) makes a pinned dial probe a shrinking
+            # fraction of lists.
             "ivf_adaptive": PRODUCTION,
             "lsh_adaptive": PRODUCTION,
             # ivf_linear (r12): the linear-build topology (sampled
             # Lloyd + SRP-bucket assign + rescue) driver-hashed —
             # PROBE_ivf_build: 0.94x build growth per 3x data vs 4.68x
-            # for the exact assign.
+            # for the exact assign. r13: same calibrated nprobe as
+            # ivf_adaptive, sized on ITS index (the approximate assign
+            # shifts the curve, so each index calibrates itself).
             "ivf_linear": PRODUCTION,
         },
         "ANN row; adaptive branches probed at 100x/300x "

@@ -31,8 +31,12 @@ from hgn_spark.checkpoint import CheckpointJanitor, park_loose_blocks
 from hgn_spark.graph.betweenness import edge_betweenness
 from hgn_spark.graph.components import connected_components
 from hgn_spark.graph.core import canonicalize, drop_isolated_vertices
-from hgn_spark.graph.rmetrics import r_metrics_edges
-from hgn_spark.graph.weights import hybrid_edge_weights, one_hot_cosine_similarities
+from hgn_spark.graph.rmetrics import r_metrics_edges, r_metrics_edges_pairs
+from hgn_spark.graph.weights import (
+    hybrid_edge_weights,
+    hybrid_edge_weights_pairs,
+    one_hot_cosine_similarities,
+)
 
 
 @dataclass
@@ -48,6 +52,14 @@ class HGNParams:
     max_steps: int = 10
     max_sp_length: int = 2
     min_comp_size: int = 1
+    # r13 (VERDICT r12 #3): delete-rule formulation. "arrays" is the
+    # r12 shape (per-vertex neighbor ARRAYS + interpreted
+    # array_intersect per edge); "pairs" computes the identical
+    # r-metrics/weights VALUES via flat (id, nb) equi-joins inside
+    # codegen (r_metrics_edges_pairs — the shape the DuckDB oracle
+    # always used). Results are bit-identical (pinned by test);
+    # PROBE_hgn_phases_r13 measures the two at sf0.1 and 1000x.
+    delete_rule_impl: str = "pairs"
 
 
 def hgn_communities(
@@ -109,8 +121,16 @@ def hgn_communities(
         if t is not None:
             t["n_steps"] = _step
         t0 = _time.perf_counter()
-        edges_r = r_metrics_edges(e, p.r_lvl1_thres, p.r_lvl2_thres)
-        weights = hybrid_edge_weights(edges_r, sims, p.feature_min_avg)
+        if p.delete_rule_impl == "pairs":
+            scored, members2 = r_metrics_edges_pairs(
+                e, p.r_lvl1_thres, p.r_lvl2_thres
+            )
+            weights = hybrid_edge_weights_pairs(
+                scored, members2, sims, p.feature_min_avg
+            )
+        else:
+            edges_r = r_metrics_edges(e, p.r_lvl1_thres, p.r_lvl2_thres)
+            weights = hybrid_edge_weights(edges_r, sims, p.feature_min_avg)
         # Canonical edges → single equi-join against canonical betweenness
         # (the reference probes both orientations, main.py:130-134).
         to_delete, td_ids = jan.checkpoint(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hgn_spark.graph.core import neighbors
+from hgn_spark.graph.core import neighbor_pairs, neighbors
 
 
 def _common_count(nb_src: Column, nb_dst: Column, src: Column, dst: Column) -> Column:
@@ -100,3 +100,105 @@ def r_metrics_edges(
         )
     )
     return scored
+
+
+def _common_member_rows(
+    e: DataFrame, pairs: DataFrame, level_tag: str
+) -> DataFrame:
+    """(src, dst, member) rows: member ∈ N_L(src) ∩ N_L(dst), member ∉
+    {src, dst} — the PAIR-FORM of the common-neighbor set. Two
+    equi-joins against the (id, nb) pair table and no arrays anywhere:
+    this is byte-for-byte the formulation the graph_rmetrics DuckDB
+    oracle already uses (cn1/cn2 CTEs), now on the Spark side too.
+    Rows are distinct because ``pairs`` is distinct per (id, nb)."""
+    s = pairs.select(
+        F.col("src").alias(f"{level_tag}_sid"), F.col("dst").alias("member")
+    )
+    d = pairs.select(
+        F.col("src").alias(f"{level_tag}_did"), F.col("dst").alias("member")
+    )
+    return (
+        e.join(s, e["src"] == s[f"{level_tag}_sid"])
+        .filter((F.col("member") != F.col("src")) & (F.col("member") != F.col("dst")))
+        .join(d, (e["dst"] == d[f"{level_tag}_did"]) & (s["member"] == d["member"]))
+        .select("src", "dst", s["member"].alias("member"))
+    )
+
+
+def r_metrics_edges_pairs(
+    edges: DataFrame,
+    r_lvl1_thres: float,
+    r_lvl2_thres: float,
+) -> tuple[DataFrame, DataFrame]:
+    """`r_metrics_edges` in PAIR FORM (VERDICT r12 #3 — the delete-rule
+    mitigation dial, now executable): returns
+    ``(scored, common_members2)`` where ``scored`` carries the same
+    (src, dst, r11, r12, r21, r22, keepit) VALUES as the array form
+    (integer counts divided by integer counts — bit-identical doubles;
+    asserted equal in tests) and ``common_members2`` is the level-2
+    common-neighbor set as (src, dst, member) rows for the weights
+    pipeline, which explodes the array form's set anyway.
+
+    Why this is the at-scale shape (`neighbors`' own scale note):
+    the array form materializes per-vertex level-2 neighbor ARRAYS
+    (collect_set over ~deg² elements), ships BOTH endpoint arrays
+    through every edge join, then runs interpreted (non-codegen)
+    array_intersect/array_except per edge. The pair form moves the
+    identical element volume as flat (id, nb) rows through hash
+    equi-joins inside whole-stage codegen, aggregates counts with
+    map-side partial aggregation, and never builds a hub-sized array
+    (the power-law hub that blows a collect_set buffer is just more
+    rows here, which AQE skew-splits). PROBE_hgn_phases_r13 measures
+    the two forms side by side at sf0.1 and the 1000×-class slice.
+    """
+    e = edges.select("src", "dst")
+    p1 = neighbor_pairs(edges, level=1)
+    p2 = neighbor_pairs(edges, level=2)
+    cnt1 = p1.groupBy(F.col("src").alias("id")).agg(F.count("dst").alias("cnt"))
+    cnt2 = p2.groupBy(F.col("src").alias("id")).agg(F.count("dst").alias("cnt"))
+    cc1 = (
+        _common_member_rows(e, p1, "l1")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cc1"))
+    )
+    members2 = _common_member_rows(e, p2, "l2")
+    cc2 = members2.groupBy("src", "dst").agg(F.count("*").alias("cc2"))
+
+    def _cnt(tag: str, side: str) -> DataFrame:
+        frame = cnt1 if tag == "l1" else cnt2
+        return frame.select(
+            F.col("id").alias(f"{tag}_{side}id"),
+            F.col("cnt").alias(f"cnt_{side}_{tag}"),
+        )
+
+    scored = (
+        e.join(_cnt("l1", "src"), e["src"] == F.col("l1_srcid"))
+        .join(_cnt("l1", "dst"), e["dst"] == F.col("l1_dstid"))
+        .join(_cnt("l2", "src"), e["src"] == F.col("l2_srcid"))
+        .join(_cnt("l2", "dst"), e["dst"] == F.col("l2_dstid"))
+        .join(cc1, ["src", "dst"], "left")
+        .join(cc2, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("cc1", F.lit(0)).alias("cc1"),
+            F.coalesce("cc2", F.lit(0)).alias("cc2"),
+            "cnt_src_l1",
+            "cnt_dst_l1",
+            "cnt_src_l2",
+            "cnt_dst_l2",
+        )
+        .withColumn("r11", _ratio(F.col("cc1"), F.col("cnt_src_l1")))
+        .withColumn("r12", _ratio(F.col("cc1"), F.col("cnt_dst_l1")))
+        .withColumn("r21", _ratio(F.col("cc2"), F.col("cnt_src_l2")))
+        .withColumn("r22", _ratio(F.col("cc2"), F.col("cnt_dst_l2")))
+        .select("src", "dst", "r11", "r12", "r21", "r22")
+        .withColumn(
+            "keepit",
+            (F.col("r11") > r_lvl1_thres)
+            | (F.col("r12") > r_lvl1_thres)
+            | (F.col("r21") > r_lvl2_thres)
+            | (F.col("r22") > r_lvl2_thres),
+        )
+    )
+    return scored, members2

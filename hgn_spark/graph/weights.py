@@ -160,6 +160,36 @@ def hybrid_edge_weights(
     cn = cand.select(
         "nb_src", "nb_dst", F.explode("common_neighbors").alias("member")
     )
+    return _weights_from_members(cn, similarities, feature_min_avg)
+
+
+def hybrid_edge_weights_pairs(
+    scored: DataFrame,
+    members2: DataFrame,
+    similarities: DataFrame,
+    feature_min_avg: float,
+) -> DataFrame:
+    """`hybrid_edge_weights` fed by the PAIR-FORM r-metrics output
+    (r_metrics_edges_pairs): the candidate edges' common-neighbor
+    members arrive as (src, dst, member) rows instead of an array that
+    would be exploded right back into the same rows. Identical values
+    (the array path's explode(array_intersect) yields exactly these
+    distinct rows); one semi-join replaces the array build + explode.
+    """
+    cand = scored.filter(~F.col("keepit")).select("src", "dst")
+    cn = members2.join(cand, ["src", "dst"], "left_semi").select(
+        F.col("src").alias("nb_src"),
+        F.col("dst").alias("nb_dst"),
+        "member",
+    )
+    return _weights_from_members(cn, similarities, feature_min_avg)
+
+
+def _weights_from_members(
+    cn: DataFrame, similarities: DataFrame, feature_min_avg: float
+) -> DataFrame:
+    """Shared tail: (nb_src, nb_dst, member) rows → per-edge
+    edge_weight ratio (see hybrid_edge_weights for the derivation)."""
     sims = similarities.select(
         F.col("src").alias("s_src"), F.col("dst").alias("s_dst"), "similarity"
     )

@@ -1417,8 +1417,27 @@ def srp_adaptive_bits(n: int) -> int:
     return max(2, min(SRP_MAX_BITS, 2 * math.ceil(math.log2(n))))
 
 
+# Band-count budget for srp_recall_bands. The r12 sizing capped b at
+# 64 SILENTLY — and its own formula says b_want crosses 64 at
+# n ~ 2^20 (cos 0.9 / R 0.95), i.e. the cap revoked the design recall
+# exactly where the production label starts mattering (VERDICT r12
+# what's-wrong #1: expected recall 0.63 at 10^8, 0.19 at 10^11 under
+# the old cap). r13 raises the default budget to 256 — an explicit
+# signature-cost ceiling of b*w <= 256*ceil(log2 n) scan-side
+# projections per vector (~9.5k at 10^11; linear in n, no shuffle
+# term) — and makes any remaining truncation LOUD (warnings.warn with
+# the capped expected recall) instead of silent. b_want crosses 256
+# at n ~ 5*10^8; past that a deployment either raises max_bands
+# further (cost grows ~n^0.22 — the known LSH price) or accepts the
+# warned, QUANTIFIED recall.
+SRP_MAX_BANDS = 256
+
+
 def srp_recall_bands(
-    n: int, target_cos: float = 0.9, target_recall: float = 0.95
+    n: int,
+    target_cos: float = 0.9,
+    target_recall: float = 0.95,
+    max_bands: int = SRP_MAX_BANDS,
 ) -> tuple[int, int]:
     """(n_bits, n_bands) for a RECALL-TARGETED SRP configuration — the
     r12 production sizing for embedding near-dup at a stated operating
@@ -1450,15 +1469,29 @@ def srp_recall_bands(
     the fixed-width variant already pays per band."""
     import math
 
+    import warnings
+
     w = max(2, (max(n, 2) - 1).bit_length())  # integer-exact ceil(log2 n)
     p = 1.0 - math.acos(target_cos) / math.pi
     per_band = p**w
-    # Guard: per_band underflowing to ~0 (absurd n) would make the log
-    # ratio explode; cap bands at a sane ceiling and let the caller's
-    # probe expose the recall shortfall rather than building a
-    # million-plane signature.
-    b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band)))
-    b = min(b, 64)
+    b_want = max(
+        1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band))
+    )
+    b = min(b_want, max_bands)
+    if b < b_want:
+        # The budget binds: the built signature CANNOT reach the design
+        # recall. Quantify what it does reach (1-(1-p^w)^b) and say so
+        # loudly — a silent cap is how the r12 sizing shipped a label
+        # its own math revoked past ~10^6 vectors.
+        r_eff = 1.0 - (1.0 - per_band) ** b
+        warnings.warn(
+            f"srp_recall_bands: band budget max_bands={max_bands} binds at "
+            f"n={n} (want {b_want}); expected recall at cos>={target_cos} "
+            f"drops from the {target_recall} design point to ~{r_eff:.3f}. "
+            f"Raise max_bands (cost: b*w scan-side projections/vector) or "
+            f"accept the quantified shortfall.",
+            stacklevel=2,
+        )
     return b * w, b
 
 
@@ -1467,6 +1500,7 @@ def dedup_embedding_neardup_pairs_recall(
     sf_dir: str,
     target_cos: float = 0.9,
     target_recall: float = 0.95,
+    max_bands: int = SRP_MAX_BANDS,
 ) -> DataFrame:
     """Embedding near-dup pairs with the recall-targeted multi-band
     SRP sizing (`srp_recall_bands`) — the production embedding
@@ -1478,7 +1512,9 @@ def dedup_embedding_neardup_pairs_recall(
     from hgn_spark.operators.similarity import load_embeddings
 
     n = load_embeddings(spark, sf_dir).count()
-    n_bits, n_bands = srp_recall_bands(n, target_cos, target_recall)
+    n_bits, n_bands = srp_recall_bands(
+        n, target_cos, target_recall, max_bands=max_bands
+    )
     return dedup_embedding_neardup_pairs(
         spark, sf_dir, n_bits=n_bits, n_bands=n_bands
     )

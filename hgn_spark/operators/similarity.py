@@ -326,7 +326,88 @@ _SQL_KMEANS_CENTS = """,
                      sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
               FROM newc)"""
 
-_SQL_TAIL = f""",
+def _sql_calibration_ctes(
+    prefix: str,
+    base: str,
+    emb_col: str,
+    nrm_col: str,
+    cents: str,
+    cn_col: str,
+    assign: str,
+    dot,
+    m_target: int,
+    target_pct: int,
+    k: int,
+) -> str:
+    """DuckDB replay of `ivf_calibrate_nprobe` as a CTE block — the
+    salted-md5 query sample, their exact top-k truth, each true
+    neighbor's home-list rank in its query's centroid ordering, and
+    the cumulative curve solved for the smallest nprobe meeting the
+    integer-exact cum*100 >= pct*tot test. ``dot(a, b)`` supplies the
+    family's dot-product SQL (CAST-widened for float corpora,
+    list_dot_product for already-double ones); the final scalar lives
+    in CTE ``{prefix}np`` for the tail's probe filter. Emitted AFTER
+    the ``{assign}`` CTE (the home lookup needs it)."""
+    p = prefix
+    d_truth = dot("q.qe", f"e.{emb_col}")
+    d_rank = dot("q.qe", "c.ce")
+    return f""",
+    {p}cnt AS (SELECT count(*) AS n FROM {base}),
+    {p}thres AS (
+      SELECT n, printf('%08x', least(4294967295,
+             ({m_target} * 4294967296) // n)) AS thres
+      FROM {p}cnt),
+    {p}q AS (
+      SELECT vec_id AS q_id, {emb_col} AS qe, {nrm_col} AS qn
+      FROM {base}, {p}thres
+      WHERE {m_target} >= n
+         OR substr(md5('cal:' || CAST(vec_id AS VARCHAR)), 1, 8) < thres),
+    {p}truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round({d_truth} / (q.qn * e.{nrm_col}), 6) DESC,
+                          e.vec_id) AS rn
+        FROM {p}q q JOIN {base} e ON e.vec_id <> q.q_id)
+      WHERE rn <= {k}),
+    {p}home AS (
+      SELECT t.q_id, a.cent_id
+      FROM {p}truth t JOIN {assign} a ON a.vec_id = t.vec_id),
+    {p}rank AS (
+      SELECT q.q_id, c.cent_id,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY round({d_rank} / (q.qn * c.{cn_col}), 6) DESC,
+                        c.cent_id) AS crank
+      FROM {p}q q CROSS JOIN {cents} c),
+    {p}hr AS (
+      SELECT r.crank FROM {p}home h
+      JOIN {p}rank r ON r.q_id = h.q_id AND r.cent_id = h.cent_id),
+    {p}curve AS (SELECT crank, count(*) AS c FROM {p}hr GROUP BY crank),
+    {p}np AS (
+      SELECT coalesce(min(CASE WHEN cum * 100 >= {target_pct} * tot
+                               THEN crank END), {NPROBE}) AS np
+      FROM (SELECT crank,
+                   sum(c) OVER (ORDER BY crank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER () AS tot
+            FROM {p}curve))"""
+
+
+def _dot_float_sql(a: str, b: str) -> str:
+    """Element-cast dot product for float-list columns — the tail's
+    existing widening shape."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_tail(nprobe_expr: str = str(NPROBE), cal_block: str = "") -> str:
+    """The shared assign → probe → rerank oracle tail. ``nprobe_expr``
+    is the probe-depth filter (a literal for the pinned evidence
+    branches, a calibration scalar subquery for the production ones);
+    ``cal_block`` injects the calibration CTEs after ``assign``."""
+    return f""",
     assign AS (
       SELECT vec_id, cent_id, embedding, nrm FROM (
         SELECT e.vec_id, c.cent_id, e.embedding, e.nrm,
@@ -336,7 +417,7 @@ _SQL_TAIL = f""",
                             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
                           / (e.nrm * c.cn), 6) DESC, c.cent_id) AS rn
         FROM base e CROSS JOIN cents c)
-      WHERE rn = 1),
+      WHERE rn = 1){cal_block},
     q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM base
           WHERE vec_id % {QUERY_STRIDE} = 0),
     probes AS (
@@ -348,7 +429,7 @@ _SQL_TAIL = f""",
                             i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
                           / (q.qn * c.cn), 6) DESC, c.cent_id) AS rn
         FROM q CROSS JOIN cents c)
-      WHERE rn <= {NPROBE}),
+      WHERE rn <= {nprobe_expr}),
     cands AS (
       SELECT p.q_id, a.vec_id,
              round(list_sum(list_transform(range(1, len(p.qe) + 1),
@@ -363,6 +444,9 @@ _SQL_TAIL = f""",
       FROM cands)
     SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
     """
+
+
+_SQL_TAIL = _sql_tail()
 
 
 def _ivf_seed_frames(
@@ -562,13 +646,16 @@ def _ivf_query(
     refine: bool,
     frames: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     nprobe: int = NPROBE,
+    query_stride: int = QUERY_STRIDE,
 ) -> DataFrame:
     """Shared IVF pipeline: centroids → assign → probe → exact re-rank.
     ``frames`` lets a caller inject pre-(computed|materialized)
-    `_ivf_seed_frames` output. ``nprobe`` is the recall/cost dial: the
-    r11 recall probe measures recall@k as a function of it (probed
-    candidates scale ~ nprobe * n / nlist); the registered branches
-    stay at the pinned NPROBE so driver hashes are unaffected."""
+    `_ivf_seed_frames` output. ``nprobe`` is the recall/cost dial —
+    r13: the production branches pass the recall-calibrated value
+    (ivf_calibrate_nprobe) while seed/kmeans evidence branches stay at
+    the pinned NPROBE. ``query_stride`` widens the standing-query
+    stride so scale probes can bound the query-set size (recall is a
+    per-query average; a few hundred queries measure it)."""
     emb, seeds, seed_assign = frames or _ivf_seed_frames(spark, sf_dir)
     if refine:
         # The registered driver row must bit-replay in DuckDB → pinned
@@ -578,8 +665,8 @@ def _ivf_query(
         assign = _assign_nearest(emb, cents)
     else:
         cents, assign = seeds, seed_assign
-    # Queries probe their NPROBE nearest lists.
-    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    # Queries probe their nprobe nearest lists.
+    q = emb.filter(F.col("vec_id") % query_stride == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -611,6 +698,150 @@ def _ivf_query(
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", "cosine", "rnk")
     )
+
+
+# Recall-targeted nprobe sizing (VERDICT r12 #1). The r12 sweep
+# (PROBE_ivf_build_r12) measured WHY any fixed nprobe cannot ship:
+# nlist ~ sqrt(n) grows with the corpus, so a pinned nprobe probes a
+# shrinking fraction of lists and recall@5 decays with n (0.95 at
+# sf0.1 -> 0.44-0.51 at 100x at nprobe=32). A static nprobe(n) formula
+# fit to one corpus would be equally wrong the other way: the
+# recall-vs-probed-fraction curve is a property of the DATA (the r12
+# sweep's own 300x readings sit far above its 100x readings at equal
+# fraction), so the dial must be sized from the corpus at hand.
+# `ivf_calibrate_nprobe` therefore measures the curve on the built
+# index itself — the standard production-ANN recall-calibration step.
+CAL_TARGET_PCT = 90   # calibration recall target, percent (integer-exact)
+CAL_QUERY_TARGET = 64  # deterministic md5-sampled calibration queries
+
+
+def ivf_calibrate_nprobe(
+    emb: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    n: int,
+    target_pct: int = CAL_TARGET_PCT,
+    m_target: int = CAL_QUERY_TARGET,
+    k: int = TOP_K,
+) -> int:
+    """Smallest nprobe whose measured recall@k on a calibration sample
+    meets ``target_pct`` — sized from THIS index on THIS corpus.
+
+    Protocol (all DataFrame ops; the only driver transfer is the final
+    1-row scalar, the same loop-control class as the corpus count):
+
+    1. sample ~``m_target`` calibration queries with the sampling
+       family's salted-md5 threshold ('cal:' salt keeps the set
+       independent of ivf_build_linear's training sample);
+    2. exact top-k for the sample: the m queries broadcast against one
+       corpus scan — O(m*n) distributed work, linear in the corpus;
+    3. home-list rank: each true neighbor's assigned centroid is
+       looked up in its query's centroid-distance ordering (m*nlist
+       ranking rows, centroids broadcast);
+    4. the recall-vs-nprobe curve is the cumulative distribution of
+       those home ranks; return the smallest rank where
+       cum*100 >= target_pct*tot (integer cross-multiplication — no
+       float recall compare to diverge from the oracle replay).
+
+    The curve ends at recall 1.0 by construction (probing every list
+    IS the exact scan), so the sizing is total: some nprobe always
+    meets the target. On a corpus with cluster structure the dial
+    comes back small (neighbors co-locate with their query's nearest
+    lists); on an isotropic corpus it comes back large — correctly
+    reporting that IVF buys little there instead of silently shipping
+    a decayed recall. Sampling error at the default m*k ~ 320 truth
+    rows is a few points; callers needing a guarantee raise
+    ``target_pct`` or ``m_target`` (cost stays O(m*n)).
+
+    Every comparison is on 6-decimal-rounded cosines with id
+    tie-breaks — the module's oracle-replay discipline — so the DuckDB
+    twin (`_sql_calibration_ctes`) derives the identical scalar and
+    the driver hash proves the sizing end to end.
+    """
+    if m_target < n:
+        thres = format(min(0xFFFFFFFF, (m_target << 32) // n), "08x")
+        calq = emb.filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cal:"), F.col("vec_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            )
+            < thres
+        )
+    else:
+        calq = emb
+    calq = calq.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    # Exact truth for the sample: corpus scan x broadcast queries.
+    pairs = (
+        emb.select(
+            "vec_id", F.col("embedding").alias("te"), F.col("nrm").alias("tn")
+        )
+        .join(F.broadcast(calq), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenormed(F.col("qe"), F.col("te"), F.col("qn"), F.col("tn")),
+                6,
+            ),
+        )
+    )
+    w_t = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    truth = (
+        pairs.withColumn("rnk", F.row_number().over(w_t))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id")
+    )
+    home = truth.join(assign.select("vec_id", "cent_id"), "vec_id").select(
+        "q_id", "cent_id"
+    )
+    # Each query's centroid-distance ordering (centroids broadcast).
+    qrank = (
+        calq.join(F.broadcast(cents), how="cross")
+        .withColumn(
+            "cos_c",
+            F.round(
+                cosine_prenormed(
+                    F.col("qe"), F.col("cent_e"), F.col("qn"), F.col("cent_n")
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+            ),
+        )
+        .select("q_id", "cent_id", "crank")
+    )
+    hr = home.join(qrank, ["q_id", "cent_id"]).select("crank")
+    curve = hr.groupBy("crank").agg(F.count("*").alias("c"))
+    # Cumulative curve over <= nlist rows — a global window over a
+    # sqrt(n)-sized frame (fine even at 10^11 vectors: ~3*10^5 rows).
+    w_cum = W.orderBy("crank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sized = curve.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "tot", F.sum("c").over(W.partitionBy())
+    )
+    row = sized.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(int(target_pct)) * F.col("tot"),
+                    F.col("crank"),
+                )
+            ),
+            F.lit(NPROBE),
+        ).alias("np")
+    ).first()
+    return max(1, int(row["np"]))
 
 
 LSH_BITS = 5        # SRP bucket width → 2^5 inverted lists
@@ -876,6 +1107,29 @@ _SQL_ADAPTIVE_CENTS = """,
               FROM base, astride WHERE vec_id % s = 0)"""
 
 
+def _sql_tail_adaptive_cal() -> str:
+    """The adaptive branch's tail with the r13 recall-calibrated
+    nprobe: the calibration CTEs replay `ivf_calibrate_nprobe` over
+    the same base/cents/assign, and the probe filter consumes the
+    derived scalar instead of the pinned literal."""
+    return _sql_tail(
+        nprobe_expr="(SELECT np FROM acalnp)",
+        cal_block=_sql_calibration_ctes(
+            prefix="acal",
+            base="base",
+            emb_col="embedding",
+            nrm_col="nrm",
+            cents="cents",
+            cn_col="cn",
+            assign="assign",
+            dot=_dot_float_sql,
+            m_target=CAL_QUERY_TARGET,
+            target_pct=CAL_TARGET_PCT,
+            k=TOP_K,
+        ),
+    )
+
+
 # The registered ivf_linear branch's sample floor: IVF_SAMPLE_FLOOR
 # (4096) would swallow the <=2000-row driver corpora and make the
 # sampled-Lloyd arm vacuous; 256 keeps target < n at sf0.01/sf0.001 so
@@ -911,6 +1165,21 @@ def _ivf_linear_oracle() -> str:
     from hgn_spark.operators.dedup import EMB_DIM, _plane_values_sql, _srp_planes
 
     planes = _srp_planes(IVF_LIN_MAX_BITS, EMB_DIM)
+    # r13: the production nprobe is recall-calibrated on the built
+    # index (VERDICT r12 #1) — replay the sizing, not a literal.
+    cal_block = _sql_calibration_ctes(
+        prefix="lcal",
+        base="lbase",
+        emb_col="emb",
+        nrm_col="nrm",
+        cents="lcents",
+        cn_col="cn",
+        assign="lassign",
+        dot=lambda a, b: f"list_dot_product({a}, {b})",
+        m_target=CAL_QUERY_TARGET,
+        target_pct=CAL_TARGET_PCT,
+        k=TOP_K,
+    )
     return f"""
     WITH lbase AS (
       SELECT vec_id,
@@ -1013,7 +1282,7 @@ def _ivf_linear_oracle() -> str:
     lassign AS (
       SELECT a.vec_id, a.cent_id, e.emb, e.nrm
       FROM (SELECT * FROM lmatched UNION ALL SELECT * FROM lrescued) a
-      JOIN lbase e USING (vec_id)),
+      JOIN lbase e USING (vec_id)){cal_block},
     lq AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM lbase
            WHERE vec_id % {QUERY_STRIDE} = 0),
     lqprobes AS (
@@ -1024,7 +1293,7 @@ def _ivf_linear_oracle() -> str:
                  ORDER BY round(list_dot_product(q.qe, c.ce)
                                 / (q.qn * c.cn), 6) DESC, c.cent_id) AS rn
         FROM lq q CROSS JOIN lcents c)
-      WHERE rn <= {NPROBE}),
+      WHERE rn <= (SELECT np FROM lcalnp)),
     lcands AS (
       SELECT p.q_id, a.vec_id,
              round(list_dot_product(p.qe, a.emb) / (p.qn * a.nrm), 6) AS cosine
@@ -1065,7 +1334,7 @@ def _ivf_linear_oracle() -> str:
         + ") UNION ALL SELECT 'ivf_adaptive' AS variant, * FROM ("
         + _SQL_PRELUDE
         + _SQL_ADAPTIVE_CENTS
-        + _SQL_TAIL
+        + _sql_tail_adaptive_cal()
         + ") UNION ALL SELECT 'lsh_adaptive' AS variant, * FROM ("
         + _lsh_adaptive_oracle()
         + ") UNION ALL SELECT 'ivf_linear' AS variant, * FROM ("
@@ -1146,10 +1415,17 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulas bit-agree with the oracle's scalar-subquery twins at
     # every driver scale. One count() action shared by both.
     n = emb.count()
-    adapt_frames = _ivf_seed_frames_adaptive(spark, sf_dir, n=n)
-    ivf_a = _ivf_query(spark, sf_dir, refine=False, frames=adapt_frames).select(
-        F.lit("ivf_adaptive").alias("variant"), "*"
-    )
+    a_emb, a_cents, a_assign = _ivf_seed_frames_adaptive(spark, sf_dir, n=n)
+    # The assignment now feeds TWO consumers (the calibration's
+    # home-list lookup and the query candidates) — materialize once.
+    a_assign = loose_local_checkpoint(a_assign)
+    # r13 (VERDICT r12 #1): the production branches size nprobe from
+    # the measured recall curve of THIS index instead of the pinned
+    # literal whose recall the r12 sweep showed decaying with n.
+    np_a = ivf_calibrate_nprobe(a_emb, a_cents, a_assign, n)
+    ivf_a = _ivf_query(
+        spark, sf_dir, refine=False, frames=(a_emb, a_cents, a_assign), nprobe=np_a
+    ).select(F.lit("ivf_adaptive").alias("variant"), "*")
     # r12 (VERDICT r11 #2): the LINEAR-TIME index build — the stated
     # 100 TB build path (sampled Lloyd + SRP-bucket-local assign +
     # exact-argmax rescue, PROBE_ivf_build 0.94x growth per 3x data vs
@@ -1160,16 +1436,20 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ivf_build_linear's docstring). Same probe/rerank tail, so the
     # branch differs from ivf_adaptive exactly by the build topology
     # under test.
-    lin_frames = ivf_build_linear(
+    l_emb, l_cents, l_assign = ivf_build_linear(
         spark,
         sf_dir,
         n=n,
         pinned=True,
         sample_floor=IVF_LINEAR_DRIVER_FLOOR,
     )
-    ivf_lin = _ivf_query(spark, sf_dir, refine=False, frames=lin_frames).select(
-        F.lit("ivf_linear").alias("variant"), "*"
-    )
+    # Same two-consumer shape as the adaptive branch: calibration +
+    # query both read the assignment.
+    l_assign = loose_local_checkpoint(l_assign)
+    np_l = ivf_calibrate_nprobe(l_emb, l_cents, l_assign, n)
+    ivf_lin = _ivf_query(
+        spark, sf_dir, refine=False, frames=(l_emb, l_cents, l_assign), nprobe=np_l
+    ).select(F.lit("ivf_linear").alias("variant"), "*")
     # Both LSH widths run FUSED in one shared pass (projections
     # computed once to max(bits), labeled buckets, one probe join /
     # re-rank) — per-label identical to simsearch_lsh_topk, pinned in
@@ -1218,6 +1498,34 @@ def simsearch_ivf_seed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with k-means-trained centroids (the 'kmeans' variant)."""
     return _ivf_query(spark, sf_dir, refine=True)
+
+
+def simsearch_ivf_calibrated_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    target_pct: int = CAL_TARGET_PCT,
+    m_target: int = CAL_QUERY_TARGET,
+    info: dict | None = None,
+) -> DataFrame:
+    """The production ANN query path end to end: linear-time index
+    build (`ivf_build_linear`, avg-Lloyd training) + recall-calibrated
+    nprobe (`ivf_calibrate_nprobe`) + the standard probe/rerank tail.
+    ``info`` (optional dict) receives the sized {"nprobe", "n"} so
+    probes/reports can record the operating point alongside results.
+    The registered driver branches pin their own deterministic twins
+    of both stages; this is the callable a deployment uses."""
+    emb, cents, assign = ivf_build_linear(spark, sf_dir)
+    assign = loose_local_checkpoint(assign)
+    n = emb.count()
+    np_c = ivf_calibrate_nprobe(
+        emb, cents, assign, n, target_pct=target_pct, m_target=m_target
+    )
+    if info is not None:
+        info["nprobe"] = np_c
+        info["n"] = n
+    return _ivf_query(
+        spark, sf_dir, refine=False, frames=(emb, cents, assign), nprobe=np_c
+    )
 
 
 @register(

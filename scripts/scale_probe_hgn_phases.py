@@ -15,6 +15,14 @@ Run at two scales and the per-phase growth factors name the
 superlinear phase (if any) the way the IVF probe named the exact
 assign.
 
+r13 (VERDICT r12 #3): each scale now runs BOTH delete-rule
+formulations — "arrays" (the r12 shape: neighbor arrays +
+interpreted array_intersect per edge) and "pairs"
+(r_metrics_edges_pairs: flat (id, nb) equi-joins, codegen, no
+arrays) — so the mitigation dial's delta is attributed per phase in
+one window. Results are bit-identical across impls (pinned by
+tests/test_graph.py); only the plan shape differs.
+
 Usage: python scripts/scale_probe_hgn_phases.py [scales] [out.json]
   scales default:
   "sf0.1=/root/testdata/sf0.1,1000x=/tmp/hgn_scale/sf100graph"
@@ -48,7 +56,7 @@ def main() -> None:
     from hgn_spark.session import get_spark
 
     spark = get_spark(app_name="hgn_phase_probe")
-    out: dict = {"probe": "hgn_phases_r12", "scales": {}}
+    out: dict = {"probe": "hgn_phases_r13", "load_avg_start": round(os.getloadavg()[0], 2), "scales": {}}
     for label, sf_dir in scales:
         if not os.path.isdir(sf_dir):
             print(f"# skip {label}: missing", file=sys.stderr)
@@ -60,37 +68,50 @@ def main() -> None:
             F.col("s_suppkey").alias("id"),
             F.col("s_nationkey").alias("nationkey"),
         )
-        params = HGNParams(
-            r_lvl1_thres=R1_THRES,
-            r_lvl2_thres=R2_THRES,
-            max_edge_weight=0.5,
-            betweenness_thres=3.0,
-            feature_min_avg=0.5,
-            max_steps=3,
-            max_sp_length=2,
-        )
-        timings: dict[str, float] = {}
-        t0 = time.perf_counter()
-        res = hgn_communities(
-            vertices, edges, ["nationkey"], params, phase_timings=timings
-        )
-        t1 = time.perf_counter()
-        res.write.format("noop").mode("overwrite").save()
-        timings["final_drain"] = round(time.perf_counter() - t1, 3)
-        timings["total"] = round(time.perf_counter() - t0, 3)
-        out["scales"][label] = timings
-        print(f"# {label}: {json.dumps(timings)}", file=sys.stderr, flush=True)
+        per_impl: dict = {}
+        # r13 (VERDICT r12 #3): both delete-rule formulations, same
+        # config — the "pairs" column is the dial turned; "arrays" is
+        # the r12 baseline re-measured in the same window.
+        for impl in ("arrays", "pairs"):
+            clear_session_caches(blocking=True)
+            params = HGNParams(
+                r_lvl1_thres=R1_THRES,
+                r_lvl2_thres=R2_THRES,
+                max_edge_weight=0.5,
+                betweenness_thres=3.0,
+                feature_min_avg=0.5,
+                max_steps=3,
+                max_sp_length=2,
+                delete_rule_impl=impl,
+            )
+            timings: dict[str, float] = {}
+            t0 = time.perf_counter()
+            res = hgn_communities(
+                vertices, edges, ["nationkey"], params, phase_timings=timings
+            )
+            t1 = time.perf_counter()
+            res.write.format("noop").mode("overwrite").save()
+            timings["final_drain"] = round(time.perf_counter() - t1, 3)
+            timings["total"] = round(time.perf_counter() - t0, 3)
+            per_impl[impl] = timings
+            print(f"# {label}/{impl}: {json.dumps(timings)}",
+                  file=sys.stderr, flush=True)
+        out["scales"][label] = per_impl
 
     labels = [lb for lb, _ in scales if lb in out["scales"]]
     if len(labels) == 2:
         a, b = labels
         out["phase_growth"] = {
-            k: round(out["scales"][b][k] / out["scales"][a][k], 1)
-            for k in out["scales"][a]
-            if k != "n_steps"
-            and isinstance(out["scales"][a].get(k), (int, float))
-            and isinstance(out["scales"][b].get(k), (int, float))
-            and out["scales"][a][k] > 0
+            impl: {
+                k: round(out["scales"][b][impl][k] / out["scales"][a][impl][k], 1)
+                for k in out["scales"][a][impl]
+                if k != "n_steps"
+                and isinstance(out["scales"][a][impl].get(k), (int, float))
+                and isinstance(out["scales"][b][impl].get(k), (int, float))
+                and out["scales"][a][impl][k] > 0
+            }
+            for impl in ("arrays", "pairs")
+            if impl in out["scales"][a] and impl in out["scales"][b]
         }
     js = json.dumps(out)
     print(js)

@@ -401,6 +401,71 @@ def test_hgn_loop_splits_triangles(edges, vertices):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
 
 
+def test_rmetrics_pair_form_equals_array_form(spark):
+    """r13 delete-rule dial (VERDICT r12 #3): the pair-form r-metrics
+    (flat (id, nb) equi-joins — the DuckDB oracle's own formulation)
+    must be BIT-identical to the array form on the real derived graph:
+    same edges, same four ratios, same keepit. Integer counts divided
+    by integer counts leave no rounding surface."""
+    from hgn_spark.graph.queries import R1_THRES, R2_THRES, derived_edges
+    from hgn_spark.graph.rmetrics import r_metrics_edges, r_metrics_edges_pairs
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    arr = {
+        (r["src"], r["dst"]): (r["r11"], r["r12"], r["r21"], r["r22"], r["keepit"])
+        for r in r_metrics_edges(e, R1_THRES, R2_THRES).collect()
+    }
+    scored, members2 = r_metrics_edges_pairs(e, R1_THRES, R2_THRES)
+    pair = {
+        (r["src"], r["dst"]): (r["r11"], r["r12"], r["r21"], r["r22"], r["keepit"])
+        for r in scored.collect()
+    }
+    assert arr == pair
+    # and the member rows equal the array path's exploded sets
+    want_members = {
+        (r["src"], r["dst"], m)
+        for r in r_metrics_edges(e, R1_THRES, R2_THRES).collect()
+        for m in r["common_neighbors"]
+    }
+    got_members = {
+        (r["src"], r["dst"], r["member"]) for r in members2.collect()
+    }
+    assert got_members == want_members
+
+
+def test_hgn_pairs_impl_equals_arrays_impl(edges, vertices):
+    """The full HGN loop under both delete-rule formulations lands on
+    identical communities (the registered row runs 'pairs' since r13;
+    'arrays' stays the evidence twin)."""
+    params_base = dict(
+        r_lvl1_thres=0.25,
+        r_lvl2_thres=0.9,
+        max_edge_weight=0.9,
+        betweenness_thres=5.0,
+        feature_min_avg=0.6,
+        max_steps=5,
+    )
+    got_pairs = _as_dict(
+        hgn_communities(
+            vertices, edges, ["attr"], HGNParams(**params_base)
+        ),
+        "id",
+        "component",
+    )
+    got_arrays = _as_dict(
+        hgn_communities(
+            vertices,
+            edges,
+            ["attr"],
+            HGNParams(delete_rule_impl="arrays", **params_base),
+        ),
+        "id",
+        "component",
+    )
+    assert got_pairs == got_arrays == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
 def test_triangles_and_clustering(edges):
     from hgn_spark.graph.core import triangles
 

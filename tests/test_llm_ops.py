@@ -1504,6 +1504,59 @@ def test_ivf_adaptive_and_lsh_adaptive_branches(spark):
         assert len(got) == len(bf), v
 
 
+def test_ivf_calibrated_nprobe_meets_target(spark):
+    """r13 (VERDICT r12 #1): the production IVF branches size nprobe
+    from the measured recall curve of the built index. On the
+    isotropic smoke corpus the dial must come back LARGE (the honest
+    'IVF buys little here' answer — the r12 sweep measured fixed
+    nprobe=3 at ~0.38 recall on this index), and the branch recall
+    against the exact baseline must then actually meet the target
+    minus sampling slack."""
+    from hgn_spark.operators.similarity import (
+        CAL_TARGET_PCT,
+        NPROBE,
+        _ivf_seed_frames_adaptive,
+        ivf_adaptive_stride,
+        ivf_calibrate_nprobe,
+        load_embeddings,
+    )
+
+    n = load_embeddings(spark, SF_SMOKE).count()
+    emb, cents, assign = _ivf_seed_frames_adaptive(spark, SF_SMOKE, n=n)
+    np_c = ivf_calibrate_nprobe(emb, cents, assign, n)
+    nlist = cents.count()
+    assert 1 <= np_c <= nlist
+    # non-vacuous: the isotropic corpus needs far more than the old
+    # pinned literal (observed 15 of 22 lists at n=500)
+    assert np_c > NPROBE
+
+    rows = SPECS["simsearch_topk_cosine"].fn(spark, SF_SMOKE).collect()
+    by: dict[str, set] = {}
+    for r in rows:
+        by.setdefault(r["variant"], set()).add((r["q_id"], r["vec_id"]))
+    bf = by["exact"]
+    # target is 90%; allow sampling slack (64-query calibration set vs
+    # the 10 standing queries measured here)
+    assert len(bf & by["ivf_adaptive"]) / len(bf) >= CAL_TARGET_PCT / 100 - 0.15
+    assert len(bf & by["ivf_linear"]) / len(bf) >= CAL_TARGET_PCT / 100 - 0.15
+
+
+def test_ivf_calibrated_production_helper(spark):
+    """simsearch_ivf_calibrated_topk — the deployment callable (avg
+    Lloyd + calibrated nprobe) — returns a full top-k per standing
+    query and records its operating point."""
+    from hgn_spark.operators.similarity import (
+        TOP_K,
+        simsearch_ivf_calibrated_topk,
+    )
+
+    info: dict = {}
+    got = simsearch_ivf_calibrated_topk(spark, SF_SMOKE, info=info).collect()
+    qs = {r["q_id"] for r in got}
+    assert len(got) == TOP_K * len(qs)
+    assert info["nprobe"] >= 1 and info["n"] > 0
+
+
 def test_lsh_adaptive_bits_integer_exact():
     """The occupancy-targeted width must equal ceil(log2(n/target))
     wherever libm agrees with exact math, INCLUDING exact power-of-two
