@@ -31,10 +31,14 @@ from hgn_spark.checkpoint import CheckpointJanitor, park_loose_blocks
 from hgn_spark.graph.betweenness import edge_betweenness
 from hgn_spark.graph.components import connected_components
 from hgn_spark.graph.core import canonicalize, drop_isolated_vertices
-from hgn_spark.graph.rmetrics import r_metrics_edges, r_metrics_edges_pairs
+from hgn_spark.graph.rmetrics import (
+    candidate_common_members,
+    r_metrics_edges,
+    r_metrics_edges_pairs,
+)
 from hgn_spark.graph.weights import (
     hybrid_edge_weights,
-    hybrid_edge_weights_pairs,
+    hybrid_edge_weights_members,
     one_hot_cosine_similarities,
 )
 
@@ -122,13 +126,23 @@ def hgn_communities(
             t["n_steps"] = _step
         t0 = _time.perf_counter()
         if p.delete_rule_impl == "pairs":
-            scored, members2 = r_metrics_edges_pairs(
+            # Pair form, loop-shaped (PROBE_hgn_subphase_r13): score
+            # once, CHECKPOINT the small candidate list, then expand
+            # common members for the candidates only — the full-edge
+            # member expansion is the phase's dominant term (49M rows
+            # at 1000x) and Catalyst would re-run the scored plan per
+            # consumer without the materialization barrier.
+            scored, _members_all = r_metrics_edges_pairs(
                 e, p.r_lvl1_thres, p.r_lvl2_thres
             )
-            weights = hybrid_edge_weights_pairs(
-                scored, members2, sims, p.feature_min_avg
+            cand, cand_ids = jan.checkpoint(
+                scored.filter(~F.col("keepit")).select("src", "dst")
+            )
+            weights = hybrid_edge_weights_members(
+                candidate_common_members(e, cand), sims, p.feature_min_avg
             )
         else:
+            cand_ids = None
             edges_r = r_metrics_edges(e, p.r_lvl1_thres, p.r_lvl2_thres)
             weights = hybrid_edge_weights(edges_r, sims, p.feature_min_avg)
         # Canonical edges → single equi-join against canonical betweenness
@@ -146,6 +160,9 @@ def hgn_communities(
         )
         empty = to_delete.isEmpty()
         _mark("loop_delete_rule", t0)
+        # The candidate list fed to_delete, now materialized — free it.
+        if cand_ids is not None:
+            jan.release(cand_ids)
         if empty:
             jan.release(td_ids)
             break

@@ -150,6 +150,17 @@ def r_metrics_edges_pairs(
     (the power-law hub that blows a collect_set buffer is just more
     rows here, which AQE skew-splits). PROBE_hgn_phases_r13 measures
     the two forms side by side at sf0.1 and the 1000×-class slice.
+
+    Scale note (r13 sub-phase attribution, PROBE_hgn_subphase_r13):
+    the common-member expansion is the delete-rule phase's dominant
+    term (49M rows / ~37 s per evaluation at 1000×), and Catalyst
+    shares no subplans — a consumer that reads the returned
+    ``members2`` AND ``scored`` pays the expansion twice. Loop callers
+    should instead checkpoint the (small) candidate edge list and
+    call `candidate_common_members` — members are only ever consumed
+    for keepit=False edges (the array form has the same asymmetry: it
+    explodes only candidate rows), so the expansion then runs once,
+    restricted to the candidate fraction.
     """
     e = edges.select("src", "dst")
     p1 = neighbor_pairs(edges, level=1)
@@ -202,3 +213,13 @@ def r_metrics_edges_pairs(
         )
     )
     return scored, members2
+
+
+def candidate_common_members(edges: DataFrame, cand: DataFrame) -> DataFrame:
+    """Level-2 common-member rows for a (preferably materialized)
+    candidate edge subset — the loop-shaped consumer of the pair form
+    (see the scale note on r_metrics_edges_pairs): the expansion runs
+    once, over the candidate fraction only."""
+    return _common_member_rows(
+        cand.select("src", "dst"), neighbor_pairs(edges, level=2), "l2"
+    )

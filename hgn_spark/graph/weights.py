@@ -185,6 +185,23 @@ def hybrid_edge_weights_pairs(
     return _weights_from_members(cn, similarities, feature_min_avg)
 
 
+def hybrid_edge_weights_members(
+    cand_members: DataFrame,
+    similarities: DataFrame,
+    feature_min_avg: float,
+) -> DataFrame:
+    """Weights from pre-restricted candidate member rows (src, dst,
+    member) — the loop-shaped entry point (see candidate_common_members):
+    no keepit filter and no semi-join, because the caller already
+    generated members for exactly the candidate edges."""
+    cn = cand_members.select(
+        F.col("src").alias("nb_src"),
+        F.col("dst").alias("nb_dst"),
+        "member",
+    )
+    return _weights_from_members(cn, similarities, feature_min_avg)
+
+
 def _weights_from_members(
     cn: DataFrame, similarities: DataFrame, feature_min_avg: float
 ) -> DataFrame:

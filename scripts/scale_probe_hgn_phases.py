@@ -61,19 +61,21 @@ def main() -> None:
         if not os.path.isdir(sf_dir):
             print(f"# skip {label}: missing", file=sys.stderr)
             continue
-        clear_session_caches(blocking=True)
-        spark.sparkContext._jvm.System.gc()
-        edges = derived_edges(spark, sf_dir)
-        vertices = load_table(spark, sf_dir, "supplier").select(
-            F.col("s_suppkey").alias("id"),
-            F.col("s_nationkey").alias("nationkey"),
-        )
         per_impl: dict = {}
         # r13 (VERDICT r12 #3): both delete-rule formulations, same
         # config — the "pairs" column is the dial turned; "arrays" is
-        # the r12 baseline re-measured in the same window.
+        # the r12 baseline re-measured in the same window. The inputs
+        # are re-derived AFTER each cache clear (clearing drops the
+        # session-cached derived_edges' checkpoint blocks — deriving
+        # first then clearing is a CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
         for impl in ("arrays", "pairs"):
             clear_session_caches(blocking=True)
+            spark.sparkContext._jvm.System.gc()
+            edges = derived_edges(spark, sf_dir)
+            vertices = load_table(spark, sf_dir, "supplier").select(
+                F.col("s_suppkey").alias("id"),
+                F.col("s_nationkey").alias("nationkey"),
+            )
             params = HGNParams(
                 r_lvl1_thres=R1_THRES,
                 r_lvl2_thres=R2_THRES,

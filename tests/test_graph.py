@@ -434,6 +434,33 @@ def test_rmetrics_pair_form_equals_array_form(spark):
     assert got_members == want_members
 
 
+def test_candidate_common_members_matches_full(edges):
+    """The loop-shaped candidate-only member expansion equals the full
+    member frame filtered to keepit=False edges — the restriction the
+    r13 sub-phase attribution justified (weights only ever consume
+    candidate members). On the fixture the bridge (3,4) is the sole
+    candidate at these thresholds, with level-2 common members
+    {1,2,5,6}."""
+    from hgn_spark.graph.rmetrics import (
+        candidate_common_members,
+        r_metrics_edges_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    scored, members_all = r_metrics_edges_pairs(edges, 0.25, 0.9)
+    cand = scored.filter(~F.col("keepit")).select("src", "dst")
+    want = {
+        (r["src"], r["dst"], r["member"])
+        for r in members_all.join(cand, ["src", "dst"], "left_semi").collect()
+    }
+    got = {
+        (r["src"], r["dst"], r["member"])
+        for r in candidate_common_members(edges, cand).collect()
+    }
+    assert got == want
+    assert got == {(3, 4, m) for m in (1, 2, 5, 6)}
+
+
 def test_hgn_pairs_impl_equals_arrays_impl(edges, vertices):
     """The full HGN loop under both delete-rule formulations lands on
     identical communities (the registered row runs 'pairs' since r13;
