@@ -93,7 +93,12 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
             # srp_recall (r12): recall-targeted multi-band sizing
             # (srp_recall_bands) — measured 1.0/0.96/0.97 recall at
             # cos>=0.9 across sf0.1/10x/30x, flat under growth, for
-            # b ~ n^0.22 bands.
+            # b ~ n^0.22 bands. r13: the silent 64-band cap (which
+            # revoked the design recall past n ~ 2^20) is replaced by
+            # an explicit SRP_MAX_BANDS=256 budget that WARNS with the
+            # quantified effective recall when it binds (~5*10^8
+            # vectors at cos 0.9 / R 0.95); shortfall measured at a
+            # binding-region tier in PROBE_srp_cap_r13.
             "srp_recall": PRODUCTION,
         },
         "Sketch row; capped/adaptive twins probed at 100x/300x; "
@@ -118,7 +123,11 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
         },
         "Exact-jaccard row; PROBE_recall_r11 sizes the production "
         "df_cap (the driver-evidence CAP_DF=2 keeps hash-proof "
-        "non-vacuous at sf0.01 but is NOT a production value).",
+        "non-vacuous at sf0.01 but is NOT a production value). r13: "
+        "PROBE_text_clustered_r13 measures the capped path at recall "
+        "1.0 in every stratum ON the mega-bucket distribution the cap "
+        "exists for (boilerplate df 300/1000 >> cap 16), with the "
+        "dispatch choosing it automatically.",
     ),
 }
 
