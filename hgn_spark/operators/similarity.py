@@ -53,7 +53,8 @@ def ivf_adaptive_stride(n: int) -> int:
     the assign step is n x nlist ~ n^2 — 846.9x growth at 100x data
     (1490 s). sqrt-n centroids bound the index BUILD at O(n^1.5) (the
     same contract as semantic dedup's ceil(sqrt n) clusters) and the
-    recurring per-query cost at NPROBE x sqrt(n) candidates. IEEE
+    recurring per-query cost at nprobe x sqrt(n) candidates (nprobe
+    recall-calibrated per index since r13, ivf_calibrate_nprobe). IEEE
     sqrt/ceil are correctly rounded, so Python here and
     ceil(sqrt(count(*))) oracle-side cannot disagree."""
     import math
