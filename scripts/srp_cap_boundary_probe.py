@@ -42,17 +42,42 @@ sys.path.insert(
 )
 
 ORIGINAL_SAMPLE = 4096
+# float32 candidate screen with a guard band, float64 re-verify of the
+# (few) hits: the r12 protocol's full-matrix float64 np.round was the
+# wall-clock killer at 10^6+ vectors (8.5 GB temporaries per block,
+# kernel page churn measured at ~100% system time); float32 error is
+# ~1e-7 relative, so a 5e-4 guard band cannot miss a 0.85 pair.
+SCREEN = np.float32(0.8495)
+
+
+def _load_vectors_fast(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) via Arrow buffers — recall_probe's
+    fetchall loader builds 10^6 python tuples (minutes); this is
+    seconds at the same values."""
+    import duckdb
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    tbl = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{pat}') ORDER BY vec_id"
+    ).arrow()
+    ids = tbl["vec_id"].to_numpy()
+    emb = tbl["embedding"].combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // len(ids)
+    return ids, flat.reshape(len(ids), dim).astype(np.float64)
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hgn_scale/probe_hicos_cap"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
 
-    from recall_probe import _load_vectors, _pairs, _recall
+    from recall_probe import _pairs, _recall
 
-    ids, mat = _load_vectors(sf_dir)
+    ids, mat = _load_vectors_fast(sf_dir)
     nrm = np.sqrt((mat * mat).sum(axis=1))
-    unit = mat / nrm[:, None]
+    unit64 = mat / nrm[:, None]
+    unit = unit64.astype(np.float32)
     max_non_res = int(ids[ids % 50 != 1].max())
     comp_mask = (ids % 50 == 1) & (ids > max_non_res)
     n_comp = int(comp_mask.sum())
@@ -62,25 +87,34 @@ def main() -> None:
     comp_idx = np.nonzero(comp_mask)[0]
     for s in range(0, len(comp_idx), 512):
         blk = comp_idx[s : s + 512]
-        cos = np.round(unit[blk] @ unit.T, 6)
-        ii, jj = np.nonzero(cos >= 0.85)
+        cos = unit[blk] @ unit.T
+        ii, jj = np.nonzero(cos >= SCREEN)
         for bi, j in zip(ii, jj):
             i = blk[bi]
             if i == j:
                 continue
+            exact = round(float(unit64[i] @ unit64[j]), 6)
+            if exact < 0.85:
+                continue  # guard-band screen-in, float64 says no
             a, b = int(ids[i]), int(ids[j])
-            truth_scores[(min(a, b), max(a, b))] = float(cos[bi, j])
+            truth_scores[(min(a, b), max(a, b))] = exact
     orig_idx = np.nonzero(~comp_mask)[0]
     rng = np.random.default_rng(3)
     sample = rng.choice(orig_idx, min(ORIGINAL_SAMPLE, len(orig_idx)), replace=False)
     viol = 0
+    unit_orig = unit[orig_idx]
     for s in range(0, len(sample), 512):
         blk = sample[s : s + 512]
-        cos = np.round(unit[blk] @ unit[orig_idx].T, 6)
-        for bi in range(len(blk)):
-            viol += max(0, int((cos[bi] >= 0.85).sum()) - 1)
+        cos = unit[blk] @ unit_orig.T
+        ii, jj = np.nonzero(cos >= SCREEN)
+        for bi, j in zip(ii, jj):
+            i = blk[bi]
+            if orig_idx[j] == i:
+                continue  # self
+            if round(float(unit64[i] @ unit64[orig_idx[j]]), 6) >= 0.85:
+                viol += 1
     t_truth = round(time.perf_counter() - t0, 2)
-    del unit, mat, nrm  # free ~2 GB before the Spark phase
+    del unit, unit64, unit_orig, mat, nrm  # free before the Spark phase
 
     import warnings as _warnings
 
