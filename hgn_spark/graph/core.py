@@ -53,7 +53,9 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def neighbor_pairs(edges: DataFrame, level: int = 1) -> DataFrame:
+def neighbor_pairs(
+    edges: DataFrame, level: int = 1, sources: DataFrame | None = None
+) -> DataFrame:
     """Ordered (src, dst) pairs with dst in the level-``level`` neighborhood.
 
     level=1: adjacent vertices. level=2: adjacent ∪ two-hop endpoints
@@ -64,18 +66,30 @@ def neighbor_pairs(edges: DataFrame, level: int = 1) -> DataFrame:
     table, not the motif API: at scale the join shuffles once on the
     midpoint key and AQE handles skewed hubs; a motif engine would
     build the same join chain with less control.
+
+    ``sources`` (r13, the incremental delete rule's lever): an (id)
+    frame restricting the OUTPUT to pairs whose src is in the set —
+    applied to the src side BEFORE the 2-hop self-join, so the
+    expansion itself scales with |sources|, not |V|. Rows for a
+    retained source are identical to the unrestricted call's (the
+    restriction only drops other sources' rows).
     """
     if level not in (1, 2):
         raise ValueError(f"neighbor_pairs supports level 1 or 2, got {level}")
     sym = symmetrize(edges)
+    base = (
+        sym.join(sources.select(F.col("id").alias("src")), "src", "left_semi")
+        if sources is not None
+        else sym
+    )
     if level == 1:
-        return sym
-    a = sym.alias("a")
+        return base
+    a = base.alias("a")
     b = sym.alias("b")
     two = a.join(b, F.col("a.dst") == F.col("b.src")).select(
         F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
     )
-    return sym.unionByName(two).filter(F.col("src") != F.col("dst")).distinct()
+    return base.unionByName(two).filter(F.col("src") != F.col("dst")).distinct()
 
 
 def neighbors(

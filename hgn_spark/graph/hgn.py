@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from hgn_spark.checkpoint import CheckpointJanitor, park_loose_blocks
 from hgn_spark.graph.betweenness import edge_betweenness
 from hgn_spark.graph.components import connected_components
-from hgn_spark.graph.core import canonicalize, drop_isolated_vertices
+from hgn_spark.graph.core import canonicalize, drop_isolated_vertices, symmetrize
 from hgn_spark.graph.rmetrics import (
     candidate_common_members,
     r_metrics_edges,
@@ -61,8 +61,12 @@ class HGNParams:
     # array_intersect per edge); "pairs" computes the identical
     # r-metrics/weights VALUES via flat (id, nb) equi-joins inside
     # codegen (r_metrics_edges_pairs — the shape the DuckDB oracle
-    # always used). Results are bit-identical (pinned by test);
-    # PROBE_hgn_phases_r13 measures the two at sf0.1 and 1000x.
+    # always used); "pairs_incremental" additionally scores steps 2+
+    # only on edges whose endpoint neighborhoods the previous
+    # deletions changed — the delta-maintenance scale path (step cost
+    # ~ |affected|, not |E|). All three land on identical communities
+    # (pinned by test); PROBE_hgn_phases_r13 measures the forms at
+    # sf0.1 and 1000x.
     delete_rule_impl: str = "pairs"
 
 
@@ -121,19 +125,51 @@ def hgn_communities(
     _mark("init_betweenness", t0)
 
     # --- main loop ------------------------------------------------------
+    aff_v = None  # pairs_incremental: vertices whose neighborhoods changed
+    aff_ids = None
     for _step in range(1, p.max_steps + 1):
         if t is not None:
             t["n_steps"] = _step
         t0 = _time.perf_counter()
-        if p.delete_rule_impl == "pairs":
+        if p.delete_rule_impl in ("pairs", "pairs_incremental"):
             # Pair form, loop-shaped (PROBE_hgn_subphase_r13): score
             # once, CHECKPOINT the small candidate list, then expand
             # common members for the candidates only — the full-edge
             # member expansion is the phase's dominant term (49M rows
             # at 1000x) and Catalyst would re-run the scored plan per
             # consumer without the materialization barrier.
+            #
+            # pairs_incremental (r13, the next named mitigation from
+            # the sub-phase attribution): steps 2+ score only edges
+            # with an endpoint within distance 1 of a PREVIOUS
+            # deletion's endpoints (`aff_v`, captured on the
+            # pre-deletion graph below). Sound because an edge's
+            # metrics depend only on its endpoints' level-1/2
+            # neighborhoods, which deleting (a, b) changes exactly for
+            # vertices within distance 1 of {a, b} — every other
+            # survivor kept the scores that already passed the rule
+            # last step, so step N's deletions are a subset of the
+            # scoped set. Communities are identical to the full
+            # recompute (pinned by test).
+            scope = None
+            if p.delete_rule_impl == "pairs_incremental" and aff_v is not None:
+                scope, scope_ids = jan.checkpoint(
+                    e.join(
+                        aff_v.withColumnRenamed("id", "src"), "src", "left_semi"
+                    )
+                    .unionByName(
+                        e.join(
+                            aff_v.withColumnRenamed("id", "dst"),
+                            "dst",
+                            "left_semi",
+                        )
+                    )
+                    .distinct()
+                )
+            else:
+                scope_ids = None
             scored, _members_all = r_metrics_edges_pairs(
-                e, p.r_lvl1_thres, p.r_lvl2_thres
+                e, p.r_lvl1_thres, p.r_lvl2_thres, scope=scope
             )
             cand, cand_ids = jan.checkpoint(
                 scored.filter(~F.col("keepit")).select("src", "dst")
@@ -143,6 +179,7 @@ def hgn_communities(
             )
         else:
             cand_ids = None
+            scope_ids = None
             edges_r = r_metrics_edges(e, p.r_lvl1_thres, p.r_lvl2_thres)
             weights = hybrid_edge_weights(edges_r, sims, p.feature_min_avg)
         # Canonical edges → single equi-join against canonical betweenness
@@ -163,9 +200,32 @@ def hgn_communities(
         # The candidate list fed to_delete, now materialized — free it.
         if cand_ids is not None:
             jan.release(cand_ids)
+        if scope_ids is not None:
+            jan.release(scope_ids)
         if empty:
             jan.release(td_ids)
             break
+        if p.delete_rule_impl == "pairs_incremental":
+            # Next step's scope seed: the deleted endpoints plus their
+            # neighbors in THIS (pre-deletion) generation — exactly
+            # the vertices whose level-1/2 neighborhoods the deletion
+            # changes. Captured before e is replaced.
+            dv = (
+                to_delete.select(F.col("src").alias("id"))
+                .unionByName(to_delete.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            nb = (
+                symmetrize(e)
+                .join(dv.withColumnRenamed("id", "src"), "src", "left_semi")
+                .select(F.col("dst").alias("id"))
+            )
+            new_aff, new_aff_ids = jan.checkpoint(
+                dv.unionByName(nb).distinct()
+            )
+            if aff_ids is not None:
+                jan.release(aff_ids)
+            aff_v, aff_ids = new_aff, new_aff_ids
         t0 = _time.perf_counter()
         new_e, new_e_ids = jan.checkpoint(
             e.join(to_delete, ["src", "dst"], "left_anti")
@@ -191,6 +251,8 @@ def hgn_communities(
     # similarity and betweenness checkpoints are dead weight from here.
     jan.release(sims_ids)
     jan.release(betw_ids)
+    if aff_ids is not None:
+        jan.release(aff_ids)
     # The final edge generation stays lazily referenced by the returned
     # plan (survivors join + CC mapping) — park it for clear-time
     # release instead of leaving it to async GC.

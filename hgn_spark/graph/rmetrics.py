@@ -129,6 +129,7 @@ def r_metrics_edges_pairs(
     edges: DataFrame,
     r_lvl1_thres: float,
     r_lvl2_thres: float,
+    scope: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """`r_metrics_edges` in PAIR FORM (VERDICT r12 #3 — the delete-rule
     mitigation dial, now executable): returns
@@ -162,9 +163,24 @@ def r_metrics_edges_pairs(
     explodes only candidate rows), so the expansion then runs once,
     restricted to the candidate fraction.
     """
-    e = edges.select("src", "dst")
-    p1 = neighbor_pairs(edges, level=1)
-    p2 = neighbor_pairs(edges, level=2)
+    # ``scope`` (r13, the incremental lever — see HGNParams
+    # .delete_rule_impl='pairs_incremental'): an (src, dst) edge
+    # subset to score INSTEAD of the full edge list. Neighborhood
+    # counts and common members still come from the full graph
+    # (values for a scoped edge equal the full call's, pinned by
+    # test), but every expansion — the 2-hop self-join, the count
+    # aggregations, the cc joins — is source-restricted to the
+    # scope's endpoints, so step cost scales with |scope|, not |E|.
+    e = (scope if scope is not None else edges).select("src", "dst")
+    srcs = None
+    if scope is not None:
+        srcs = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    p1 = neighbor_pairs(edges, level=1, sources=srcs)
+    p2 = neighbor_pairs(edges, level=2, sources=srcs)
     cnt1 = p1.groupBy(F.col("src").alias("id")).agg(F.count("dst").alias("cnt"))
     cnt2 = p2.groupBy(F.col("src").alias("id")).agg(F.count("dst").alias("cnt"))
     cc1 = (
@@ -219,7 +235,16 @@ def candidate_common_members(edges: DataFrame, cand: DataFrame) -> DataFrame:
     """Level-2 common-member rows for a (preferably materialized)
     candidate edge subset — the loop-shaped consumer of the pair form
     (see the scale note on r_metrics_edges_pairs): the expansion runs
-    once, over the candidate fraction only."""
+    once, over the candidate fraction only, and is source-restricted
+    to the candidates' endpoints so even the 2-hop self-join scales
+    with the candidate set."""
+    srcs = (
+        cand.select(F.col("src").alias("id"))
+        .unionByName(cand.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     return _common_member_rows(
-        cand.select("src", "dst"), neighbor_pairs(edges, level=2), "l2"
+        cand.select("src", "dst"),
+        neighbor_pairs(edges, level=2, sources=srcs),
+        "l2",
     )

@@ -493,6 +493,31 @@ def test_hgn_pairs_impl_equals_arrays_impl(edges, vertices):
     assert got_pairs == got_arrays == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
 
 
+def test_hgn_incremental_impl_equals_full(edges, vertices):
+    """pairs_incremental — steps 2+ score only the affected edge set —
+    must land on identical communities to the full per-step recompute
+    (the soundness argument lives on HGNParams.delete_rule_impl)."""
+    base = dict(
+        r_lvl1_thres=0.25,
+        r_lvl2_thres=0.9,
+        max_edge_weight=0.9,
+        betweenness_thres=5.0,
+        feature_min_avg=0.6,
+        max_steps=5,
+    )
+    inc = _as_dict(
+        hgn_communities(
+            vertices,
+            edges,
+            ["attr"],
+            HGNParams(delete_rule_impl="pairs_incremental", **base),
+        ),
+        "id",
+        "component",
+    )
+    assert inc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
 def test_triangles_and_clustering(edges):
     from hgn_spark.graph.core import triangles
 
