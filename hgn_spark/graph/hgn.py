@@ -174,8 +174,16 @@ def hgn_communities(
             cand, cand_ids = jan.checkpoint(
                 scored.filter(~F.col("keepit")).select("src", "dst")
             )
+            # Source-restricting the member expansion pays only when
+            # candidates are a small fraction (the r13 A/B: +12% at
+            # sf0.1 where most edges are candidates, bounded-by-|cand|
+            # at scale where they are not). Both frames are
+            # materialized, so the two counts are metadata-cheap.
+            restrict = 4 * cand.count() < max(e.count(), 1)
             weights = hybrid_edge_weights_members(
-                candidate_common_members(e, cand), sims, p.feature_min_avg
+                candidate_common_members(e, cand, restrict_sources=restrict),
+                sims,
+                p.feature_min_avg,
             )
         else:
             cand_ids = None

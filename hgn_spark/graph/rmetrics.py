@@ -231,20 +231,29 @@ def r_metrics_edges_pairs(
     return scored, members2
 
 
-def candidate_common_members(edges: DataFrame, cand: DataFrame) -> DataFrame:
+def candidate_common_members(
+    edges: DataFrame, cand: DataFrame, restrict_sources: bool = True
+) -> DataFrame:
     """Level-2 common-member rows for a (preferably materialized)
     candidate edge subset — the loop-shaped consumer of the pair form
     (see the scale note on r_metrics_edges_pairs): the expansion runs
-    once, over the candidate fraction only, and is source-restricted
-    to the candidates' endpoints so even the 2-hop self-join scales
-    with the candidate set."""
+    once, over the candidate fraction only.
+
+    ``restrict_sources`` additionally source-restricts the 2-hop
+    self-join to the candidates' endpoints. That bounds the expansion
+    by the candidate set — the 100 TB shape when candidates are a
+    small fraction — but ADDS a semi-join that measured ~12% overhead
+    at sf0.1 where most edges are candidates (r13 A/B, 13.1 vs
+    11.7 s row min), so loop callers gate it on the measured candidate
+    fraction (hgn.py) instead of always paying it."""
+    base = cand.select("src", "dst")
+    if not restrict_sources:
+        return _common_member_rows(base, neighbor_pairs(edges, level=2), "l2")
     srcs = (
         cand.select(F.col("src").alias("id"))
         .unionByName(cand.select(F.col("dst").alias("id")))
         .distinct()
     )
     return _common_member_rows(
-        cand.select("src", "dst"),
-        neighbor_pairs(edges, level=2, sources=srcs),
-        "l2",
+        base, neighbor_pairs(edges, level=2, sources=srcs), "l2"
     )
