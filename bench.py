@@ -369,7 +369,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     out = {
-        "metric": "headline_query_wall_clock_total",
+        # ADVICE r13 #2: a subset run (SPARK_GRAFT_BENCH_ONLY) must not
+        # masquerade as a full headline artifact — distinct metric name
+        # plus the filter itself stamped below, so a subset artifact
+        # mistaken for a baseline is detectable by shape, not memory.
+        "metric": (
+            "subset_query_wall_clock_total"
+            if _ONLY
+            else "headline_query_wall_clock_total"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -442,7 +450,18 @@ def main() -> None:
         out["missing"] = missing
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    if _ONLY:
+        out["row_filter"] = _keep
+    js = json.dumps(out)
+    print(js)
+    # Truncation hardening (VERDICT r13 what's-wrong #3): the driver's
+    # r13 artifact lost the headline because a clipped stdout pipe cut
+    # the one JSON line mid-row. Also write the identical line to a
+    # well-known file so any consumer can recover the whole artifact.
+    try:
+        (_REPO / "BENCH_last.json").write_text(js + "\n")
+    except Exception as exc:  # noqa: BLE001 — the stdout line is the contract
+        print(f"# BENCH_last.json write failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,15 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
             # decaying with n (0.95 -> 0.44-0.51 at 100x) because
             # nlist ~ sqrt(n) makes a pinned dial probe a shrinking
             # fraction of lists.
+            # Corpus-shape caveat (r14, from PROBE_ivf_calibrated_r13):
+            # on ISOTROPIC data the calibrated dial honestly comes
+            # back large (~0.3*nlist probed) — IVF buys only ~3x over
+            # brute force there, because structureless vectors give
+            # centroids no locality to exploit. On clustered corpora
+            # the same calibration probes 0.13-0.26 of lists at equal
+            # recall. The production label assumes real embedding
+            # corpora (clustered); deployments with near-isotropic
+            # vectors should expect the ~3x, not the clustered ~8x.
             "ivf_adaptive": PRODUCTION,
             "lsh_adaptive": PRODUCTION,
             # ivf_linear (r12): the linear-build topology (sampled
@@ -64,9 +73,22 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
         "method",
         {
             # minhash: band space scales with the corpus via band
-            # hashes; measured 19.9x at 100x — at-scale-linear, kept
-            # production.
-            "minhash": PRODUCTION,
+            # hashes (19.9x runtime at 100x — at-scale-linear), but
+            # DEMOTED r14: the pinned 16-perm/4-band S-curve gives
+            # only ~0.875 collision at the JACCARD_THRES=0.8 it
+            # filters by (PROBE_text_clustered_r13 measured 0.83-0.86
+            # in the J>=0.8 stratum — constant, not decaying, just
+            # flat at the wrong value). Kept as the pinned-dial
+            # evidence twin.
+            "minhash": EVIDENCE,
+            # minhash_recall (r14): the srp_recall treatment —
+            # minhash_recall_perms solves bands for the stated
+            # (J=0.8, R=0.95) point -> 24 perms / 6 bands, expected
+            # 0.958 at the threshold itself; measured per stratum in
+            # PROBE_text_clustered_r14. Collision probability is
+            # n-independent (set resemblance), so unlike SRP no
+            # corpus-growth dial is needed.
+            "minhash_recall": PRODUCTION,
             # simhash: FIXED 4 x 2^12 chunk space -> candidates
             # ~n^2/4096; 42.7x at 100x.
             "simhash": EVIDENCE,

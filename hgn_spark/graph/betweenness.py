@@ -304,12 +304,53 @@ def edge_betweenness_sampled(
     )
 
 
+def choose_betweenness_path(
+    max_sp_length: int,
+    any_compat: bool = False,
+    allow_approx: bool = False,
+) -> str:
+    """The kernel-dispatch rule as a PURE plan-time function (VERDICT
+    r13 #3: the dial rule lived in ARCHITECTURE prose while
+    `choose_jaccard_path` set the precedent of executable dispatch —
+    a caller asking for k=4 got the 381.7 s enumeration unless they
+    knew the flags). Returns 'paths', 'sigma' or 'sampled'.
+
+    Rationale, all points MEASURED on Hamsterster (1.9k vertices /
+    12.5k edges, local[32]; ARCHITECTURE §betweenness +
+    PROBE_betweenness_sampled_r13):
+
+    - k <= 2 → 'paths': enumeration wins (1.9 s vs sigma 7.7 s at
+      k=2) — path volume is still tiny and the σ/δ backward pass's
+      per-level joins cost more stages than they save;
+    - k == 3 → 'sigma': per-pair state overtakes enumeration
+      (22.9 s vs 38.4 s) as path count grows multiplicatively;
+    - k >= 4 → 'sigma' exact by default (26.1 s vs 381.7 s — 14.6×);
+      with ``allow_approx`` → 'sampled' (Brandes–Pich source
+      sampling: 14.4 s at f=0.25, 7.5 s at f=0.1, downstream
+      delete-rule flag precision 1.0 / recall 0.95 at f=0.25).
+      Sampling is an ESTIMATOR — it changes values, so it is never
+      chosen unless the caller opts in.
+
+    Compat modes need concrete paths, so they force 'paths' at any
+    depth (the quirk-fidelity modes exist for small reference-parity
+    runs, not scale)."""
+    if any_compat:
+        return "paths"
+    if max_sp_length <= 2:
+        return "paths"
+    if max_sp_length >= 4 and allow_approx:
+        return "sampled"
+    return "sigma"
+
+
 def edge_betweenness(
     edges: DataFrame,
     max_sp_length: int = 2,
     compat_single_path: bool = False,
     compat_max_length_only: bool = False,
     method: str = "auto",
+    allow_approx: bool = False,
+    source_fraction: float = 0.25,
 ) -> DataFrame:
     """→ (src, dst, betweenness) on canonical src < dst edges, for any
     truncation depth: enumerate shortest paths, credit each ordered
@@ -319,8 +360,12 @@ def edge_betweenness(
 
     ``method``: "paths" (enumerate; fewer stages, fastest at k=2),
     "sigma" (edge_betweenness_brandes; per-pair state only, the
-    deep-truncation scale path), or "auto" (sigma for k > 2 fractional,
-    paths otherwise). The threshold is measured, not guessed — on
+    deep-truncation scale path), or "auto" (r14: delegates to the
+    executable `choose_betweenness_path` rule — paths at k <= 2,
+    sigma at k = 3+, and with ``allow_approx`` the Brandes–Pich
+    source-sampled estimator at ``source_fraction`` for k >= 4;
+    approximation changes VALUES, so it is opt-in and never chosen
+    silently). The thresholds are measured, not guessed — on
     Hamsterster (1.9k vertices / 12.5k edges, local[32], outputs
     bit-equal): k=2 paths 1.9 s vs sigma 7.7 s; k=3 paths 38.4 s vs
     sigma 22.9 s; k=4 paths 381.7 s vs sigma 26.1 s (14.6×) — path
@@ -345,9 +390,16 @@ def edge_betweenness(
     any_compat = compat_single_path or compat_max_length_only
     if method == "sigma" and any_compat:
         raise ValueError("compat modes need concrete paths; use method='paths'")
-    if method == "sigma" or (
-        method == "auto" and max_sp_length > 2 and not any_compat
-    ):
+    if method == "auto":
+        chosen = choose_betweenness_path(
+            max_sp_length, any_compat=any_compat, allow_approx=allow_approx
+        )
+        if chosen == "sampled":
+            return edge_betweenness_sampled(
+                edges, max_sp_length, source_fraction=source_fraction
+            )
+        method = chosen
+    if method == "sigma":
         return edge_betweenness_brandes(edges, max_sp_length)
     sp = shortest_paths(edges, max_len=max_sp_length)
     if compat_max_length_only:

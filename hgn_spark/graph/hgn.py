@@ -69,6 +69,19 @@ class HGNParams:
     # sf0.1 and 1000x.
     delete_rule_impl: str = "pairs"
 
+    def __post_init__(self) -> None:
+        # ADVICE r13 #1: an unrecognized impl (e.g. the typo
+        # 'pair_incremental') used to fall through to the legacy
+        # arrays path silently — the caller believed the incremental
+        # form was on while running the slow full recompute. Fail at
+        # construction instead.
+        allowed = ("arrays", "pairs", "pairs_incremental")
+        if self.delete_rule_impl not in allowed:
+            raise ValueError(
+                f"HGNParams.delete_rule_impl={self.delete_rule_impl!r} "
+                f"is not one of {allowed}"
+            )
+
 
 def hgn_communities(
     vertices: DataFrame,
@@ -97,9 +110,11 @@ def hgn_communities(
     p = params or HGNParams()
     t = phase_timings
 
-    def _mark(key: str, t0: float) -> None:
+    def _mark(key: str, t0: float) -> float:
+        dt = _time.perf_counter() - t0
         if t is not None:
-            t[key] = round(t.get(key, 0.0) + _time.perf_counter() - t0, 3)
+            t[key] = round(t.get(key, 0.0) + dt, 3)
+        return dt
 
     jan = CheckpointJanitor(edges.sparkSession)
     t0 = _time.perf_counter()
@@ -121,12 +136,30 @@ def hgn_communities(
     )
     _mark("init_sims", t0)
     t0 = _time.perf_counter()
+    # INVARIANT (ADVICE r13 #4): betweenness is computed ONCE here, on
+    # the initial edge set, and never refreshed inside the loop — the
+    # reference does the same (main.py:243-258). pairs_incremental's
+    # soundness DEPENDS on this: with init-once betweenness (and
+    # init-once sims), an untouched edge's delete condition is
+    # time-invariant, so steps 2+ may re-score only edges whose
+    # endpoint neighborhoods the previous deletions changed. If a
+    # future change recomputes betweenness per step, every survivor's
+    # condition can flip and the incremental scope becomes unsound —
+    # such a change MUST either drop to full per-step scoring or
+    # reject delete_rule_impl="pairs_incremental".
     betw, betw_ids = jan.checkpoint(edge_betweenness(e, max_sp_length=p.max_sp_length))
     _mark("init_betweenness", t0)
 
     # --- main loop ------------------------------------------------------
     aff_v = None  # pairs_incremental: vertices whose neighborhoods changed
     aff_ids = None
+    # Edge count carried across generations (VERDICT r13 what's-wrong
+    # #4): counted once on the first generation, then maintained by
+    # arithmetic — |e ⟕anti d| = |e| - |d| because to_delete is unique
+    # per canonical edge and a subset of e (it joins e's scored edges
+    # inner against canonical betweenness). The candidate-fraction
+    # gate then costs ONE action per step (cand.count()), not two.
+    n_edges: int | None = None
     for _step in range(1, p.max_steps + 1):
         if t is not None:
             t["n_steps"] = _step
@@ -168,6 +201,17 @@ def hgn_communities(
                 )
             else:
                 scope_ids = None
+            if n_edges is None:
+                n_edges = e.count()
+            if t is not None:
+                # Cascade-probe attribution (r14): |scoped edges| per
+                # step — the quantity the incremental rule's step cost
+                # should scale with. Metadata-cheap (scope and e are
+                # materialized checkpoints); full scoring records the
+                # whole edge count.
+                t.setdefault("n_scored_per_step", []).append(
+                    scope.count() if scope is not None else n_edges
+                )
             scored, _members_all = r_metrics_edges_pairs(
                 e, p.r_lvl1_thres, p.r_lvl2_thres, scope=scope
             )
@@ -177,9 +221,10 @@ def hgn_communities(
             # Source-restricting the member expansion pays only when
             # candidates are a small fraction (the r13 A/B: +12% at
             # sf0.1 where most edges are candidates, bounded-by-|cand|
-            # at scale where they are not). Both frames are
-            # materialized, so the two counts are metadata-cheap.
-            restrict = 4 * cand.count() < max(e.count(), 1)
+            # at scale where they are not). cand is materialized, so
+            # its count is metadata-cheap; the edge count is carried
+            # across generations (see n_edges above).
+            restrict = 4 * cand.count() < max(n_edges, 1)
             weights = hybrid_edge_weights_members(
                 candidate_common_members(e, cand, restrict_sources=restrict),
                 sims,
@@ -203,8 +248,20 @@ def hgn_communities(
             )
             .select("src", "dst")
         )
-        empty = to_delete.isEmpty()
-        _mark("loop_delete_rule", t0)
+        # count() instead of isEmpty(): same loop-control action class
+        # on a materialized checkpoint, and the count maintains n_edges
+        # for the next step's gate without re-counting e.
+        n_del = to_delete.count()
+        empty = n_del == 0
+        dt = _mark("loop_delete_rule", t0)
+        if t is not None:
+            # Per-step breakdown (r14, VERDICT r13 #1): the cascade
+            # probe needs step-2+ cost separately from the accumulated
+            # total to show the incremental rule's step cost scaling
+            # with |affected| instead of |E|. n_deleted_per_step gives
+            # the cascade shape alongside.
+            t.setdefault("loop_delete_rule_per_step", []).append(round(dt, 3))
+            t.setdefault("n_deleted_per_step", []).append(n_del)
         # The candidate list fed to_delete, now materialized — free it.
         if cand_ids is not None:
             jan.release(cand_ids)
@@ -239,6 +296,8 @@ def hgn_communities(
             e.join(to_delete, ["src", "dst"], "left_anti")
         )
         _mark("loop_anti_join", t0)
+        if n_edges is not None:
+            n_edges -= n_del
         # Iteration N's edge set is materialized: its inputs — the
         # previous generation and this round's deletion set — can never
         # be read again. Free them now so the loop carries ONE edge

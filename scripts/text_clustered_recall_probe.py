@@ -11,10 +11,19 @@ Per scale:
     running the Spark uncapped exact-jaccard path and asserting it
     returns exactly the planted set — which also measures what the
     uncapped inverted index COSTS on mega-buckets);
-  - `minhash_lsh_pairs`: production sketch path — per-stratum recall
-    (banded collision probability is jaccard-dependent: expected
-    ~0.90 / 0.99 / 1.0 at J ≈ 0.815 / 0.90 / 0.95 with 16 perms x 4
-    bands);
+  - `minhash_lsh_pairs`: pinned 16-perm/4-band sketch — per-stratum
+    recall (banded collision probability is jaccard-dependent:
+    expected ~0.90 / 0.99 / 1.0 at J ≈ 0.815 / 0.90 / 0.95), DEMOTED
+    r14 after this probe's r13 run measured 0.83-0.86 in the J>=0.8
+    stratum — ~0.875 at the threshold is the sketch's own S-curve
+    ceiling, not noise;
+  - `minhash_recall` (r14, VERDICT r13 #2 / what's-wrong #1): the
+    recall-SIZED sketch — `minhash_recall_perms(J=0.8, R=0.95)` solves
+    the band count for the stated operating point (24 perms / 6 bands,
+    expected 1-(1-0.8^4)^6 ≈ 0.958 at the threshold itself). The pass
+    bar: recall >= 0.95 in the J>=0.80 stratum at BOTH scales
+    (collision probability is n-independent for set resemblance, so
+    flat-across-scales is expected, just flat at the DESIGN value now);
   - `ngram_jaccard_pairs_auto` at PRODUCTION_CAP_DF: the dispatch must
     choose 'capped' here (max shingle df = n/20 >> 16), and the capped
     path must hold recall 1.0 — planted pairs share df<=2 tail
@@ -55,20 +64,30 @@ def main() -> None:
 
     from hgn_spark.operators.dedup import (
         BANDS,
+        JACCARD_THRES,
         NUM_PERM,
         PRODUCTION_CAP_DF,
         choose_jaccard_path,
         dedup_ngram_jaccard_pairs,
         minhash_lsh_pairs,
+        minhash_recall_perms,
         ngram_jaccard_pairs_auto,
     )
     from hgn_spark.registry import clear_session_caches
     from hgn_spark.session import get_spark
 
     spark = get_spark(app_name="text_clustered_recall")
+    sized_perm, sized_bands = minhash_recall_perms(JACCARD_THRES, 0.95)
     out: dict = {
-        "probe": "text_clustered_recall_r13",
-        "knob": {"num_perm": NUM_PERM, "bands": BANDS, "df_cap": PRODUCTION_CAP_DF},
+        "probe": "text_clustered_recall_r14",
+        "knob": {
+            "num_perm": NUM_PERM,
+            "bands": BANDS,
+            "df_cap": PRODUCTION_CAP_DF,
+            "sized_num_perm": sized_perm,
+            "sized_bands": sized_bands,
+            "sized_target": {"j_design": JACCARD_THRES, "recall": 0.95},
+        },
         "load_avg_start": round(os.getloadavg()[0], 2),
         "scales": {},
     }
@@ -106,6 +125,12 @@ def main() -> None:
             first = False
         for name, fn in (
             ("minhash", lambda: minhash_lsh_pairs(spark, sf_dir)),
+            (
+                "minhash_recall",
+                lambda: minhash_lsh_pairs(
+                    spark, sf_dir, num_perm=sized_perm, bands=sized_bands
+                ),
+            ),
             (
                 "jaccard_capped_auto",
                 lambda: ngram_jaccard_pairs_auto(

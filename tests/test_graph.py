@@ -930,3 +930,94 @@ def test_loop_final_generations_parked(spark):
     )
     assert parked, "connected_components must park its star-forest blocks"
     clear_session_caches()
+
+
+def test_rmetrics_scoped_equals_full_filtered(spark):
+    """ADVICE r13 #3: direct row-for-row pin of the scope contract —
+    r_metrics_edges_pairs(scope=subset) must equal the unscoped call
+    filtered to the same edges (all four ratios + keepit), on the real
+    derived graph with an arbitrary scope subset. Previously only
+    covered transitively via end-to-end community equality, which
+    could mask a scoped-scoring bug that happens not to change final
+    components."""
+    from hgn_spark.graph.queries import R1_THRES, R2_THRES, derived_edges
+    from hgn_spark.graph.rmetrics import r_metrics_edges_pairs
+    from tests.conftest import SF_SMOKE
+
+    e = derived_edges(spark, SF_SMOKE)
+    # arbitrary, deterministic, non-trivial subset (~1/3 of edges)
+    scope = e.filter((F.col("src") + F.col("dst")) % 3 == 0)
+    assert 0 < scope.count() < e.count()
+
+    full_scored, full_members = r_metrics_edges_pairs(e, R1_THRES, R2_THRES)
+    scoped_scored, scoped_members = r_metrics_edges_pairs(
+        e, R1_THRES, R2_THRES, scope=scope
+    )
+    keys = {(r["src"], r["dst"]) for r in scope.collect()}
+    want = {
+        (r["src"], r["dst"]): (r["r11"], r["r12"], r["r21"], r["r22"], r["keepit"])
+        for r in full_scored.collect()
+        if (r["src"], r["dst"]) in keys
+    }
+    got = {
+        (r["src"], r["dst"]): (r["r11"], r["r12"], r["r21"], r["r22"], r["keepit"])
+        for r in scoped_scored.collect()
+    }
+    assert got == want and set(got) == keys
+    # the member rows obey the same contract
+    want_m = {
+        (r["src"], r["dst"], r["member"])
+        for r in full_members.collect()
+        if (r["src"], r["dst"]) in keys
+    }
+    got_m = {
+        (r["src"], r["dst"], r["member"]) for r in scoped_members.collect()
+    }
+    assert got_m == want_m
+
+
+def test_hgn_params_rejects_unknown_impl():
+    """ADVICE r13 #1: a typo'd delete_rule_impl must fail at
+    construction, not silently fall through to the legacy arrays
+    path."""
+    with pytest.raises(ValueError, match="pair_incremental"):
+        HGNParams(delete_rule_impl="pair_incremental")
+    for ok in ("arrays", "pairs", "pairs_incremental"):
+        assert HGNParams(delete_rule_impl=ok).delete_rule_impl == ok
+
+
+def test_betweenness_auto_approx_dispatch(edges):
+    """VERDICT r13 #3 wiring: method='auto' + allow_approx at k>=4
+    returns exactly what the sampled estimator returns (same fraction,
+    same deterministic md5 sample); without the opt-in, auto stays
+    exact (bit-equal to the sigma kernel)."""
+    from hgn_spark.graph.betweenness import edge_betweenness_sampled
+
+    got = _as_dict(
+        edge_betweenness(edges, 4, allow_approx=True, source_fraction=0.5)
+        .withColumn("k", F.concat_ws("-", "src", "dst")),
+        "k",
+        "betweenness",
+    )
+    want = _as_dict(
+        edge_betweenness_sampled(edges, 4, source_fraction=0.5)
+        .withColumn("k", F.concat_ws("-", "src", "dst")),
+        "k",
+        "betweenness",
+    )
+    assert got == want
+    exact = _as_dict(
+        edge_betweenness(edges, 4).withColumn(
+            "k", F.concat_ws("-", "src", "dst")
+        ),
+        "k",
+        "betweenness",
+    )
+    sigma = _as_dict(
+        edge_betweenness_brandes(edges, 4).withColumn(
+            "k", F.concat_ws("-", "src", "dst")
+        ),
+        "k",
+        "betweenness",
+    )
+    assert exact == sigma

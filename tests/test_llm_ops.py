@@ -1799,3 +1799,26 @@ def test_srp_recall_bands_sizing_and_parity(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_minhash_recall_sized_superset_of_pinned(spark, exact_pairs):
+    """The recall-sized sketch (24 perms / 6 bands) extends the SAME
+    md5 permutation sequence, so its first 4 bands are the pinned
+    sketch's 4 bands verbatim — its verified pairs are a SUPERSET of
+    the pinned branch's and still a subset of exact-jaccard truth
+    (more bands only ever add candidates; the verify is exact)."""
+    from hgn_spark.operators.dedup import minhash_lsh_pairs, minhash_recall_perms
+
+    pinned = {
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs(spark, SF_SMOKE).collect()
+    }
+    num_perm, bands = minhash_recall_perms()
+    sized = {
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs(
+            spark, SF_SMOKE, num_perm=num_perm, bands=bands
+        ).collect()
+    }
+    assert pinned <= sized <= exact_pairs
+    assert len(sized) / len(exact_pairs) >= 0.9

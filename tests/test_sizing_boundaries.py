@@ -162,3 +162,96 @@ def test_lsh_adaptive_bits_boundaries(n):
     q = -(-n // LSH_TARGET_BUCKET)  # ceil div
     want = max(1, min(LSH_MAX_BITS, max(0, (q - 1).bit_length())))
     assert got == want, n
+
+
+@pytest.mark.parametrize(
+    "j,r,rows",
+    [
+        (0.8, 0.95, 4),   # the production defaults
+        (0.8, 0.99, 4),
+        (0.9, 0.95, 4),
+        (0.7, 0.95, 4),
+        (0.8, 0.95, 3),
+        (0.8, 0.95, 2),
+        (0.5, 0.9, 4),
+    ],
+)
+def test_minhash_recall_perms_meets_design_point(j, r, rows):
+    """The sized sketch's own S-curve must meet the stated recall at
+    the design jaccard, minimally (one fewer band misses it) — the
+    srp_recall_bands contract applied to set resemblance (VERDICT r13
+    what's-wrong #1)."""
+    from hgn_spark.operators.dedup import minhash_recall_perms
+
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        num_perm, b = minhash_recall_perms(j, r, rows_per_band=rows)
+    assert num_perm == b * rows
+    per_band = j**rows
+    assert 1.0 - (1.0 - per_band) ** b >= r, (j, r, rows)
+    if b > 1:
+        assert 1.0 - (1.0 - per_band) ** (b - 1) < r, (j, r, rows)
+    assert not wlist
+
+
+def test_minhash_recall_perms_defaults_pin():
+    """The shipped operating point (J=JACCARD_THRES, R=0.95, r=4)
+    solves to 24 perms / 6 bands — the exact sizing the driver row's
+    `minhash_recall` branch and its oracle replay both inline, and the
+    first NUM_PERM permutation constants coincide with the pinned
+    sketch's (shared md5 sequence), so the pinned `minhash` branch's
+    hashes cannot move."""
+    from hgn_spark.operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        _minhash_consts,
+        minhash_recall_perms,
+    )
+
+    assert (NUM_PERM, BANDS) == (16, 4)  # the pinned driver sketch
+    num_perm, b = minhash_recall_perms()
+    assert (num_perm, b) == (24, 6)
+    assert _minhash_consts(num_perm)[:NUM_PERM] == _minhash_consts()
+
+
+def test_minhash_recall_perms_budget_binds_loudly():
+    """Past the permutation budget the function still returns a
+    buildable configuration AND the warning carries the effective
+    recall (the SRP_MAX_BANDS discipline: truncation is never
+    silent)."""
+    from hgn_spark.operators.dedup import minhash_recall_perms
+
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        num_perm, b = minhash_recall_perms(0.8, 0.9999999, max_perms=32)
+    assert (num_perm, b) == (32, 8)
+    assert len(wlist) == 1
+    assert "expected recall" in str(wlist[0].message)
+    with pytest.raises(ValueError):
+        minhash_recall_perms(1.0)
+    with pytest.raises(ValueError):
+        minhash_recall_perms(0.8, 0.0)
+
+
+@pytest.mark.parametrize(
+    "k,compat,approx,want",
+    [
+        (1, False, False, "paths"),
+        (2, False, False, "paths"),   # measured: 1.9 s vs sigma 7.7 s
+        (2, False, True, "paths"),    # approx never applies at k<=3
+        (3, False, False, "sigma"),   # measured: 22.9 s vs paths 38.4 s
+        (3, False, True, "sigma"),
+        (4, False, False, "sigma"),   # exact by default: 26.1 s vs 381.7 s
+        (4, False, True, "sampled"),  # opt-in: 14.4 s at f=0.25
+        (8, False, True, "sampled"),
+        (4, True, False, "paths"),    # compat modes need concrete paths
+        (4, True, True, "paths"),
+    ],
+)
+def test_choose_betweenness_path_dispatch(k, compat, approx, want):
+    """Both dispatch directions pinned on the measured shapes
+    (PROBE_betweenness_sampled_r13 / ARCHITECTURE §betweenness) —
+    VERDICT r13 #3: the dial rule is executable, not prose."""
+    from hgn_spark.graph.betweenness import choose_betweenness_path
+
+    assert choose_betweenness_path(k, any_compat=compat, allow_approx=approx) == want
