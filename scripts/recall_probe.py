@@ -90,17 +90,23 @@ def _recall(guard: set, exact: set) -> float | None:
 
 
 def _load_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(vec_ids, float64 matrix) from the embeddings parquet."""
+    """(vec_ids, float64 matrix) from the embeddings parquet — via
+    Arrow buffers, not fetchall (identical values; fetchall builds one
+    Python tuple per row, which is minutes at 10^6+ vectors vs seconds
+    here — the r13 srp-cap probe's lesson, now shared by every probe
+    so the r14 1000x ANN tier loads in seconds)."""
     import duckdb
 
     p = os.path.join(sf_dir, "embeddings.parquet")
     pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
-    rows = duckdb.sql(
+    tbl = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{pat}') ORDER BY vec_id"
-    ).fetchall()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    return ids, mat
+    ).arrow()
+    ids = tbl["vec_id"].to_numpy()
+    emb = tbl["embedding"].combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // max(len(ids), 1)
+    return ids, flat.reshape(len(ids), dim).astype(np.float64)
 
 
 def _np_threshold_pairs(

@@ -44,9 +44,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_SCALES = "sf0.1=/root/testdata/sf0.1,1000x=/tmp/hgn_scale/sf100graph"
 
-# Chosen by `sweep` at sf0.1 (see module docstring): sustains a
-# >=3-generation deletion cascade with a decaying tail — the shape
-# where delta maintenance should pay.
+# Chosen by `sweep` at sf0.1 (see module docstring): the measured
+# cascade is [1359, 131, 36, 21, 2, 0] — five decaying deletion
+# generations then convergence, the shape where delta maintenance
+# should pay. (r_thres=0.25 — the registered row's value — converges
+# after ONE generation at every (mw, bt) swept; r_thres=0.4 sustains
+# [378, 88, 33, 11, 5, 2] without converging by step 6.)
 CASCADE = dict(
     r_thres=0.5,
     max_edge_weight=0.4,

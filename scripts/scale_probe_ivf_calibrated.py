@@ -82,8 +82,17 @@ def main() -> None:
         "exact_assign": lambda d, n: _ivf_seed_frames_adaptive(spark, d, n=n),
         "linear": lambda d, n: ivf_build_linear(spark, d, n=n),
     }
+    # r14 (VERDICT r13 #4): the 1000x tier runs the PRODUCTION linear
+    # builder only — exact_assign's build was already measured
+    # superlinear (385 s at 600k, PROBE_ivf_calibrated_r13) and is the
+    # evidence twin, not the scale path. IVF_PROBE_BUILDERS=linear
+    # selects it without forking the script.
+    only = os.environ.get("IVF_PROBE_BUILDERS")
+    if only:
+        keep = set(only.split(","))
+        builders = {k: v for k, v in builders.items() if k in keep}
     out: dict = {
-        "probe": "ivf_calibrated_r13",
+        "probe": "ivf_calibrated_r14",
         "target_pct": CAL_TARGET_PCT,
         "pass_bar": round((CAL_TARGET_PCT - 5) / 100, 2),
         "load_avg_start": round(os.getloadavg()[0], 2),
