@@ -74,20 +74,27 @@ BRANCH_ROLES: dict[str, tuple[str, dict[str, str], str]] = {
         {
             # minhash: band space scales with the corpus via band
             # hashes (19.9x runtime at 100x — at-scale-linear), but
-            # DEMOTED r14: the pinned 16-perm/4-band S-curve gives
-            # only ~0.875 collision at the JACCARD_THRES=0.8 it
-            # filters by (PROBE_text_clustered_r13 measured 0.83-0.86
-            # in the J>=0.8 stratum — constant, not decaying, just
-            # flat at the wrong value). Kept as the pinned-dial
-            # evidence twin.
+            # DEMOTED r14: the pinned 16-perm/4-band S-curve tops out
+            # at ~0.875 collision at the JACCARD_THRES=0.8 it filters
+            # by. (r14 also FIXED the permutation family the whole
+            # minhash family shares: the old 2^61-1 mix with a < 2^15
+            # barely wrapped the modulus, correlating minima across
+            # bands — r13 measured 0.83-0.86 where theory said 0.90;
+            # with the GF(2^31-1) full-range mix the same sketch
+            # measures 0.90/0.899 at J>=0.8 — exactly its own theory,
+            # which is still below the 0.95 family bar.) Kept as the
+            # pinned-dial evidence twin.
             "minhash": EVIDENCE,
             # minhash_recall (r14): the srp_recall treatment —
             # minhash_recall_perms solves bands for the stated
             # (J=0.8, R=0.95) point -> 24 perms / 6 bands, expected
-            # 0.958 at the threshold itself; measured per stratum in
-            # PROBE_text_clustered_r14. Collision probability is
-            # n-independent (set resemblance), so unlike SRP no
-            # corpus-growth dial is needed.
+            # 0.958 at the threshold itself. PROBE_text_clustered_r14
+            # (post family fix) measures the J>=0.80 stratum at
+            # 1.0 / 0.9899 on the 6k / 20k mega-bucket corpora and
+            # 1.0 everywhere above — at and over the design point.
+            # Collision probability is n-independent (set
+            # resemblance), so unlike SRP no corpus-growth dial is
+            # needed.
             "minhash_recall": PRODUCTION,
             # simhash: FIXED 4 x 2^12 chunk space -> candidates
             # ~n^2/4096; 42.7x at 100x.

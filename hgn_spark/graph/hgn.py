@@ -160,6 +160,7 @@ def hgn_communities(
     # inner against canonical betweenness). The candidate-fraction
     # gate then costs ONE action per step (cand.count()), not two.
     n_edges: int | None = None
+    prev_n_del: int | None = None  # pairs_incremental pre-gate input
     for _step in range(1, p.max_steps + 1):
         if t is not None:
             t["n_steps"] = _step
@@ -185,7 +186,24 @@ def hgn_communities(
             # scoped set. Communities are identical to the full
             # recompute (pinned by test).
             scope = None
-            if p.delete_rule_impl == "pairs_incremental" and aff_v is not None:
+            scope_ids = None
+            if (
+                p.delete_rule_impl == "pairs_incremental"
+                and aff_v is not None
+                # Deletion-fraction PRE-gate (r14, PROBE_hgn_cascade_r14):
+                # building the scope (two semi-joins + distinct +
+                # checkpoint over e) costs real time at 1000x, so only
+                # build it when it can pay. The measured mapping from
+                # last step's deletion fraction to this step's scope
+                # fraction on the 1000x cascade: 1.6% deleted -> 30%
+                # scoped (scoped scoring wins ~1.4x), 2.7% -> 49%
+                # (parity), 9% -> 84% (loses). Gate at 2% — below it
+                # the scope is likely small enough to win; above it
+                # score full and pay zero scope overhead. Free: both
+                # counts are already known.
+                and prev_n_del is not None
+                and 50 * prev_n_del < max(n_edges or 0, 1)
+            ):
                 scope, scope_ids = jan.checkpoint(
                     e.join(
                         aff_v.withColumnRenamed("id", "src"), "src", "left_semi"
@@ -199,18 +217,41 @@ def hgn_communities(
                     )
                     .distinct()
                 )
-            else:
-                scope_ids = None
             if n_edges is None:
                 n_edges = e.count()
+            if scope is not None:
+                # Scope-fraction gate (r14, measured in
+                # PROBE_hgn_cascade_r14 before the gate existed): at
+                # 1000x the scoped step costs ~0.65x of full scoring
+                # at 30% scope and ~0.39x at 3.6%, but is at PARITY OR
+                # WORSE at scope fractions >= ~50% — the scope
+                # semi-joins plus scoped scoring cost what they save.
+                # Score full when the affected fraction is >= 1/3;
+                # results are identical either way (an unscoped edge's
+                # metrics are unchanged, so full scoring re-accepts it
+                # exactly as skipping it would). One count() on a
+                # materialized checkpoint per incremental step.
+                n_scope = scope.count()
+                if t is not None:
+                    t.setdefault("n_scope_per_step", []).append(n_scope)
+                if 3 * n_scope >= n_edges:
+                    jan.release(scope_ids)
+                    scope, scope_ids = None, None
+            else:
+                n_scope = None
+                if (
+                    t is not None
+                    and p.delete_rule_impl == "pairs_incremental"
+                    and aff_v is not None
+                ):
+                    # Pre-gate chose full scoring — keep the per-step
+                    # arrays aligned (None = scope not built).
+                    t.setdefault("n_scope_per_step", []).append(None)
             if t is not None:
-                # Cascade-probe attribution (r14): |scoped edges| per
-                # step — the quantity the incremental rule's step cost
-                # should scale with. Metadata-cheap (scope and e are
-                # materialized checkpoints); full scoring records the
-                # whole edge count.
+                # |edges actually scored| this step — the quantity the
+                # incremental rule's step cost should scale with.
                 t.setdefault("n_scored_per_step", []).append(
-                    scope.count() if scope is not None else n_edges
+                    n_scope if scope is not None else n_edges
                 )
             scored, _members_all = r_metrics_edges_pairs(
                 e, p.r_lvl1_thres, p.r_lvl2_thres, scope=scope
@@ -252,6 +293,7 @@ def hgn_communities(
         # on a materialized checkpoint, and the count maintains n_edges
         # for the next step's gate without re-counting e.
         n_del = to_delete.count()
+        prev_n_del = n_del
         empty = n_del == 0
         dt = _mark("loop_delete_rule", t0)
         if t is not None:

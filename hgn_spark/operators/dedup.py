@@ -101,6 +101,14 @@ SIMHASH_COMBO_CHUNKS = 6
 SIMHASH_COMBO_PICK = SIMHASH_COMBO_CHUNKS - SIMHASH_MAX_HAMMING  # = 3
 EMB_COS_THRES = 0.4  # testdata has no planted embedding dups (max pair
                      # cosine 0.479); threshold chosen to exercise the path
+# Semantic dedup verifies within each vector's top-m cells (r14): with
+# m=1 the sqrt(n)-cell partition's cross-cluster blind spot measured
+# recall 0.74/0.60 at 2k/24k against exact cos>=0.9 truth
+# (PROBE_semantic_dedup_r14, m1 rows) and WORSENS with n (finer
+# cells); m=2 — the IVF-multiprobe idea applied to SemDeDup — lifts
+# it to 0.96/0.89 (0.95-stratum 1.0/0.94) at equal wall clock, so 2
+# is the production default, replayed by the oracle.
+SEMANTIC_MULTI_ASSIGN = 2
 SRP_BITS = 16
 # Ceiling for the adaptive-bits SRP variant: enough for n = 2^16
 # vectors per the 2*log2(n) occupancy rule; the signature still packs
@@ -129,22 +137,37 @@ EMB_DIM = 64
 # projection).
 # ---------------------------------------------------------------------------
 
-_M61 = (1 << 61) - 1  # modulus for the minhash permutation mixes
+# Modulus for the minhash permutation mixes: the Mersenne prime
+# 2^31-1. The r13-and-earlier family used p = 2^61-1 with a < 2^15
+# (to keep h*a inside int64 for 48-bit h) — and that small-a
+# restriction was a QUALITY BUG (r14): a*h wraps 2^61-1 at most ~4
+# times, so the "permutations" were nearly order-preserving and their
+# minima strongly CORRELATED across bands. Measured on the sized
+# 24-perm/6-band sketch (4000-trial simulation at J=0.815): per-band
+# collision 0.53-0.71 (vs 0.442 theory) but the 6-band OR only 0.86
+# (vs 0.970 theory) — band amplification was fiction, which is why
+# PROBE_text_clustered_r13 read 0.83-0.86 where theory said 0.90.
+# Reducing h into GF(2^31-1) lets a,b range over the whole field
+# (product < 2^62, still exact int64 in Spark AND DuckDB) so the mix
+# wraps ~2^31 times: the same simulation then reads per-band
+# 0.433-0.468, 4-band 0.906 (theory 0.903), 6-band 0.974 (0.970).
+_MINHASH_P = (1 << 31) - 1
 
 
 def _minhash_consts(n: int = NUM_PERM) -> list[tuple[int, int]]:
-    """Deterministic (a, b) per permutation from md5 — no RNG. a < 2^15
-    keeps h*a < 2^63 for 48-bit h (exact in both engines); b < 2^32.
-    The first NUM_PERM entries are the pinned production sketch's; a
-    recall-sized sketch (``minhash_recall_perms``) extends the SAME
-    md5 sequence, so its first 16 permutations coincide with the
-    pinned ones."""
+    """Deterministic (a, b) per permutation from md5 — no RNG; a in
+    [1, p-1], b in [0, p-1] over the full GF(2^31-1) field (see
+    _MINHASH_P: full-range multipliers are what make the permutation
+    minima independent across bands). The first NUM_PERM entries are
+    the pinned production sketch's; a recall-sized sketch
+    (``minhash_recall_perms``) extends the SAME md5 sequence, so its
+    first 16 permutations coincide with the pinned ones."""
     out = []
     for p in range(n):
         da = hashlib.md5(f"minhash:a:{p}".encode()).digest()
         db = hashlib.md5(f"minhash:b:{p}".encode()).digest()
-        a = (int.from_bytes(da[:2], "big") % (1 << 15)) | 1
-        b = int.from_bytes(db[:4], "big")
+        a = (int.from_bytes(da[:4], "big") % (_MINHASH_P - 1)) + 1
+        b = int.from_bytes(db[:4], "big") % _MINHASH_P
         out.append((a, b))
     return out
 
@@ -939,14 +962,21 @@ def canonical_groups(pairs: DataFrame) -> DataFrame:
 
 def _perm_min(p: int, consts: list[tuple[int, int]] | None = None):
     """min over hs of the p-th permutation hash — the universal-family
-    mix (h*a + b) mod (2^61-1) with md5-derived (a, b), exact in signed
-    64-bit for 48-bit h in Spark AND DuckDB. A named closure, not an
-    inline `lambda h, p=p: ...` — PySpark infers higher-order-function
-    arity from the lambda signature, so a default arg turns the lambda
-    binary and binds `p` to the ARRAY INDEX instead of the permutation."""
+    mix ((h mod p)*a + b) mod p over GF(2^31-1) with md5-derived
+    full-range (a, b) (see _MINHASH_P for why the field shrank in
+    r14: the old small-multiplier 2^61-1 mix correlated minima across
+    bands), exact in signed 64-bit in Spark AND DuckDB (product
+    < 2^62). A named closure, not an inline `lambda h, p=p: ...` —
+    PySpark infers higher-order-function arity from the lambda
+    signature, so a default arg turns the lambda binary and binds `p`
+    to the ARRAY INDEX instead of the permutation."""
     a, b = (consts if consts is not None else _PERM_CONSTS)[p]
     return F.array_min(
-        F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_M61))
+        F.transform(
+            "hs",
+            lambda h: ((h % F.lit(_MINHASH_P)) * F.lit(a) + F.lit(b))
+            % F.lit(_MINHASH_P),
+        )
     )
 
 
@@ -958,7 +988,8 @@ def _minhash_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
     consts = _minhash_consts(num_perm)
     rows_per_band = num_perm // bands
     mins = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_M61})) AS mh{p}"
+        f"list_min(list_transform(hs, h -> ((h % {_MINHASH_P}) * {a} + {b})"
+        f" % {_MINHASH_P})) AS mh{p}"
         for p, (a, b) in enumerate(consts)
     )
     band_rows = " UNION ALL ".join(
@@ -2041,10 +2072,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_oracle() -> str:
     """DuckDB replay of cluster-bucketed semantic dedup: sqrt(n)-stride
     seeds (see dedup_semantic_clusters' balance argument) and the same
-    argmax assignment as the IVF oracle (6-decimal rounding + cent_id
-    tie-break keeps it engine-portable), then the
-    any-earlier-neighbor drop rule within each cluster. The stride is
-    a deterministic function of the corpus (ceil(sqrt(count)) — IEEE
+    rank-window assignment as the IVF oracle (6-decimal rounding +
+    cent_id tie-break keeps it engine-portable), then the
+    any-earlier-neighbor drop rule within each of the TOP-2 cells
+    (SEMANTIC_MULTI_ASSIGN — the r14 boundary-recall default; the
+    reported cent_id stays the rn=1 primary). The stride is a
+    deterministic function of the corpus (ceil(sqrt(count)) — IEEE
     double sqrt on both engines), so the replay stays exact."""
     return f"""
     WITH base AS (
@@ -2056,7 +2089,7 @@ def _semantic_oracle() -> str:
     seeds AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM base
               WHERE vec_id % (SELECT s FROM st) = 0),
     assign AS MATERIALIZED (
-      SELECT vec_id, cent_id, embedding, nrm FROM (
+      SELECT vec_id, cent_id, rn, embedding, nrm FROM (
         SELECT e.vec_id, c.cent_id, e.embedding, e.nrm,
                row_number() OVER (
                  PARTITION BY e.vec_id
@@ -2064,7 +2097,7 @@ def _semantic_oracle() -> str:
                             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
                           / (e.nrm * c.cn), 6) DESC, c.cent_id) AS rn
         FROM base e CROSS JOIN seeds c)
-      WHERE rn = 1),
+      WHERE rn <= {SEMANTIC_MULTI_ASSIGN}),
     drops AS (
       SELECT DISTINCT b.vec_id AS v
       FROM assign a JOIN assign b
@@ -2074,6 +2107,7 @@ def _semantic_oracle() -> str:
             / (a.nrm * b.nrm), 6) >= {EMB_COS_THRES})
     SELECT a.vec_id AS vec_id, a.cent_id AS cent_id, (d.v IS NULL) AS kept
     FROM assign a LEFT JOIN drops d ON d.v = a.vec_id
+    WHERE a.rn = 1
     """
 
 
@@ -2082,11 +2116,19 @@ def _semantic_oracle() -> str:
     oracle=_semantic_oracle(),
     tags=("dedup", "ann", "kmeans", "llm-pipeline"),
 )
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    thres: float = EMB_COS_THRES,
+    multi_assign: int = SEMANTIC_MULTI_ASSIGN,
+) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus's
     embeddings (broadcast seed centroids, argmax assignment, no
     shuffle), then within each cluster drop every vector that has an
-    EARLIER (lower-id) cluster-mate at cosine >= EMB_COS_THRES. Emits
+    EARLIER (lower-id) cluster-mate at cosine >= ``thres`` (default
+    EMB_COS_THRES — the driver row's value; the r14 quality probe
+    passes the real near-dup operating point 0.9 on corpora with
+    planted truth, scripts/semantic_dedup_quality_probe.py). Emits
     one row per vector: (vec_id, cent_id, kept).
 
     The drop rule is the parallel-safe variant of greedy dedup: v is
@@ -2095,10 +2137,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     u<v<w where only adjacent pairs are near-dups drops both v and w;
     greedy-sequential would keep w — at dedup thresholds the
     difference is the transitive fringe the canonical-groups operator
-    handles exactly). Cross-cluster near-dups are missed by
-    construction (the documented recall tradeoff; the SRP branch of
-    `dedup_minhash_lsh_pairs` covers the bucket-boundary blind spot
-    with a different partition of the space).
+    handles exactly). A near-dup pair sharing NONE of either side's
+    top-``multi_assign`` cells is missed by construction — with the
+    r14 top-2 default that residual measured 4-11% at cos>=0.9 on
+    clustered corpora with planted truth (PROBE_semantic_dedup_r14),
+    down from 26-40% at top-1; the SRP branch of
+    `dedup_minhash_lsh_pairs` covers the remaining boundary blind
+    spot with a different partition of the space.
 
     Cluster count is ceil(sqrt(n)) — NOT the IVF row's fixed id
     stride. With c clusters, assignment costs n*c cosines and the
@@ -2117,7 +2162,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from hgn_spark.operators.similarity import (
-        _assign_nearest,
+        _assign_topm,
         cosine_prenormed,
         load_embeddings,
     )
@@ -2132,7 +2177,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cent_e"),
         F.col("nrm").alias("cent_n"),
     )
-    assign = _assign_nearest(emb, seeds)
+    # multi_assign (r14, PROBE_semantic_dedup_r14): with m = 1 the
+    # cross-cluster blind spot measured recall 0.74/0.60 at 2k/24k
+    # against exact truth at cos>=0.9 — the sqrt(n) cell partition
+    # gets finer with n, so MORE true pairs straddle cells at scale.
+    # m = 2 (the default, see SEMANTIC_MULTI_ASSIGN) verifies a pair
+    # iff any of each side's two nearest cells coincide (the
+    # IVF-multiprobe idea applied to SemDeDup), for 2x assignment
+    # rows and ~4x worst-case verify pairs — measured at equal wall
+    # clock and recall 0.96/0.89 on the same corpora.
+    assign = _assign_topm(emb, seeds, multi_assign)
     # Referenced three times below (both self-join sides + the final
     # projection); materialize the argmax once.
     from hgn_spark.checkpoint import loose_local_checkpoint
@@ -2162,13 +2216,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("cos") >= EMB_COS_THRES)
+        .filter(F.col("cos") >= thres)
         .select(F.col("v2").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
     return (
-        assign.select("vec_id", "cent_id")
+        assign.filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
         .join(drops, "vec_id", "left")
         .select(
             "vec_id", "cent_id", F.col("dropped").isNull().alias("kept")

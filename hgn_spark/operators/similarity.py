@@ -160,12 +160,15 @@ def simsearch_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cent_id, embedding, nrm): nearest centroid per vector
-    via one broadcast join + per-vector argmax window. cos_c is rounded
-    to 6 decimals BEFORE the argmax so the assignment is reproducible
+def _assign_topm(emb: DataFrame, cents: DataFrame, m: int) -> DataFrame:
+    """(vec_id, cent_id, rn, embedding, nrm): the ``m`` nearest
+    centroids per vector (rn = 1 is the primary cell) via one
+    broadcast join + per-vector rank window. cos_c is rounded to 6
+    decimals BEFORE the ranking so the assignment is reproducible
     across engines (ties at 6 decimals break on cent_id) — same trick
-    the brute-force ranking uses."""
+    the brute-force ranking uses. m > 1 is the semantic-dedup
+    boundary-recall dial (r14): a near-dup pair straddling two cells
+    is verified iff the pair shares ANY of the m cells."""
     scored = emb.join(F.broadcast(cents), how="cross").withColumn(
         "cos_c",
         F.round(
@@ -178,8 +181,17 @@ def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
     w_assign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "embedding", "nrm")
+        .filter(F.col("rn") <= m)
+        .select("vec_id", "cent_id", "rn", "embedding", "nrm")
+    )
+
+
+def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, embedding, nrm): nearest centroid per vector
+    — the m = 1 case of `_assign_topm`, kept as the named shape every
+    IVF path consumes."""
+    return _assign_topm(emb, cents, 1).select(
+        "vec_id", "cent_id", "embedding", "nrm"
     )
 
 

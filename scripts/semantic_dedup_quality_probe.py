@@ -97,33 +97,44 @@ def main() -> None:
             "n_true_pairs": len(pairs),
             "n_expected_drops": len(expected),
         }
-        clear_session_caches(blocking=True)
-        t0 = time.perf_counter()
-        rows = (
-            dedup_semantic_clusters(spark, sf_dir, thres=thres)
-            .filter("NOT kept")
-            .select("vec_id")
-            .collect()
-        )
-        res["secs_spark"] = round(time.perf_counter() - t0, 2)
         import math
 
         res["n_clusters"] = math.ceil(math.sqrt(n))
-        dropped = {r["vec_id"] for r in rows}
-        res["n_dropped"] = len(dropped)
-        res["false_drops"] = len(dropped - expected)
-        if expected:
-            res["recall"] = round(len(dropped & expected) / len(expected), 4)
-        for lo in STRATA:
-            hi = lo + 0.05
-            bucket = {v for v, c in best.items() if lo <= c < hi}
-            if bucket:
-                res[f"recall_cos_{lo:.2f}"] = round(
-                    len(dropped & bucket) / len(bucket), 4
+        # m = 2 (top-2 cell assignment, the IVF-multiprobe idea
+        # applied to SemDeDup's cell partition) is the shipped r14
+        # default after this probe's m1-vs-m2 A/B; m = 1 stays the
+        # blind-spot baseline column.
+        for m in (1, 2):
+            clear_session_caches(blocking=True)
+            t0 = time.perf_counter()
+            rows = (
+                dedup_semantic_clusters(
+                    spark, sf_dir, thres=thres, multi_assign=m
                 )
-                res[f"n_cos_{lo:.2f}"] = len(bucket)
+                .filter("NOT kept")
+                .select("vec_id")
+                .collect()
+            )
+            entry: dict = {"secs_spark": round(time.perf_counter() - t0, 2)}
+            dropped = {r["vec_id"] for r in rows}
+            entry["n_dropped"] = len(dropped)
+            entry["false_drops"] = len(dropped - expected)
+            if expected:
+                entry["recall"] = round(
+                    len(dropped & expected) / len(expected), 4
+                )
+            for lo in STRATA:
+                hi = lo + 0.05
+                bucket = {v for v, c in best.items() if lo <= c < hi}
+                if bucket:
+                    entry[f"recall_cos_{lo:.2f}"] = round(
+                        len(dropped & bucket) / len(bucket), 4
+                    )
+                    entry[f"n_cos_{lo:.2f}"] = len(bucket)
+            res[f"m{m}"] = entry
+            print(f"# {label} m={m}: {json.dumps(entry)}",
+                  file=sys.stderr, flush=True)
         out["scales"][label] = res
-        print(f"# {label}: {json.dumps(res)}", file=sys.stderr, flush=True)
     js = json.dumps(out)
     print(js)
     if out_path:

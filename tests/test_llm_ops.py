@@ -111,7 +111,8 @@ def test_minhash_signature_matches_aggregate_form(spark):
         .agg(
             *[
                 F.min(
-                    (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(dedup._M61)
+                    ((F.col("h") % F.lit(dedup._MINHASH_P)) * F.lit(a) + F.lit(b))
+                    % F.lit(dedup._MINHASH_P)
                 ).alias(f"mh{p}")
                 for p, (a, b) in enumerate(dedup._PERM_CONSTS)
             ]
