@@ -1224,17 +1224,22 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
 
 def test_semantic_dedup_matches_bruteforce_rule(spark):
-    """dedup_semantic_clusters == the drop rule replayed in Python over
-    the same assignment: v dropped iff some earlier cluster-mate is
-    within EMB_COS_THRES cosine; each cluster's lowest id is always
-    kept."""
+    """dedup_semantic_clusters == the top-2 drop rule replayed in
+    Python over the same assignment (SEMANTIC_MULTI_ASSIGN=2, the r14
+    default): each vector belongs to its two nearest sqrt(n)-stride
+    cells; v is dropped iff some u < v shares ANY cell with v at
+    cosine >= EMB_COS_THRES; the reported cent_id is the rank-1 cell;
+    the globally lowest id is always kept."""
     import numpy as np
-    from pyspark.sql import functions as F
 
     import math
 
     from hgn_spark.catalog import load_table
-    from hgn_spark.operators.dedup import EMB_COS_THRES, dedup_semantic_clusters
+    from hgn_spark.operators.dedup import (
+        EMB_COS_THRES,
+        SEMANTIC_MULTI_ASSIGN,
+        dedup_semantic_clusters,
+    )
 
     got = {
         r["vec_id"]: (r["cent_id"], r["kept"])
@@ -1244,27 +1249,30 @@ def test_semantic_dedup_matches_bruteforce_rule(spark):
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
         for r in load_table(spark, SF_SMOKE, "embeddings").collect()
     }
-    # replay: nearest sqrt(n)-stride seed by 6dp-rounded cosine,
+    # replay: top-m nearest sqrt(n)-stride seeds by 6dp-rounded cosine,
     # cent_id tie-break
     stride = math.ceil(math.sqrt(len(emb)))
     seeds = {v: e for v, e in emb.items() if v % stride == 0}
     def cos(a, b):
         return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
-    clusters: dict = {}
+    cells: dict[int, list[int]] = {}  # vec_id -> its top-m cent_ids
+    clusters: dict[int, list[int]] = {}  # cent_id -> member vec_ids
     for v, e in emb.items():
-        best = min(((-cos(e, se), cid) for cid, se in seeds.items()))
-        assert got[v][0] == best[1], f"assignment diverges for {v}"
-        clusters.setdefault(best[1], []).append(v)
+        ranked = sorted((-cos(e, se), cid) for cid, se in seeds.items())
+        topm = [cid for _, cid in ranked[:SEMANTIC_MULTI_ASSIGN]]
+        assert got[v][0] == topm[0], f"primary assignment diverges for {v}"
+        cells[v] = topm
+        for cid in topm:
+            clusters.setdefault(cid, []).append(v)
+    assert got[min(emb)][1], "globally lowest id must be kept"
     n_dropped = 0
-    for cid, members in clusters.items():
-        members.sort()
-        assert got[members[0]][1], "lowest id in a cluster must be kept"
-        for i, v in enumerate(members):
-            want_drop = any(
-                cos(emb[u], emb[v]) >= EMB_COS_THRES for u in members[:i]
-            )
-            assert got[v][1] == (not want_drop)
-            n_dropped += int(want_drop)
+    for v in emb:
+        mates = {
+            u for cid in cells[v] for u in clusters[cid] if u < v
+        }
+        want_drop = any(cos(emb[u], emb[v]) >= EMB_COS_THRES for u in mates)
+        assert got[v][1] == (not want_drop), f"drop rule diverges for {v}"
+        n_dropped += int(want_drop)
     assert len(got) == len(emb)
 
 
