@@ -1042,7 +1042,7 @@ def minhash_lsh_pairs(
     which replays the exact sketch (recall/candidate-count properties
     additionally asserted in tests/test_llm_ops.py).
     """
-    consts = _minhash_consts(num_perm) if num_perm != NUM_PERM else None
+    consts = _minhash_consts(num_perm) if num_perm != NUM_PERM else _PERM_CONSTS
     sets_ = _doc_shingle_sets(spark, sf_dir)
     # Per-permutation min as an array fold over the MATERIALIZED per-doc
     # hash array: zero shuffles for the signature build. (When the 16
@@ -1050,20 +1050,35 @@ def minhash_lsh_pairs(
     # inlines tokenization into every branch — measured 6× slower than
     # a groupBy(min); reading the checkpointed `hs` removes the hazard,
     # and beats the groupBy because nothing shuffles at all.)
-    sig = sets_.filter(F.col("sz") > 0).select(
-        "doc_id",
-        *[_perm_min(p, consts).alias(f"mh{p}") for p in range(num_perm)],
+    #
+    # r14: all minima in ONE array expression iterating a (a, b)
+    # consts literal — the same `_srp_bits_array` treatment (one parse
+    # + tiny analysis instead of one Column tree per permutation); the
+    # per-permutation mix inside the lambda is the identical
+    # ((h % p) * a + b) % p fold `_perm_min` evaluates, so every
+    # minimum and band key is unchanged. (NB Spark's bracket indexing
+    # c[0] is 0-based, unlike element_at.)
+    consts_sql = "array(" + ",".join(
+        f"array({a}L,{b}L)" for a, b in consts[:num_perm]
+    ) + ")"
+    mh_col = F.expr(
+        f"transform({consts_sql}, c -> array_min(transform(hs, "
+        f"h -> ((h % {_MINHASH_P}) * c[0] + c[1]) % {_MINHASH_P})))"
     )
+    sig = sets_.filter(F.col("sz") > 0).select("doc_id", mh_col.alias("mh"))
     rows_per_band = num_perm // bands
     # Band key = the minima tuple itself (joined as a string — the same
     # key the oracle builds); hashing the tuple again would just add an
-    # engine-specific hash for zero bucketing benefit.
+    # engine-specific hash for zero bucketing benefit. array_join over
+    # CAST(x AS STRING) elements == the historical concat_ws over the
+    # bigint columns (concat_ws string-casts its args; no nulls here —
+    # hs is non-empty after the sz > 0 filter).
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws(
-                ":",
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.expr(
+                f"array_join(transform(slice(mh, {b * rows_per_band + 1}, "
+                f"{rows_per_band}), x -> CAST(x AS STRING)), ':')"
             ).alias("bh"),
         )
         for b in range(bands)
@@ -1318,34 +1333,56 @@ def _srp_planes(bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def _srp_bit_cols(planes: list[list[float]], vec_col: str = "embedding"):
-    """Sign-bit columns (`b{j}`) for ±1 hyperplanes — the IDENTICAL
-    ``aggregate(zip_with(transform(vec, double), plane, *), 0.0, +)``
-    expression the SRP pipelines have always evaluated (so the DuckDB
-    oracles and every recorded hash are untouched), but built as ONE
-    ``F.expr`` SQL string per bit instead of composed Column objects.
+def _srp_bits_array(planes: list[list[float]], vec_col: str = "embedding"):
+    """All sign bits as ONE ``array<int>`` column.
 
-    Why: profiling the 165-bit recall-targeted signature at sf0.1
-    showed the cost was never execution — it was py4j. The historical
-    composition makes 64 ``F.lit`` round-trips per plane (10,560 for
-    the wide signature: ~14 s of driver-side Column building per plan
-    construction, re-paid on every bench pass), and a plain-arithmetic
-    rewrite paid even more (82 s build) plus a multi-second Janino
-    compile of the 10k-op generated class per execution. The SQL
-    string parses JVM-side in milliseconds and keeps the interpreted
-    fold's execution profile (~3 s for the full wide scan at sf0.1)."""
-    cols = []
-    for j, row in enumerate(planes):
-        lits = ",".join("1.0D" if v > 0 else "-1.0D" for v in row)
-        cols.append(
-            F.expr(
-                "CASE WHEN round(aggregate(zip_with("
-                f"transform({vec_col}, x -> CAST(x AS DOUBLE)), "
-                f"array({lits}), (x, y) -> x * y), 0D, "
-                "(acc, v) -> acc + v), 6) > 0 THEN 1 ELSE 0 END"
-            ).alias(f"b{j}")
-        )
-    return cols
+    History of this expression's SHAPE (its VALUES never changed): the
+    original form composed `aggregate(zip_with(transform(vec, double),
+    plane, *), 0.0, +)` per plane from Column objects — 64 ``F.lit``
+    py4j round-trips per plane, ~14 s of driver-side Column building
+    for the 165-bit recall-targeted signature. r12 moved each plane to
+    one ``F.expr`` SQL string (parse JVM-side), which killed the py4j
+    cost but still produced ONE EXPRESSION PER PLANE: measured at r14,
+    that bills ~0.3 s parse + ~1.2 s analysis + ~1.9 s codegen compile
+    per plan CONSTRUCTION (re-paid every bench pass) for a scan whose
+    steady-state execution is 0.65 s. (A plain-arithmetic unrolled
+    rewrite was also tried and rejected: 82 s build + multi-second
+    Janino compile of the 10k-op class.)
+
+    This r14 form inlines the planes as one 2-D array literal and
+    iterates them with a single ``transform``: one parse, one tiny
+    analyzed expression, no giant generated class. The per-plane fold
+    inside the lambda is char-for-char the historical fold
+    (cast-to-double zip_with product, 0D left fold, round(...,6) sign
+    test), so every bit — and every downstream band value, candidate
+    pair and recorded hash — is unchanged."""
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join("1.0D" if v > 0 else "-1.0D" for v in row) + ")"
+        for row in planes
+    ) + ")"
+    return F.expr(
+        f"transform({planes_sql}, p -> CASE WHEN round(aggregate(zip_with("
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+        "p, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v), 6) > 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _band_from_bits(lo_j: int, hi_j: int, bits_col: str = "bits"):
+    """Band key from the bits array: ``sum(bits[j] << (j - lo_j))`` over
+    ``[lo_j, hi_j)`` — the identical integer band sum the per-column form used,
+    computed as a fold over a slice. Always BIGINT: the historical
+    Python ``sum(col * (1 << k))`` promoted to long exactly when a
+    power crossed 2^31, and the band key never reaches an output row
+    (it only keys the bucket self-join, both sides built by this same
+    helper), so one fixed type is safe at every width."""
+    w = hi_j - lo_j
+    powers = ",".join(f"{1 << k}L" for k in range(w))
+    return F.expr(
+        f"aggregate(zip_with(slice({bits_col}, {lo_j + 1}, {w}), "
+        f"array({powers}), (x, y) -> x * CAST(y AS BIGINT)), 0L, "
+        "(acc, v) -> acc + v)"
+    )
 
 
 def _plane_values_sql(planes: list[list[float]]) -> str:
@@ -1620,9 +1657,9 @@ def dedup_embedding_neardup_pairs_recall(
     multi-band is just more, narrower bands over a wider signature);
     only the sizing differs. One 1-row count fixes (bits, bands),
     the same loop-control discipline as the adaptive variant."""
-    from hgn_spark.operators.similarity import load_embeddings
+    from hgn_spark.operators.similarity import emb_count
 
-    n = load_embeddings(spark, sf_dir).count()
+    n = emb_count(spark, sf_dir)
     n_bits, n_bands = srp_recall_bands(
         n, target_cos, target_recall, max_bands=max_bands
     )
@@ -1666,16 +1703,15 @@ def dedup_embedding_neardup_pairs(
     planes = _srp_planes(n_bits, EMB_DIM)
     # round(…, 6) before the sign test (mirrored in the oracle): the
     # sum's last-ulp noise must not flip a near-zero projection's bit.
-    # Codegen'd arithmetic form — bit-identical to the historical
-    # interpreted fold (see _srp_bit_cols).
-    bit_cols = _srp_bit_cols(planes)
+    # One-expression bits array — bit-identical per plane to the
+    # historical interpreted fold (see _srp_bits_array).
+    sig = emb.select("vec_id", _srp_bits_array(planes).alias("bits"))
     # Bands carry vec_id ONLY: shipping the 64-float arrays through the
     # 2x band explode and both sides of the bucket join would multiply
     # the shuffled bytes for nothing — candidates rejoin the embedding
     # table (with its precomputed norm) at the pair level instead, and
     # the verify uses cosine_prenormed (bit-identical to cosine; the
     # per-pair norm folds were 2/3 of every pairwise cosine).
-    sig = emb.select("vec_id", *bit_cols)
     # Band layout: ``n_bands`` contiguous segments of n_bits//n_bands
     # bits (the last band absorbs any remainder — for the default
     # n_bands=2 this is exactly the historical lo/hi halves, so the
@@ -1688,9 +1724,7 @@ def dedup_embedding_neardup_pairs(
     for bi in range(n_bands):
         lo_j = bi * w_band
         hi_j = (bi + 1) * w_band if bi < n_bands - 1 else n_bits
-        band_cols.append(
-            sum(F.col(f"b{j}") * (1 << (j - lo_j)) for j in range(lo_j, hi_j))
-        )
+        band_cols.append(_band_from_bits(lo_j, hi_j))
     if n_bits > 32:
         # Wide (recall-targeted) configs: materialize the sign bits so
         # the self-join's two sides don't each recompute hundreds of
@@ -1773,9 +1807,9 @@ def dedup_embedding_neardup_pairs_adaptive(
     sketch. One 1-row count action fixes the width (loop-control-style
     scalar, same discipline as the semantic-dedup stride); the plan
     itself is static once built."""
-    from hgn_spark.operators.similarity import load_embeddings
+    from hgn_spark.operators.similarity import emb_count
 
-    n = load_embeddings(spark, sf_dir).count()
+    n = emb_count(spark, sf_dir)
     return dedup_embedding_neardup_pairs(
         spark,
         sf_dir,
@@ -1814,10 +1848,11 @@ def _srp_pairs_multi(
     emb = load_embeddings(spark, sf_dir)
     max_bits = max(c[1] for c in configs)
     planes = _srp_planes(max_bits, EMB_DIM)
-    # Codegen'd sign bits (see _srp_bit_cols): bit-identical to the
-    # interpreted fold the function shipped with, ~20x cheaper on the
-    # wide recall-targeted signature.
-    sig = emb.select("vec_id", *_srp_bit_cols(planes))
+    # One-expression bits array (see _srp_bits_array): bit-identical
+    # per plane to the interpreted fold the function shipped with,
+    # without the per-plane parse/analyze/codegen overhead that
+    # dominated the wide recall-targeted signature's build.
+    sig = emb.select("vec_id", _srp_bits_array(planes).alias("bits"))
     if max_bits > 32:
         # Materialize the sign bits ONCE: Catalyst shares no subplans,
         # so every per-config union arm below — and both sides of the
@@ -1843,9 +1878,7 @@ def _srp_pairs_multi(
         for bi in range(n_bands):
             lo_j = bi * w_band
             hi_j = (bi + 1) * w_band if bi < n_bands - 1 else n_bits
-            band_cols.append(
-                sum(F.col(f"b{j}") * (1 << (j - lo_j)) for j in range(lo_j, hi_j))
-            )
+            band_cols.append(_band_from_bits(lo_j, hi_j))
         arms.append(
             sig.select(
                 F.lit(label).alias("label"),
@@ -2049,9 +2082,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan up to max(bits), one labeled bucket join, one verify of the
     # union'd pairs) — per-label results identical to the standalone
     # functions, pinned in tests/test_llm_ops.py.
-    from hgn_spark.operators.similarity import load_embeddings
+    from hgn_spark.operators.similarity import emb_count
 
-    n = load_embeddings(spark, sf_dir).count()
+    n = emb_count(spark, sf_dir)
     srp_all = _srp_pairs_multi(
         spark,
         sf_dir,
@@ -2171,7 +2204,9 @@ def dedup_semantic_clusters(
     # One 1-row count action to fix the stride (loop-control-style
     # scalar, same discipline as the mixture planner); the oracle's
     # scalar subquery computes the identical value.
-    stride = math.ceil(math.sqrt(emb.count()))
+    from hgn_spark.operators.similarity import emb_count
+
+    stride = math.ceil(math.sqrt(emb_count(spark, sf_dir)))
     seeds = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_e"),

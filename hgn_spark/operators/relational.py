@@ -196,23 +196,38 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = ephemeral_io_dir(spark, "scan")
 
-    # S1+S3: distributed CSV write, declared-schema read (inference
-    # would cost a second full pass at 100 TB).
-    csv_path = os.path.join(tmp, "csv")
-    base.write.mode("overwrite").option("header", True).csv(csv_path)
-    csv_back = spark.read.schema(
-        "l_orderkey bigint, l_linenumber bigint, price double"
-    ).option("header", True).csv(csv_path)
+    # r14 OPTIMIZATION (guide §2.6 — overlap independent jobs): the
+    # seven round trips below are mutually independent (each derives
+    # from `base` and touches its own path/db/table), but were run
+    # sequentially — ~3.3 s of construction in which each blocking
+    # write/read leaves the cluster idle during the next one's driver
+    # round-trip. A small thread pool overlaps them; per-chain
+    # ORDERING (e.g. the two appends into one accumulator) is kept
+    # inside its chain. Results are unchanged: every chain is a
+    # deterministic function of `base` and its own sink.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # S5: durable checkpoint (parquet round trip + reload).
-    ckpt_back = checkpoint_df(base, durable_path=os.path.join(tmp, "ckpt"))
+    def _chain_csv():
+        # S1+S3: distributed CSV write, declared-schema read (inference
+        # would cost a second full pass at 100 TB).
+        csv_path = os.path.join(tmp, "csv")
+        base.write.mode("overwrite").option("header", True).csv(csv_path)
+        return spark.read.schema(
+            "l_orderkey bigint, l_linenumber bigint, price double"
+        ).option("header", True).csv(csv_path)
 
-    # S6: append the full result, then append an overlapping subset —
-    # the reload must dedupe the overlap away ((l_orderkey,
-    # l_linenumber) is the lineitem PK, so duplicate ROWS are exact).
-    acc = os.path.join(tmp, "acc")
-    append_dedupe_reload(base, acc)
-    dedup_back = append_dedupe_reload(base.filter(F.col("price") > 10000), acc)
+    def _chain_ckpt():
+        # S5: durable checkpoint (parquet round trip + reload).
+        return checkpoint_df(base, durable_path=os.path.join(tmp, "ckpt"))
+
+    def _chain_append():
+        # S6: append the full result, then append an overlapping
+        # subset — the reload must dedupe the overlap away
+        # ((l_orderkey, l_linenumber) is the lineitem PK, so duplicate
+        # ROWS are exact). Sequential WITHIN the chain by contract.
+        acc = os.path.join(tmp, "acc")
+        append_dedupe_reload(base, acc)
+        return append_dedupe_reload(base.filter(F.col("price") > 10000), acc)
 
     # C6: temp view + SQL string. spark.sql analyzes eagerly (the
     # returned frame's plan is view-resolved), so the view can be
@@ -223,37 +238,41 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView("hgn_scan_io_base")
 
-    # S11: embedded-Derby round trip — batched write, then the
-    # range-partitioned parallel read (8 sliced queries; slices
-    # outside the bounds land in the edge partitions, so loose bounds
-    # stay correct). Derby folds unquoted identifiers to upper case;
-    # the positional toDF restores the declared names.
-    from hgn_spark.sources.jdbc import read_jdbc, write_jdbc
+    def _chain_jdbc():
+        # S11: embedded-Derby round trip — batched write, then the
+        # range-partitioned parallel read (8 sliced queries; slices
+        # outside the bounds land in the edge partitions, so loose
+        # bounds stay correct). Derby folds unquoted identifiers to
+        # upper case; the positional toDF restores the declared names.
+        from hgn_spark.sources.jdbc import read_jdbc, write_jdbc
 
-    derby_props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
-    # Drop any previous invocation's in-memory db before recreating —
-    # bounds per-JVM Derby state to one fresh table (VERDICT r9 #4).
-    # Derby signals a successful in-memory drop via SQLException 08006,
-    # so the call ALWAYS raises; first-invocation "db does not exist"
-    # lands in the same except.
-    try:
-        spark._jvm.java.sql.DriverManager.getConnection(
-            "jdbc:derby:memory:hgn_scan_io;drop=true"
+        derby_props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        # Drop any previous invocation's in-memory db before
+        # recreating — bounds per-JVM Derby state to one fresh table
+        # (VERDICT r9 #4). Derby signals a successful in-memory drop
+        # via SQLException 08006, so the call ALWAYS raises;
+        # first-invocation "db does not exist" lands in the same
+        # except.
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                "jdbc:derby:memory:hgn_scan_io;drop=true"
+            )
+        except Exception:  # noqa: BLE001 — drop-success and no-db both raise
+            pass
+        jdbc_url = "jdbc:derby:memory:hgn_scan_io;create=true"
+        write_jdbc(
+            base, jdbc_url, "scan_io", mode="overwrite", properties=derby_props
         )
-    except Exception:  # noqa: BLE001 — drop-success and no-db both raise
-        pass
-    jdbc_url = "jdbc:derby:memory:hgn_scan_io;create=true"
-    write_jdbc(base, jdbc_url, "scan_io", mode="overwrite", properties=derby_props)
-    jdbc_back = read_jdbc(
-        spark,
-        jdbc_url,
-        "scan_io",
-        properties=derby_props,
-        partition_column="l_orderkey",
-        lower_bound=0,
-        upper_bound=6_100_000,
-        num_partitions=8,
-    ).toDF("l_orderkey", "l_linenumber", "price")
+        return read_jdbc(
+            spark,
+            jdbc_url,
+            "scan_io",
+            properties=derby_props,
+            partition_column="l_orderkey",
+            lower_bound=0,
+            upper_bound=6_100_000,
+            num_partitions=8,
+        ).toDF("l_orderkey", "l_linenumber", "price")
 
     # S12: the predicate parameters arrive via the YAML config layer —
     # !ENV substitution + jsonschema validation — and the branch's
@@ -310,29 +329,47 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # S7: hive-partitioned CSV layout (the distributed community-sink
-    # shape: one directory per partition value, no driver collect),
-    # read back pruned to one partition. The declared schema lists the
-    # FILE columns positionally and the partition column by name.
-    part_path = os.path.join(tmp, "csv_part")
-    base.write.mode("overwrite").partitionBy("l_linenumber").option(
-        "header", True
-    ).csv(part_path)
-    part_back = (
-        spark.read.schema("l_orderkey bigint, price double, l_linenumber bigint")
-        .option("header", True)
-        .csv(part_path)
-        .filter(F.col("l_linenumber") == 1)
-        .select("l_orderkey", "l_linenumber", "price")
-    )
+    def _chain_csv_part():
+        # S7: hive-partitioned CSV layout (the distributed
+        # community-sink shape: one directory per partition value, no
+        # driver collect), read back pruned to one partition. The
+        # declared schema lists the FILE columns positionally and the
+        # partition column by name.
+        part_path = os.path.join(tmp, "csv_part")
+        base.write.mode("overwrite").partitionBy("l_linenumber").option(
+            "header", True
+        ).csv(part_path)
+        return (
+            spark.read.schema("l_orderkey bigint, price double, l_linenumber bigint")
+            .option("header", True)
+            .csv(part_path)
+            .filter(F.col("l_linenumber") == 1)
+            .select("l_orderkey", "l_linenumber", "price")
+        )
 
-    # S8: the row-capped collect-to-pandas hatch, driver-hashed (r10).
-    # The mod-29 subset stays under the 10k cap at every driver scale,
-    # so the hatch's limit() passes ALL rows and a lossy
-    # pandas-boundary conversion (dtype coercion, truncation) is the
-    # only way the branch can diverge from its oracle twin.
-    pan = base.filter(F.col("l_orderkey") % 29 == 0)
-    pan_back = spark.createDataFrame(to_pandas_sample(pan))
+    def _chain_pandas():
+        # S8: the row-capped collect-to-pandas hatch, driver-hashed
+        # (r10). The mod-29 subset stays under the 10k cap at every
+        # driver scale, so the hatch's limit() passes ALL rows and a
+        # lossy pandas-boundary conversion (dtype coercion,
+        # truncation) is the only way the branch can diverge from its
+        # oracle twin.
+        pan = base.filter(F.col("l_orderkey") % 29 == 0)
+        return spark.createDataFrame(to_pandas_sample(pan))
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_csv = pool.submit(_chain_csv)
+        f_ckpt = pool.submit(_chain_ckpt)
+        f_append = pool.submit(_chain_append)
+        f_jdbc = pool.submit(_chain_jdbc)
+        f_csv_part = pool.submit(_chain_csv_part)
+        f_pandas = pool.submit(_chain_pandas)
+        csv_back = f_csv.result()
+        ckpt_back = f_ckpt.result()
+        dedup_back = f_append.result()
+        jdbc_back = f_jdbc.result()
+        part_back = f_csv_part.result()
+        pan_back = f_pandas.result()
 
     out = lab(base, "parquet")
     for io, df in (

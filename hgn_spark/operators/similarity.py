@@ -62,15 +62,59 @@ def ivf_adaptive_stride(n: int) -> int:
     return max(1, math.ceil(math.sqrt(n)))
 
 
+# One materialized (embedding + precomputed norm) frame per
+# (session, sf_dir) — the similarity/dedup/semantic families all start
+# from the same scan → repartition → norm pass, and a bench/driver
+# session runs ~10 consumers of it per pass (r14 profile: the repeated
+# scan+exchange+fold showed up in every embedding row's plan). Same
+# session-cache discipline as dedup._DOC_SETS_CACHE: localCheckpoint
+# cuts the lineage, registry.clear_session_caches drops the blocks
+# between bench passes so pass 2 re-pays the real build.
+_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Corpus count per (session, sf_dir): every adaptive sizing
+# (ivf_adaptive_stride, lsh/srp widths, calibration sampling) needs n;
+# counting the materialized checkpoint once replaces one count() JOB
+# per consuming row.
+_EMB_COUNT: dict[tuple[str, str], int] = {}
+_EMB_BLOCK_IDS: dict[tuple[str, str], set[int]] = {}
+
+from hgn_spark.registry import register_cache as _register_cache  # noqa: E402
+
+_register_cache("embeddings", _EMB_CACHE, _EMB_COUNT, block_ids=_EMB_BLOCK_IDS)
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings spread across cores with a precomputed L2 norm.
+    """embeddings spread across cores with a precomputed L2 norm,
+    materialized once per (session, sf_dir) — see _EMB_CACHE above.
 
     Repartition: the table arrives as one parquet file = one partition,
     which would serialize every per-vector cosine onto a single task.
     The `nrm` column feeds cosine_prenormed."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EMB_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.repartition(max(spark.sparkContext.defaultParallelism, 8))
-    return emb.withColumn("nrm", norm(as_double(F.col("embedding"))))
+    emb = emb.withColumn("nrm", norm(as_double(F.col("embedding"))))
+    from hgn_spark.checkpoint import tracked_local_checkpoint
+
+    out, ids = tracked_local_checkpoint(emb)
+    _EMB_CACHE[key] = out
+    _EMB_BLOCK_IDS.setdefault(key, set()).update(ids)
+    return out
+
+
+def emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus size, counted once per (session, sf_dir) on the
+    materialized embeddings checkpoint (the count is metadata-cheap
+    there) and cached alongside it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _EMB_COUNT.get(key)
+    if n is None:
+        n = load_embeddings(spark, sf_dir).count()
+        _EMB_COUNT[key] = n
+    return n
 
 
 def as_double(vec: Column) -> Column:
@@ -487,7 +531,7 @@ def _ivf_seed_frames_adaptive(
     control, the same class as srp_adaptive_bits' corpus count;
     callers that already counted the corpus pass ``n``."""
     emb = load_embeddings(spark, sf_dir)
-    stride = ivf_adaptive_stride(n if n is not None else emb.count())
+    stride = ivf_adaptive_stride(n if n is not None else emb_count(spark, sf_dir))
     seeds = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_e"),
@@ -560,7 +604,7 @@ def ivf_build_linear(
 
     emb = load_embeddings(spark, sf_dir)
     if n is None:
-        n = emb.count()
+        n = emb_count(spark, sf_dir)
     stride = ivf_adaptive_stride(n)
     seeds = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
@@ -1404,74 +1448,118 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no cluster structure to learn) — the expected no-structure
     outcome, documented rather than hidden.
     """
+    # r14 OPTIMIZATION (guide §2.6 — overlap independent jobs): the
+    # row's construction runs ~9 driver-BLOCKING operations (three
+    # loose checkpoints, two recall calibrations, the linear build's
+    # two internal checkpoints, plus lazy analysis), and the three
+    # index chains (stride-seed, sqrt-n adaptive, linear build) are
+    # mutually independent — nothing in one reads another's frames.
+    # Submitting them from a small thread pool lets each chain's jobs
+    # back-fill the executor idle time of another's driver round-trips:
+    # measured 8.0 s -> ~5.5 s for the row at sf0.1 with identical
+    # results (every chain is deterministic on its own inputs; job
+    # descriptions are thread-local; all checkpoints here are LOOSE,
+    # i.e. parked in one shared store, so concurrent id-diff attribution
+    # cannot mis-release a block). The same overlap holds on a cluster:
+    # a sqrt(n)-row calibration never fills it, so the other chains'
+    # scans run in the gap.
+    from concurrent.futures import ThreadPoolExecutor
+
     exact = simsearch_exact_topk(spark, sf_dir).select(
         F.lit("exact").alias("variant"), "*"
     )
-    # Both IVF variants share the seed-assignment frame, materialized
-    # once: the seed variant's inverted lists and the kmeans variant's
-    # Lloyd input are the same broadcast-argmax pass, and a lazy union
-    # would re-run it per branch (Catalyst shares no subplans across
-    # union arms).
-    emb, seeds, seed_assign = _ivf_seed_frames(spark, sf_dir)
-    seed_assign = loose_local_checkpoint(seed_assign)
-    frames = (emb, seeds, seed_assign)
+    # One count() action shared by all sizings (cached on the
+    # embeddings checkpoint — see emb_count); also pre-populates the
+    # embeddings cache on the MAIN thread so the chains below never
+    # race to build it.
+    n = emb_count(spark, sf_dir)
+
+    def _chain_seed():
+        # Both IVF variants share the seed-assignment frame,
+        # materialized once: the seed variant's inverted lists and the
+        # kmeans variant's Lloyd input are the same broadcast-argmax
+        # pass, and a lazy union would re-run it per branch (Catalyst
+        # shares no subplans across union arms).
+        emb, seeds, seed_assign = _ivf_seed_frames(spark, sf_dir)
+        return emb, seeds, loose_local_checkpoint(seed_assign)
+
+    def _chain_adaptive():
+        # The r10 scale-mitigation branch (100x probe: fixed-stride
+        # IVF 846.9x growth). Sizing is data-dependent (sqrt-n
+        # centroids), so the driver hash proves the adaptive formula
+        # bit-agrees with the oracle's scalar-subquery twin at every
+        # driver scale.
+        a_emb, a_cents, a_assign = _ivf_seed_frames_adaptive(spark, sf_dir, n=n)
+        # The assignment feeds TWO consumers (the calibration's
+        # home-list lookup and the query candidates) — materialize once.
+        a_assign = loose_local_checkpoint(a_assign)
+        # r13 (VERDICT r12 #1): the production branches size nprobe
+        # from the measured recall curve of THIS index instead of the
+        # pinned literal whose recall the r12 sweep showed decaying
+        # with n.
+        np_a = ivf_calibrate_nprobe(a_emb, a_cents, a_assign, n)
+        return a_emb, a_cents, a_assign, np_a
+
+    def _chain_linear():
+        # r12 (VERDICT r11 #2): the LINEAR-TIME index build — the
+        # stated 100 TB build path (sampled Lloyd + SRP-bucket-local
+        # assign + exact-argmax rescue, PROBE_ivf_build 0.94x growth
+        # per 3x data vs 4.68x for the exact assign) — as a
+        # driver-hashed branch instead of tests-only coverage.
+        # pinned=True swaps in the fold-order-pinned Lloyd so DuckDB
+        # replays the training bit-exactly; the driver-scale sample
+        # floor keeps the md5 sample non-vacuous (see ivf_build_linear's
+        # docstring). Same probe/rerank tail, so the branch differs
+        # from ivf_adaptive exactly by the build topology under test.
+        l_emb, l_cents, l_assign = ivf_build_linear(
+            spark,
+            sf_dir,
+            n=n,
+            pinned=True,
+            sample_floor=IVF_LINEAR_DRIVER_FLOOR,
+        )
+        # Same two-consumer shape as the adaptive branch: calibration +
+        # query both read the assignment.
+        l_assign = loose_local_checkpoint(l_assign)
+        np_l = ivf_calibrate_nprobe(l_emb, l_cents, l_assign, n)
+        return l_emb, l_cents, l_assign, np_l
+
+    def _chain_lsh():
+        # Both LSH widths run FUSED in one shared pass (projections
+        # computed once to max(bits), labeled buckets, one probe join /
+        # re-rank) — per-label identical to simsearch_lsh_topk, pinned
+        # in tests/test_llm_ops.py; the _srp_pairs_multi discipline.
+        # No blocking action, but the plan ANALYSIS is py4j-bound and
+        # overlaps the other chains' jobs.
+        return _lsh_topk_multi(
+            spark,
+            sf_dir,
+            [("lsh", LSH_BITS), ("lsh_adaptive", lsh_adaptive_bits(n))],
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_seed = pool.submit(_chain_seed)
+        f_adaptive = pool.submit(_chain_adaptive)
+        f_linear = pool.submit(_chain_linear)
+        f_lsh = pool.submit(_chain_lsh)
+        frames = f_seed.result()
+        a_emb, a_cents, a_assign, np_a = f_adaptive.result()
+        l_emb, l_cents, l_assign, np_l = f_linear.result()
+        lsh_frame = f_lsh.result()
+
     seed = _ivf_query(spark, sf_dir, refine=False, frames=frames).select(
         F.lit("seed").alias("variant"), "*"
     )
     km = _ivf_query(spark, sf_dir, refine=True, frames=frames).select(
         F.lit("kmeans").alias("variant"), "*"
     )
-    # The two r10 scale-mitigation branches (100x-probe findings:
-    # fixed-stride IVF 846.9x, fixed-width LSH 74.2x growth at 100x
-    # data). Their sizing is data-dependent (sqrt-n centroids /
-    # occupancy-targeted bits), so the driver hash proves the adaptive
-    # formulas bit-agree with the oracle's scalar-subquery twins at
-    # every driver scale. One count() action shared by both.
-    n = emb.count()
-    a_emb, a_cents, a_assign = _ivf_seed_frames_adaptive(spark, sf_dir, n=n)
-    # The assignment now feeds TWO consumers (the calibration's
-    # home-list lookup and the query candidates) — materialize once.
-    a_assign = loose_local_checkpoint(a_assign)
-    # r13 (VERDICT r12 #1): the production branches size nprobe from
-    # the measured recall curve of THIS index instead of the pinned
-    # literal whose recall the r12 sweep showed decaying with n.
-    np_a = ivf_calibrate_nprobe(a_emb, a_cents, a_assign, n)
     ivf_a = _ivf_query(
         spark, sf_dir, refine=False, frames=(a_emb, a_cents, a_assign), nprobe=np_a
     ).select(F.lit("ivf_adaptive").alias("variant"), "*")
-    # r12 (VERDICT r11 #2): the LINEAR-TIME index build — the stated
-    # 100 TB build path (sampled Lloyd + SRP-bucket-local assign +
-    # exact-argmax rescue, PROBE_ivf_build 0.94x growth per 3x data vs
-    # 4.68x for the exact assign) — as a driver-hashed branch instead
-    # of tests-only coverage. pinned=True swaps in the fold-order-
-    # pinned Lloyd so DuckDB replays the training bit-exactly; the
-    # driver-scale sample floor keeps the md5 sample non-vacuous (see
-    # ivf_build_linear's docstring). Same probe/rerank tail, so the
-    # branch differs from ivf_adaptive exactly by the build topology
-    # under test.
-    l_emb, l_cents, l_assign = ivf_build_linear(
-        spark,
-        sf_dir,
-        n=n,
-        pinned=True,
-        sample_floor=IVF_LINEAR_DRIVER_FLOOR,
-    )
-    # Same two-consumer shape as the adaptive branch: calibration +
-    # query both read the assignment.
-    l_assign = loose_local_checkpoint(l_assign)
-    np_l = ivf_calibrate_nprobe(l_emb, l_cents, l_assign, n)
     ivf_lin = _ivf_query(
         spark, sf_dir, refine=False, frames=(l_emb, l_cents, l_assign), nprobe=np_l
     ).select(F.lit("ivf_linear").alias("variant"), "*")
-    # Both LSH widths run FUSED in one shared pass (projections
-    # computed once to max(bits), labeled buckets, one probe join /
-    # re-rank) — per-label identical to simsearch_lsh_topk, pinned in
-    # tests/test_llm_ops.py; the _srp_pairs_multi discipline.
-    lsh_both = _lsh_topk_multi(
-        spark,
-        sf_dir,
-        [("lsh", LSH_BITS), ("lsh_adaptive", lsh_adaptive_bits(n))],
-    ).select(
+    lsh_both = lsh_frame.select(
         F.col("label").alias("variant"),
         "q_id",
         "vec_id",
@@ -1529,7 +1617,7 @@ def simsearch_ivf_calibrated_topk(
     of both stages; this is the callable a deployment uses."""
     emb, cents, assign = ivf_build_linear(spark, sf_dir)
     assign = loose_local_checkpoint(assign)
-    n = emb.count()
+    n = emb_count(spark, sf_dir)
     np_c = ivf_calibrate_nprobe(
         emb, cents, assign, n, target_pct=target_pct, m_target=m_target
     )

@@ -44,6 +44,102 @@ from hgn_spark.registry import register
 
 _SINK_COUNTER = itertools.count()
 
+# Scale-adaptive streaming state partitioning (r14, guide §2 "make
+# partitioning scale-adaptive ... rather than a constant tuned for
+# either local mode or the cluster"): batch exchanges get AQE
+# coalescing, but STREAMING exchanges do not — the session's
+# shuffle-partition constant (≈ core count) becomes the state-store
+# partition count raw. Every state partition pays a fixed per-batch
+# cost (store instantiation + HDFS-backed delta commit + one sink
+# file), so on a small input the constant dominates: the sf0.1
+# stream-stream join measured 5.4 s at 32 state partitions vs 2.0 s at
+# 4 for identical output. Derive the partition count from the INPUT
+# SIZE instead — ceil(input_bytes / target) capped at the session's
+# parallelism — so a large deployment still saturates its cores while
+# a small batch stops paying for empty stores. Target bytes per state
+# partition is env-tunable (SPARK_GRAFT_STREAM_STATE_PART_BYTES,
+# default 32 MiB); the cap keeps the derivation monotone up to exactly
+# the constant the session would have used anyway.
+_STREAM_STATE_PART_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PART_BYTES", str(32 << 20))
+)
+
+
+# Arrow/pandas STATEFUL operators (applyInPandasWithState) have the
+# opposite cost model: their per-partition fixed cost is small next to
+# the Python-worker compute, which PARALLELIZES — the r14 sweep on the
+# stateful-counts row measured 2.5 s at 1 partition vs 1.3 s at ~8 vs
+# 1.4 s at 32. Size those by ROWS per Python task instead of bytes per
+# state store, same env-tunable/cap discipline.
+_STREAM_PY_ROWS_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PY_ROWS_PER_PART", str(16384))
+)
+
+
+def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Input-size-derived shuffle/state partition count for the
+    availableNow streaming queries over ``events`` (module comment on
+    _STREAM_STATE_PART_BYTES)."""
+    import math
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    want = max(1, math.ceil(size / _STREAM_STATE_PART_BYTES))
+    return min(want, spark.sparkContext.defaultParallelism)
+
+
+def _stream_python_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Row-count-derived partition count for Python-stateful streaming
+    queries (comment on _STREAM_PY_ROWS_PER_PART). Row counts come
+    from parquet footers — metadata only, no scan."""
+    import math
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            rows = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — sizing must never kill the query
+        return spark.sparkContext.defaultParallelism
+    want = max(1, math.ceil(rows / _STREAM_PY_ROWS_PER_PART))
+    return min(want, spark.sparkContext.defaultParallelism)
+
+
+class _stream_partitions:
+    """Context manager: pin spark.sql.shuffle.partitions to the
+    input-derived value for the duration of a streaming query's
+    start→awaitTermination (the value is captured into the query's
+    offset log at start), then restore the session value for batch
+    work, where AQE owns the coalescing decision."""
+
+    def __init__(self, spark: SparkSession, n: int) -> None:
+        self._spark = spark
+        self._n = n
+
+    def __enter__(self) -> None:
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream; same timestamp normalization as the
@@ -85,24 +181,38 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(df: DataFrame, mode: str, sf_dir: str | None = None) -> DataFrame:
     """Drain a streaming frame into a uniquely-named memory sink and
     return the materialized table. Test-harness sink, used ONLY by the
     update-mode stateful query (the file sink is append-only); every
-    other streaming query drains through the parquet sink below."""
+    other streaming query drains through the parquet sink below.
+    ``sf_dir`` (when given) sizes the state partitioning from the
+    input — see _stream_shuffle_partitions."""
+    import contextlib
+
     name = f"hgn_stream_sink_{next(_SINK_COUNTER)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+    ctx = (
+        _stream_partitions(
+            df.sparkSession, _stream_python_partitions(df.sparkSession, sf_dir)
+        )
+        if sf_dir is not None
+        else contextlib.nullcontext()
     )
-    q.awaitTermination()
+    with ctx:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(name)
 
 
-def _run_to_parquet(df: DataFrame, mode: str, tag: str) -> DataFrame:
+def _run_to_parquet(
+    df: DataFrame, mode: str, tag: str, sf_dir: str | None = None
+) -> DataFrame:
     """Drain a streaming frame through a parquet FILE sink (checkpointed)
     and read the result back — the deployable sink pattern, not a test
     harness. The file sink itself is append-only, so:
@@ -123,18 +233,28 @@ def _run_to_parquet(df: DataFrame, mode: str, tag: str) -> DataFrame:
     base = ephemeral_io_dir(df.sparkSession, f"stream_{tag}")
     path = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
+    import contextlib
+
     if mode == "complete":
         writer = df.writeStream.foreachBatch(
             lambda batch, _epoch: batch.write.mode("overwrite").parquet(path)
         ).outputMode("complete")
     else:
         writer = df.writeStream.format("parquet").option("path", path).outputMode(mode)
-    q = (
-        writer.option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    ctx = (
+        _stream_partitions(
+            df.sparkSession, _stream_shuffle_partitions(df.sparkSession, sf_dir)
+        )
+        if sf_dir is not None
+        else contextlib.nullcontext()
     )
-    q.awaitTermination()
+    with ctx:
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Read back with the sink's declared schema: an append sink that
     # emitted zero rows leaves only _spark_metadata in the directory,
     # and schema inference would raise instead of returning the empty
@@ -199,8 +319,8 @@ def streaming_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
-    return _run_to_parquet(tumbling, "complete", "tumbling").unionByName(
-        _run_to_parquet(sliding, "complete", "sliding")
+    return _run_to_parquet(tumbling, "complete", "tumbling", sf_dir).unionByName(
+        _run_to_parquet(sliding, "complete", "sliding", sf_dir)
     )
 
 
@@ -260,7 +380,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
-    return _run_to_parquet(out, "append", "session_windows")
+    return _run_to_parquet(out, "append", "session_windows", sf_dir)
 
 
 @register(
@@ -300,7 +420,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = s.dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
-    table = _run_to_parquet(deduped, "append", "dedup")
+    table = _run_to_parquet(deduped, "append", "dedup", sf_dir)
     return table.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -345,7 +465,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
     ).select("p_user", "p_ts", "c_ts")
-    table = _run_to_parquet(joined, "append", "ss_join")
+    table = _run_to_parquet(joined, "append", "ss_join", sf_dir)
     return table.groupBy(F.col("p_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_click_purchase_pairs")
     )
@@ -415,7 +535,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         F.col("w.start").alias("day"), "buyer_tier", "n_events", "total_value"
     )
-    return _run_to_parquet(out, "complete", "static_enrich")
+    return _run_to_parquet(out, "complete", "static_enrich", sf_dir)
 
 
 @register(
@@ -456,5 +576,5 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    table = _run_to_memory(counted, "update")
+    table = _run_to_memory(counted, "update", sf_dir)
     return table.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
