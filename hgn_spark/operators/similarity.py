@@ -1518,9 +1518,14 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             pinned=True,
             sample_floor=IVF_LINEAR_DRIVER_FLOOR,
         )
-        # Same two-consumer shape as the adaptive branch: calibration +
-        # query both read the assignment.
-        l_assign = loose_local_checkpoint(l_assign)
+        # No caller-side checkpoint here (r14): unlike the adaptive
+        # branch — whose assignment is the expensive full argmax —
+        # the linear build already materialized `matched` internally,
+        # and the assign frame on top of it is just the rescue
+        # anti-join + argmax over the (checkpointed, sqrt-n) centroid
+        # table, bounded small by construction. Letting the two
+        # consumers (calibration + query) recompute that tail costs
+        # less than another eager checkpoint barrier.
         np_l = ivf_calibrate_nprobe(l_emb, l_cents, l_assign, n)
         return l_emb, l_cents, l_assign, np_l
 
@@ -1616,7 +1621,9 @@ def simsearch_ivf_calibrated_topk(
     The registered driver branches pin their own deterministic twins
     of both stages; this is the callable a deployment uses."""
     emb, cents, assign = ivf_build_linear(spark, sf_dir)
-    assign = loose_local_checkpoint(assign)
+    # No caller-side assign checkpoint: the build materialized the
+    # bucket-local argmax (`matched`) already; the rescue tail on top
+    # is bounded small (see simsearch_topk_cosine's linear chain).
     n = emb_count(spark, sf_dir)
     np_c = ivf_calibrate_nprobe(
         emb, cents, assign, n, target_pct=target_pct, m_target=m_target

@@ -319,9 +319,21 @@ def streaming_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
-    return _run_to_parquet(tumbling, "complete", "tumbling", sf_dir).unionByName(
-        _run_to_parquet(sliding, "complete", "sliding", sf_dir)
-    )
+    # r14 (guide §2.6): the two branches are independent streams with
+    # separate sinks/checkpoints — run them concurrently instead of
+    # back-to-back (each availableNow run spends most of its wall in
+    # driver-side query start/commit that leaves executors idle). The
+    # partition pin wraps BOTH on the main thread: one enter/exit, no
+    # set/restore race between the threads (both would pin the same
+    # value; the conf is read at each query's start).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with _stream_partitions(spark, _stream_shuffle_partitions(spark, sf_dir)):
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_t = pool.submit(_run_to_parquet, tumbling, "complete", "tumbling")
+            f_s = pool.submit(_run_to_parquet, sliding, "complete", "sliding")
+            t_back, s_back = f_t.result(), f_s.result()
+    return t_back.unionByName(s_back)
 
 
 @register(
