@@ -122,33 +122,52 @@ def hgn_communities(
     _mark("init_canonicalize", t0)
 
     # --- init step (computed once, like main.py:243-258) ---------------
-    t0 = _time.perf_counter()
-    sims = one_hot_cosine_similarities(e, vertices, feature_cols)
-    # Symmetrize similarities so common-neighbor membership checks see
-    # both orientations; the hybrid ratio is invariant to the doubling
-    # (numerator and denominator scale together).
-    sims, sims_ids = jan.checkpoint(
-        sims.union(
-            sims.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity"
+    # r14 (guide §2.6): the similarity and betweenness init frames both
+    # read the materialized `e` and nothing of each other — run their
+    # eager checkpoints concurrently. Their id sets are released at the
+    # same point after the loop, so concurrent id-diff attribution
+    # between the two checkpoints cannot mis-release a block. Phase
+    # timings record each chain's own wall clock (they overlap).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _init_sims():
+        t0 = _time.perf_counter()
+        s = one_hot_cosine_similarities(e, vertices, feature_cols)
+        # Symmetrize similarities so common-neighbor membership checks
+        # see both orientations; the hybrid ratio is invariant to the
+        # doubling (numerator and denominator scale together).
+        out = jan.checkpoint(
+            s.union(
+                s.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity"
+                )
             )
         )
-    )
-    _mark("init_sims", t0)
-    t0 = _time.perf_counter()
-    # INVARIANT (ADVICE r13 #4): betweenness is computed ONCE here, on
-    # the initial edge set, and never refreshed inside the loop — the
-    # reference does the same (main.py:243-258). pairs_incremental's
-    # soundness DEPENDS on this: with init-once betweenness (and
-    # init-once sims), an untouched edge's delete condition is
-    # time-invariant, so steps 2+ may re-score only edges whose
-    # endpoint neighborhoods the previous deletions changed. If a
-    # future change recomputes betweenness per step, every survivor's
-    # condition can flip and the incremental scope becomes unsound —
-    # such a change MUST either drop to full per-step scoring or
-    # reject delete_rule_impl="pairs_incremental".
-    betw, betw_ids = jan.checkpoint(edge_betweenness(e, max_sp_length=p.max_sp_length))
-    _mark("init_betweenness", t0)
+        _mark("init_sims", t0)
+        return out
+
+    def _init_betw():
+        t0 = _time.perf_counter()
+        # INVARIANT (ADVICE r13 #4): betweenness is computed ONCE here,
+        # on the initial edge set, and never refreshed inside the loop —
+        # the reference does the same (main.py:243-258).
+        # pairs_incremental's soundness DEPENDS on this: with init-once
+        # betweenness (and init-once sims), an untouched edge's delete
+        # condition is time-invariant, so steps 2+ may re-score only
+        # edges whose endpoint neighborhoods the previous deletions
+        # changed. If a future change recomputes betweenness per step,
+        # every survivor's condition can flip and the incremental scope
+        # becomes unsound — such a change MUST either drop to full
+        # per-step scoring or reject delete_rule_impl="pairs_incremental".
+        out = jan.checkpoint(edge_betweenness(e, max_sp_length=p.max_sp_length))
+        _mark("init_betweenness", t0)
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_sims = _pool.submit(_init_sims)
+        _f_betw = _pool.submit(_init_betw)
+        sims, sims_ids = _f_sims.result()
+        betw, betw_ids = _f_betw.result()
 
     # --- main loop ------------------------------------------------------
     aff_v = None  # pairs_incremental: vertices whose neighborhoods changed

@@ -21,13 +21,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hgn_spark.catalog import load_table
 from hgn_spark.checkpoint import tracked_local_checkpoint
 from hgn_spark.graph.betweenness import edge_betweenness
-from hgn_spark.graph.components import component_sizes, connected_components
+from hgn_spark.graph.components import connected_components
 from hgn_spark.graph.core import degrees, neighbors
 from hgn_spark.graph.hgn import HGNParams, hgn_communities
 from hgn_spark.graph.rmetrics import r_metrics_edges
@@ -301,12 +301,19 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     converge to component = min member id.
     """
     comps = connected_components(derived_edges(spark, sf_dir))
-    sizes = component_sizes(comps, min_size=1)
-    return comps.join(sizes, "component").select(
+    # r14 (guide §2.6/§3): per-component size as ONE window count
+    # instead of component_sizes + join — the join form referenced the
+    # CC-output subtree twice (Catalyst shares no subplans: vertex-set
+    # union + mapping join executed once for `comps`, once inside
+    # `sizes`) and paid an aggregate exchange plus a join exchange.
+    # Same rows (count over the full partition, min_size=1 was a
+    # no-op filter), one subtree, one exchange.
+    n = F.count(F.lit(1)).over(W.partitionBy("component"))
+    return comps.select(
         "id",
         "component",
-        "n_members",
-        (F.col("n_members") >= MIN_COMP_SIZE).cast("long").alias("kept"),
+        n.alias("n_members"),
+        (n >= MIN_COMP_SIZE).cast("long").alias("kept"),
     )
 
 

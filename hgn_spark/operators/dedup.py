@@ -396,7 +396,11 @@ def _verified_jaccard(cands: DataFrame, sets_: DataFrame) -> DataFrame:
     shingle-set table: two doc-level equi-joins (one row per doc, AQE
     broadcasts the pruned candidate side) and an array_intersect — no
     join against the full inverted index, whose two extra shuffles were
-    the dominant cost of the LSH queries (VERDICT r3 #2)."""
+    the dominant cost of the LSH queries (VERDICT r3 #2). Every
+    non-join column of ``cands`` (e.g. a branch label) passes through,
+    so callers never need to re-join the candidate subtree — Catalyst
+    shares no subplans, and a label rejoin re-executed the whole
+    candidate generation (r14)."""
     s1 = sets_.select(
         F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"), F.col("sz").alias("sz1")
     )
@@ -417,7 +421,7 @@ def _verified_jaccard(cands: DataFrame, sets_: DataFrame) -> DataFrame:
                 4,
             ),
         )
-        .select("d1", "d2", "jaccard")
+        .select(*cands.columns, "jaccard")
     )
 
 
@@ -559,9 +563,13 @@ def neardup_incremental(
         )
         .distinct()
     )
-    verified = _verified_jaccard(cands.select("d1", "d2").distinct(), sets_)
+    # `op` is a function of the pair (b2 decides it), so the former
+    # distinct-then-rejoin shape verified the same pair set but
+    # re-executed the whole candidate subtree for the label join
+    # (Catalyst shares no subplans — r14). Verify the labeled pairs
+    # directly instead.
     return (
-        cands.join(verified, ["d1", "d2"])
+        _verified_jaccard(cands, sets_)
         .filter(F.col("jaccard") >= JACCARD_THRES)
         .select("op", "d1", "d2", "jaccard")
     )
@@ -947,15 +955,23 @@ def canonical_groups(pairs: DataFrame) -> DataFrame:
     over the duplicate graph (min-id member is canonical). Shared by
     `dedup_canonical_groups` and the curation pipeline's df-capped
     near-dup stage."""
+    from pyspark.sql import Window as W
+
     from hgn_spark.graph.components import connected_components
 
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     comps = connected_components(edges)
-    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
-    return comps.join(sizes, "component").select(
+    # r14 (guide §2.6/§3): group_size as a window count over the
+    # component partition instead of groupBy + self-join — the former
+    # shape referenced `comps` twice, and Catalyst shares no subplans,
+    # so the whole CC-output subtree (vertex-set union + mapping join)
+    # EXECUTED twice per drain; the join also added an aggregate
+    # exchange on top of the join exchange. Same rows, same long
+    # count, one subtree, one exchange.
+    return comps.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("group_id"),
-        "group_size",
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("group_size"),
         (F.col("id") == F.col("component")).cast("long").alias("is_canonical"),
     )
 
@@ -1917,14 +1933,19 @@ def _srp_pairs_multi(
         F.col("embedding").alias("e2"),
         F.col("nrm").alias("n2"),
     )
-    # Verify each DISTINCT pair once, then rejoin the labels: the
-    # configs' candidate sets overlap heavily (a true near-dup pair
-    # collides at every width), so the shared verify does strictly
-    # less cosine work than per-config verifies.
-    verified = (
-        cands.select("v1", "v2")
-        .distinct()
-        .join(e1, "v1")
+    # Verify the LABELED pairs directly (r14). The previous shape
+    # verified each distinct (v1, v2) once and re-joined the labels —
+    # but that plan references `cands` twice, and Catalyst shares no
+    # subplans, so the whole candidate-generation subtree (banded
+    # union + bucket self-join + distinct) EXECUTED twice per drain.
+    # Verifying per labeled pair costs at most one extra cosine fold
+    # per additional label on a verified pair (cheap, pair volume is
+    # post-LSH) and runs candidate generation once — the better trade
+    # at sf0.1 (measured) and at scale, where the bucket join, not the
+    # verify, is the dominant term. Output rows are identical: the
+    # same (label, v1, v2) set with the same rounded cosine.
+    return (
+        cands.join(e1, "v1")
         .join(e2, "v2")
         .withColumn(
             "cosine",
@@ -1934,9 +1955,8 @@ def _srp_pairs_multi(
             ),
         )
         .filter(F.col("cosine") >= EMB_COS_THRES)
-        .select("v1", "v2", "cosine")
+        .select("label", "v1", "v2", "cosine")
     )
-    return cands.join(verified, ["v1", "v2"]).select("label", "v1", "v2", "cosine")
 
 
 @register(

@@ -964,9 +964,14 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rows(df: DataFrame, pairs: list[tuple[str, str, str]]) -> DataFrame:
-        out = None
-        for metric, ex, ap in pairs:
-            r = df.select(
+        # r14 (guide §2.6): ONE inline(array(struct...)) over the 1-row
+        # agg frame instead of a per-metric union — the union form
+        # referenced `df` once per metric, and Catalyst shares no
+        # subplans, so every metric arm re-scanned and re-aggregated the
+        # base table (4 parquet scans for 4 rows). Same rows, same
+        # order, half the scans/aggregations.
+        def metric_struct(metric: str, ex: str, ap: str):
+            return F.struct(
                 F.lit(metric).alias("metric"),
                 F.col(ex).cast("double").alias("exact"),
                 F.col(ap).cast("double").alias("approx"),
@@ -980,14 +985,14 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.abs(F.col(ex)) > 0,
                     F.round(F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex)), 6),
                 )
-                .when(
-                    F.col(ap).eqNullSafe(F.col(ex)), F.lit(0.0)
-                )
+                .when(F.col(ap).eqNullSafe(F.col(ex)), F.lit(0.0))
                 .otherwise(F.lit(None).cast("double"))
                 .alias("rel_err"),
             )
-            out = r if out is None else out.unionByName(r)
-        return out
+
+        return df.select(
+            F.inline(F.array(*[metric_struct(*p) for p in pairs]))
+        )
 
     return rows(
         ev,
