@@ -188,11 +188,17 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       word, so short words still cost 1) — the standard LLM-token
       budget heuristic.
 
-    The quality/langid/fingerprint block is one projection over the
-    scan (plus the initial spread of the one-file table across cores),
-    everything in whole-stage codegen; the absorbed repetition and
-    packing column families (`text_repetition_signals`,
-    `pack_token_chunks`) join back at the per-doc grain."""
+    Execution shape (r14, guide §2.3/§2.4): ONE scan. The former plan
+    re-scanned and re-tokenized `documents` three times (profile
+    projection, repetition explode+groupBy, packing window) and glued
+    the per-doc grains back with two joins; but the repetition signals
+    are per-row functions of the doc's own tokens (scan-side sorted
+    run-length folds, see `_sorted_run_stats`) and the packing cumsum
+    is a window over columns the profile projection already has —
+    0-token docs contribute 0 tokens to the running offsets and were
+    dropped by the former inner join anyway, so running the window on
+    the filtered frame is value-identical. Plan: 3 scans + 2 joins +
+    explode + 2 agg exchanges + window → 1 scan + 1 window exchange."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         max(spark.sparkContext.defaultParallelism, 8)
     )
@@ -200,6 +206,14 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("l") > 0
     )
     n = F.size("l")
+    # Repetition signals (>= 2 tokens; single-token docs keep the nulls
+    # the former LEFT join produced). The fold structs materialize as
+    # their own columns so each evaluates once per row.
+    d = d.withColumn(
+        "_ws", F.when(n >= 2, _sorted_run_stats(F.col("l")))
+    ).withColumn(
+        "_gs", F.when(n >= 2, _sorted_run_stats(_positional_2grams(F.col("l"))))
+    )
     stop_hits = F.size(F.filter(F.col("l"), lambda t: t.isin(*STOPWORDS)))
     total_len = F.aggregate(F.col("l"), F.lit(0), lambda acc, t: acc + F.length(t))
     candidates = [
@@ -210,7 +224,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, m in sorted(LANG_MARKERS.items())
     ]
     best = F.array_max(F.array(*candidates))
-    return d.select(
+    prof = d.select(
         "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct("l")).alias("n_distinct"),
@@ -240,27 +254,26 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.sort_array(F.array_distinct("l")), " ")).alias(
             "fp_bag"
         ),
-    ).join(
-        # Repetition signals: defined for docs with >= 2 tokens, LEFT
-        # join keeps single-token docs in the profile with null signals.
-        text_repetition_signals(spark, sf_dir).select(
-            "doc_id",
-            "top_token_frac",
-            "dup_token_frac",
-            "dup_2gram_frac",
-            "top_2gram_frac",
-            "is_repetitive",
-        ),
-        "doc_id",
-        "left",
-    ).join(
-        # Packing covers every doc; 0-token docs (absent from the
-        # profile) contribute 0 tokens to the running offsets, so the
-        # inner join drops only their own rows.
-        pack_token_chunks(spark, sf_dir).select(
-            "doc_id", "shard", "tok_start", "chunk_id", "chunk_offset"
-        ),
-        "doc_id",
+        # Repetition signals inline (null structs for n==1 docs yield
+        # the same nulls the former LEFT join produced).
+        *_repetition_cols(F.col("_ws"), F.col("_gs"), n),
+        # Packing shard; the running-offset window runs OVER this
+        # projection so the heavy per-row work above stays on the
+        # spread partitions, not on the <= N_SHARDS post-window tasks.
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return prof.withColumn(
+        "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumns(
+        {
+            "chunk_id": F.floor(F.col("tok_start") / CTX_LEN).cast("long"),
+            "chunk_offset": F.col("tok_start") % CTX_LEN,
+        }
     )
 
 
@@ -657,6 +670,107 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _positional_2grams(l):
+    """Positional 2-grams of a token-array column (n-1 grams for n
+    tokens) — shared by the repetition block's two call sites so both
+    build byte-identical grams."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(l) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(l, i + 1), F.element_at(l, i + 2)
+        ),
+    )
+
+
+def _sorted_run_stats(arr):
+    """Per-row frequency stats of an array's values WITHOUT leaving the
+    scan: sort a copy, then one O(n) fold over the sorted run structure.
+    Returns struct(top, dup, nd) = (max value multiplicity, total count
+    of values occurring >1 time, distinct value count) — exactly what a
+    groupBy-count of the exploded array would aggregate back, minus the
+    explode, the two exchanges and the per-doc rejoin (guide §2.3/§2.4:
+    the output is per-document, so no cross-row combine is needed and
+    the shuffle was pure overhead). O(n log n) per row, embarrassingly
+    parallel; skew is bounded by document length exactly as the explode
+    form's (doc, gram) hot keys were."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def _close_run(acc):
+        # fold the just-finished run into (top, dup, nd)
+        return (
+            F.greatest(acc["top"], acc["cnt"]),
+            acc["dup"] + F.when(acc["cnt"] > 1, acc["cnt"]).otherwise(F.lit(0).cast("long")),
+            acc["nd"] + 1,
+        )
+
+    def merge(acc, x):
+        top, dup, nd = _close_run(acc)
+        return (
+            F.when(
+                acc["prev"].isNull(),
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("cnt"),
+                    acc["top"].alias("top"),
+                    acc["dup"].alias("dup"),
+                    acc["nd"].alias("nd"),
+                ),
+            )
+            .when(
+                x == acc["prev"],
+                F.struct(
+                    x.alias("prev"),
+                    (acc["cnt"] + 1).alias("cnt"),
+                    acc["top"].alias("top"),
+                    acc["dup"].alias("dup"),
+                    acc["nd"].alias("nd"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("cnt"),
+                    top.alias("top"),
+                    dup.alias("dup"),
+                    nd.alias("nd"),
+                )
+            )
+        )
+
+    def finish(acc):
+        top, dup, nd = _close_run(acc)
+        return F.struct(
+            top.alias("top"),
+            dup.alias("dup"),
+            F.when(acc["prev"].isNull(), acc["nd"]).otherwise(nd).alias("nd"),
+        )
+
+    return F.aggregate(F.sort_array(arr), zero, merge, finish)
+
+
+def _repetition_cols(ws, gs, n):
+    """The five repetition signal columns from the word/2-gram run
+    stats (``_sorted_run_stats`` structs) and the token count — the
+    same double arithmetic the former groupBy form used, so values are
+    identical."""
+    n2 = n - 1
+    top_frac = ws["top"] * 1.0 / n
+    dup2_frac = (n2 - gs["nd"]) * 1.0 / n2
+    return [
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.round(ws["dup"] * 1.0 / n, 4).alias("dup_token_frac"),
+        F.round(dup2_frac, 4).alias("dup_2gram_frac"),
+        F.round(gs["top"] * 1.0 / n2, 4).alias("top_2gram_frac"),
+        ((top_frac > 0.2) | (dup2_frac > 0.4)).alias("is_repetitive"),
+    ]
+
+
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1):
     corpora scraped at scale are full of boilerplate whose token /
@@ -669,58 +783,28 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-gram duplicate fraction and top-2-gram fraction, plus the
     composite repetitiveness gate.
 
-    Execution shape (the scalable one, unlike an O(n²) per-row
-    higher-order-function scan): ONE tagged explode emits words and
-    positional 2-grams together, a map-side-combinable count by
-    (doc_id, kind, gram) collapses the long tail before the wire, and a
-    second count by doc_id — already co-partitioned, AQE coalesces the
-    exchange — folds both gram kinds into one output row via
-    conditional aggregates. Hot keys are (doc, gram) pairs, so skew is
-    bounded by document length, not corpus size; at 100 TB both
-    shuffles stay partial-agg-friendly and no driver state exists."""
+    Execution shape (r14, guide §2.3/§2.4): every signal is a per-row
+    function of the document's own tokens, so the former tagged-explode
+    + two-level groupBy + rejoin (two exchanges carrying one row per
+    token/2-gram) was shuffle with no cross-row purpose. Now one
+    scan-side projection: sort a copy of the token (and positional
+    2-gram) array and fold its run structure once — O(n log n) per doc,
+    zero Exchange, whole plan in one stage. Values identical (pinned by
+    the text_profile oracle row)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", tokens("text").alias("l")).filter(F.size("l") >= 2)
     l = F.col("l")
-    g2 = F.transform(
-        F.sequence(F.lit(0), F.size(l) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(l, i + 1), F.element_at(l, i + 2)
-        ),
+    # Materialize the two fold structs as their own columns so each is
+    # evaluated once per row, not once per referencing signal column
+    # (CollapseProject inlines only cheap expressions, same discipline
+    # as _verified_jaccard's `common`).
+    d = d.withColumn("_ws", _sorted_run_stats(l)).withColumn(
+        "_gs", _sorted_run_stats(_positional_2grams(l))
     )
-    tagged = F.concat(
-        F.transform(l, lambda t: F.struct(F.lit("w").alias("kind"), t.alias("gram"))),
-        F.transform(g2, lambda s: F.struct(F.lit("g2").alias("kind"), s.alias("gram"))),
-    )
-    e = d.select("doc_id", F.explode(tagged).alias("x")).select(
-        "doc_id", F.col("x.kind").alias("kind"), F.col("x.gram").alias("gram")
-    )
-    cnt = e.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
-    w = F.col("kind") == "w"
-    b = F.col("kind") == "g2"
-    c = F.col("c")
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum(F.when(w, c).otherwise(0)).alias("n_tokens"),
-        F.count(F.when(w, F.lit(1))).alias("n_distinct_tokens"),
-        F.max(F.when(w, c)).alias("top_c"),
-        F.sum(F.when(w & (c > 1), c).otherwise(0)).alias("dup_c"),
-        F.sum(F.when(b, c).otherwise(0)).alias("n2"),
-        F.count(F.when(b, F.lit(1))).alias("nd2"),
-        F.max(F.when(b, c)).alias("top2"),
-    )
-    n_tok = F.col("n_tokens")
-    return agg.select(
+    return d.select(
         "doc_id",
-        "n_tokens",
-        F.round(F.col("top_c") * 1.0 / n_tok, 4).alias("top_token_frac"),
-        F.round(F.col("dup_c") * 1.0 / n_tok, 4).alias("dup_token_frac"),
-        F.round((F.col("n2") - F.col("nd2")) * 1.0 / F.col("n2"), 4).alias(
-            "dup_2gram_frac"
-        ),
-        F.round(F.col("top2") * 1.0 / F.col("n2"), 4).alias("top_2gram_frac"),
-        (
-            (F.col("top_c") * 1.0 / n_tok > 0.2)
-            | ((F.col("n2") - F.col("nd2")) * 1.0 / F.col("n2") > 0.4)
-        ).alias("is_repetitive"),
+        F.size("l").cast("long").alias("n_tokens"),
+        *_repetition_cols(F.col("_ws"), F.col("_gs"), F.size("l")),
     )
 
 
