@@ -331,7 +331,13 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # becomes replayable in the DuckDB oracle. Same distinct-set
     # semantics as any other hash (jaccard only sees set sizes);
     # measured at cost parity with the multi-arg xxhash64 it replaced.
-    tok = tokens("text")
+    # Tokenize ONCE into its own projection (r14, guide §1.2 per-task
+    # work): inlining `tokens("text")` into the lambda re-evaluates the
+    # regex split per element reference (HOFs run interpreted, no
+    # cross-reference subexpression reuse) — measured 0.85 s vs 0.27 s
+    # warm at sf0.1. CollapseProject keeps the split separate because
+    # it is non-cheap and multiply referenced.
+    tok = F.col("_l")
     hashed = F.transform(
         F.sequence(F.lit(0), F.size(tok) - 3),
         lambda i: _h48(
@@ -348,6 +354,7 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<long>"))
     sets_ = (
         docs.repartition(n)
+        .withColumn("_l", tokens("text"))
         .select("doc_id", hs.alias("hs"))
         .select("doc_id", "hs", F.size("hs").cast("long").alias("sz"))
     )

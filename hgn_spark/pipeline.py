@@ -323,7 +323,13 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flags = (
         docs.select("doc_id", "text")
-        .withColumn("f_gate", _gate_pred(tokens("text")))
+        # Tokenize once into a real attribute: _gate_pred references
+        # its argument three times, and inlining `tokens("text")` would
+        # re-run the regex split per reference (guide §1.2 per-task
+        # work; same discipline as _doc_shingle_sets).
+        .withColumn("_l", tokens("text"))
+        .withColumn("f_gate", _gate_pred(F.col("_l")))
+        .drop("_l")
         .withColumn("clean_text", redact_pii("text"))
         .withColumn("fp", F.md5("clean_text"))
         .withColumn(
