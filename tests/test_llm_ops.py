@@ -1831,3 +1831,36 @@ def test_minhash_recall_sized_superset_of_pinned(spark, exact_pairs):
     }
     assert pinned <= sized <= exact_pairs
     assert len(sized) / len(exact_pairs) >= 0.9
+
+
+def test_sorted_run_stats_matches_counter(spark):
+    """The scan-side run-length fold that replaced the repetition
+    block's explode + groupBy (r14) must agree with a Counter-based
+    reference on (top, dup, nd) for every array shape the operator
+    feeds it: all-equal, all-distinct, mixed multiplicities, and the
+    2-element minimum the n >= 2 guard admits."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hgn_spark.operators.text import _sorted_run_stats
+
+    cases = [
+        ["a", "a", "a", "a"],
+        ["a", "b", "c", "d"],
+        ["b", "a", "b", "c", "b", "a"],
+        ["x", "y"],
+        ["y", "y"],
+        ["tok"] * 1 + ["other"] * 7 + ["third"] * 2,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, l array<string>")
+    got = {
+        r["i"]: (r["s"]["top"], r["s"]["dup"], r["s"]["nd"])
+        for r in df.select("i", _sorted_run_stats(F.col("l")).alias("s")).collect()
+    }
+    for i, c in enumerate(cases):
+        cnt = Counter(c)
+        top = max(cnt.values())
+        dup = sum(v for v in cnt.values() if v > 1)
+        nd = len(cnt)
+        assert got[i] == (top, dup, nd), (i, c, got[i], (top, dup, nd))
