@@ -772,6 +772,68 @@ CAL_TARGET_PCT = 90   # calibration recall target, percent (integer-exact)
 CAL_QUERY_TARGET = 64  # deterministic md5-sampled calibration queries
 
 
+def _calibration_queries(emb: DataFrame, n: int, m_target: int) -> DataFrame:
+    """The salted-md5 calibration query sample → (q_id, qe, qn).
+    Pure filter+projection (no action); factored out so the exact
+    truth can be SHARED across the calibrations of different indexes
+    over the same corpus (truth is index-independent)."""
+    if m_target < n:
+        thres = format(min(0xFFFFFFFF, (m_target << 32) // n), "08x")
+        calq = emb.filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cal:"), F.col("vec_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            )
+            < thres
+        )
+    else:
+        calq = emb
+    return calq.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+
+
+def calibration_truth(
+    emb: DataFrame, n: int, m_target: int = CAL_QUERY_TARGET, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-``k`` truth for the calibration sample → (q_id,
+    vec_id): the O(m*n) corpus scan of `ivf_calibrate_nprobe` step 2.
+    A pure function of the CORPUS (not of any index), so a caller
+    calibrating several indexes over the same embeddings computes it
+    once — at 100 TB this halves the dominant calibration term for the
+    registered row's two production branches (guide §2.3: don't
+    compute what you can share). Same 6-decimal rounding + id
+    tie-breaks as the in-line form, so the DuckDB replay per branch is
+    unchanged."""
+    calq = _calibration_queries(emb, n, m_target)
+    pairs = (
+        emb.select(
+            "vec_id", F.col("embedding").alias("te"), F.col("nrm").alias("tn")
+        )
+        .join(F.broadcast(calq), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenormed(F.col("qe"), F.col("te"), F.col("qn"), F.col("tn")),
+                6,
+            ),
+        )
+    )
+    w_t = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w_t))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id")
+    )
+
+
 def ivf_calibrate_nprobe(
     emb: DataFrame,
     cents: DataFrame,
@@ -780,6 +842,7 @@ def ivf_calibrate_nprobe(
     target_pct: int = CAL_TARGET_PCT,
     m_target: int = CAL_QUERY_TARGET,
     k: int = TOP_K,
+    truth: DataFrame | None = None,
 ) -> int:
     """Smallest nprobe whose measured recall@k on a calibration sample
     meets ``target_pct`` — sized from THIS index on THIS corpus.
@@ -815,47 +878,10 @@ def ivf_calibrate_nprobe(
     twin (`_sql_calibration_ctes`) derives the identical scalar and
     the driver hash proves the sizing end to end.
     """
-    if m_target < n:
-        thres = format(min(0xFFFFFFFF, (m_target << 32) // n), "08x")
-        calq = emb.filter(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("cal:"), F.col("vec_id").cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            )
-            < thres
-        )
-    else:
-        calq = emb
-    calq = calq.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    # Exact truth for the sample: corpus scan x broadcast queries.
-    pairs = (
-        emb.select(
-            "vec_id", F.col("embedding").alias("te"), F.col("nrm").alias("tn")
-        )
-        .join(F.broadcast(calq), F.col("vec_id") != F.col("q_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                cosine_prenormed(F.col("qe"), F.col("te"), F.col("qn"), F.col("tn")),
-                6,
-            ),
-        )
-    )
-    w_t = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    truth = (
-        pairs.withColumn("rnk", F.row_number().over(w_t))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "vec_id")
-    )
+    calq = _calibration_queries(emb, n, m_target)
+    if truth is None:
+        # Exact truth for the sample: corpus scan x broadcast queries.
+        truth = calibration_truth(emb, n, m_target=m_target, k=k)
     home = truth.join(assign.select("vec_id", "cent_id"), "vec_id").select(
         "q_id", "cent_id"
     )
@@ -1474,6 +1500,15 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # race to build it.
     n = emb_count(spark, sf_dir)
 
+    def _chain_truth():
+        # Shared calibration truth (r14): the exact top-k of the
+        # calibration sample is a pure function of the CORPUS, so the
+        # adaptive and linear chains' calibrations — which each paid
+        # the O(m*n) scan — now read one materialized (m*k)-row frame.
+        # Submitted FIRST so it is running before any chain blocks on
+        # it (the pool is sized to hold every task anyway).
+        return loose_local_checkpoint(calibration_truth(load_embeddings(spark, sf_dir), n))
+
     def _chain_seed():
         # Both IVF variants share the seed-assignment frame,
         # materialized once: the seed variant's inverted lists and the
@@ -1497,7 +1532,9 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # from the measured recall curve of THIS index instead of the
         # pinned literal whose recall the r12 sweep showed decaying
         # with n.
-        np_a = ivf_calibrate_nprobe(a_emb, a_cents, a_assign, n)
+        np_a = ivf_calibrate_nprobe(
+            a_emb, a_cents, a_assign, n, truth=f_truth.result()
+        )
         return a_emb, a_cents, a_assign, np_a
 
     def _chain_linear():
@@ -1526,7 +1563,9 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table, bounded small by construction. Letting the two
         # consumers (calibration + query) recompute that tail costs
         # less than another eager checkpoint barrier.
-        np_l = ivf_calibrate_nprobe(l_emb, l_cents, l_assign, n)
+        np_l = ivf_calibrate_nprobe(
+            l_emb, l_cents, l_assign, n, truth=f_truth.result()
+        )
         return l_emb, l_cents, l_assign, np_l
 
     def _chain_lsh():
@@ -1542,7 +1581,8 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("lsh", LSH_BITS), ("lsh_adaptive", lsh_adaptive_bits(n))],
         )
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_truth = pool.submit(_chain_truth)
         f_seed = pool.submit(_chain_seed)
         f_adaptive = pool.submit(_chain_adaptive)
         f_linear = pool.submit(_chain_linear)
