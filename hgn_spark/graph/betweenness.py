@@ -84,7 +84,9 @@ def shortest_path_lengths(edges: DataFrame, max_len: int = 2) -> DataFrame:
     return known
 
 
-def shortest_paths(edges: DataFrame, max_len: int = 2) -> DataFrame:
+def shortest_paths(
+    edges: DataFrame, max_len: int = 2, edges_canonical: bool = False
+) -> DataFrame:
     """All shortest paths ≤ max_len as (src, dst, distance, path) with
     path: array<struct<src,dst>> — one VARIABLE-LENGTH array column
     instead of the reference's ragged e_0..e_k columns padded with
@@ -98,7 +100,7 @@ def shortest_paths(edges: DataFrame, max_len: int = 2) -> DataFrame:
     walks per length with motifs and intersects with Pregel distances —
     graph_tools.py:162-218 — which revisits every length from scratch.)
     """
-    sym = symmetrize(edges)
+    sym = symmetrize(edges, assume_canonical=edges_canonical)
     p1 = sym.select(
         "src",
         "dst",
@@ -143,6 +145,7 @@ def edge_betweenness_brandes(
     edges: DataFrame,
     max_sp_length: int = 2,
     sources: DataFrame | None = None,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Fractional-GN edge betweenness via truncated Brandes σ/δ
     accumulation — identical output to ``edge_betweenness`` (default
@@ -174,7 +177,7 @@ def edge_betweenness_brandes(
     — the hook `edge_betweenness_sampled` uses for Brandes–Pich
     source sampling when even per-pair all-source state is too much.
     """
-    sym = symmetrize(edges)
+    sym = symmetrize(edges, assume_canonical=edges_canonical)
     layer0 = sym.select(
         F.col("src").alias("s"),
         F.col("dst").alias("v"),
@@ -351,6 +354,7 @@ def edge_betweenness(
     method: str = "auto",
     allow_approx: bool = False,
     source_fraction: float = 0.25,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """→ (src, dst, betweenness) on canonical src < dst edges, for any
     truncation depth: enumerate shortest paths, credit each ordered
@@ -400,8 +404,12 @@ def edge_betweenness(
             )
         method = chosen
     if method == "sigma":
-        return edge_betweenness_brandes(edges, max_sp_length)
-    sp = shortest_paths(edges, max_len=max_sp_length)
+        return edge_betweenness_brandes(
+            edges, max_sp_length, edges_canonical=edges_canonical
+        )
+    sp = shortest_paths(
+        edges, max_len=max_sp_length, edges_canonical=edges_canonical
+    )
     if compat_max_length_only:
         sp = sp.filter(F.col("distance") == max_sp_length)
 

@@ -100,6 +100,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 30,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """→ (id, component) with component = min vertex id in the component.
 
@@ -108,7 +109,7 @@ def connected_components(
     supplied.
     """
     jan = CheckpointJanitor(edges.sparkSession)
-    b, live = jan.checkpoint(symmetrize(edges))
+    b, live = jan.checkpoint(symmetrize(edges, assume_canonical=edges_canonical))
 
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_iter):

@@ -19,18 +19,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
+def symmetrize(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     """Union reversed edges, drop self-loops and duplicates.
 
     Reference parity: graph_tools/graph_tools.py:125-126 (the union-of-
     reversed pattern before every traversal).
+
+    ``assume_canonical``: the caller guarantees the input is already
+    canonical (src < dst, distinct — e.g. `canonicalize`'s output or
+    `derived_edges`). Then the two orientations cannot collide or
+    self-loop, so the dedup pass — a full exchange + two hash
+    aggregates over 2|E| rows — is provably a no-op and is skipped.
+    Same row set either way; only the plan differs.
     """
     e = edges.select("src", "dst")
-    return (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if assume_canonical:
+        return e.union(rev)
+    return e.union(rev).filter(F.col("src") != F.col("dst")).distinct()
 
 
 def canonicalize(edges: DataFrame) -> DataFrame:
@@ -44,17 +50,20 @@ def canonicalize(edges: DataFrame) -> DataFrame:
     )
 
 
-def degrees(edges: DataFrame) -> DataFrame:
+def degrees(edges: DataFrame, edges_canonical: bool = False) -> DataFrame:
     """Per-vertex degree over the symmetrized graph → (id, degree)."""
     return (
-        symmetrize(edges)
+        symmetrize(edges, assume_canonical=edges_canonical)
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
 
 
 def neighbor_pairs(
-    edges: DataFrame, level: int = 1, sources: DataFrame | None = None
+    edges: DataFrame,
+    level: int = 1,
+    sources: DataFrame | None = None,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Ordered (src, dst) pairs with dst in the level-``level`` neighborhood.
 
@@ -76,7 +85,7 @@ def neighbor_pairs(
     """
     if level not in (1, 2):
         raise ValueError(f"neighbor_pairs supports level 1 or 2, got {level}")
-    sym = symmetrize(edges)
+    sym = symmetrize(edges, assume_canonical=edges_canonical)
     base = (
         sym.join(sources.select(F.col("id").alias("src")), "src", "left_semi")
         if sources is not None
@@ -93,7 +102,10 @@ def neighbor_pairs(
 
 
 def neighbors(
-    edges: DataFrame, vertices: DataFrame | None = None, level: int = 1
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    level: int = 1,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Per-vertex neighbor sets → (id, count, neighbors array).
 
@@ -107,7 +119,7 @@ def neighbors(
     prefer the (src, dst) pair form (`neighbor_pairs`) when they only
     need joins, not materialized sets.
     """
-    pairs = neighbor_pairs(edges, level=level)
+    pairs = neighbor_pairs(edges, level=level, edges_canonical=edges_canonical)
     agg = pairs.groupBy(F.col("src").alias("id")).agg(
         F.collect_set("dst").alias("neighbors"), F.count("dst").alias("count")
     )
@@ -129,7 +141,7 @@ def neighbors(
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, edges_canonical: bool = False) -> DataFrame:
     """Per-vertex triangle counts → (id, triangles).
 
     Edge-iterator algorithm with DEGREE ordering — the standard
@@ -149,8 +161,8 @@ def triangles(edges: DataFrame) -> DataFrame:
     the per-vertex count then explodes the 3 members of each found
     triangle — one map-side-combinable aggregation.
     """
-    canon = canonicalize(edges)
-    deg = degrees(canon)
+    canon = edges.select("src", "dst") if edges_canonical else canonicalize(edges)
+    deg = degrees(canon, edges_canonical=True)
     # (deg, id) total order, packed into one orderable struct.
     with_deg = (
         canon.join(deg.withColumnRenamed("id", "src"), "src")
@@ -186,14 +198,20 @@ def triangles(edges: DataFrame) -> DataFrame:
     )
 
 
-def drop_isolated_vertices(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def drop_isolated_vertices(
+    vertices: DataFrame, edges: DataFrame, edges_canonical: bool = False
+) -> DataFrame:
     """Keep vertices that appear in at least one edge (reference G15,
     GraphFrames dropIsolatedVertices at main.py:208) — one semi-join."""
-    ids = symmetrize(edges).select(F.col("src").alias("id"))
+    ids = symmetrize(edges, assume_canonical=edges_canonical).select(
+        F.col("src").alias("id")
+    )
     return vertices.join(ids, "id", "left_semi")
 
 
-def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
+def modularity_score(
+    edges: DataFrame, communities: DataFrame, edges_canonical: bool = False
+) -> DataFrame:
     """Newman modularity of a community assignment over the undirected
     graph — the quality metric that closes the community-detection
     loop (score what `hgn_communities` / `label_propagation` / CC
@@ -219,7 +237,10 @@ def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
     """
     from hgn_spark.checkpoint import loose_local_checkpoint
 
-    e = loose_local_checkpoint(canonicalize(edges).select("src", "dst"))
+    canon = (
+        edges.select("src", "dst") if edges_canonical else canonicalize(edges)
+    )
+    e = loose_local_checkpoint(canon.select("src", "dst"))
     a_src = communities.select(
         F.col("id").alias("src"), F.col("community").alias("c_src")
     )
@@ -235,7 +256,8 @@ def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("e_c"))
     )
     deg_c = (
-        degrees(e)
+        # e is the canonicalized (or caller-guaranteed canonical) set.
+        degrees(e, edges_canonical=True)
         .join(communities, "id")
         .groupBy("community")
         .agg(F.sum("degree").alias("d_c"))

@@ -89,6 +89,7 @@ def hgn_communities(
     feature_cols: list[str],
     params: HGNParams | None = None,
     phase_timings: dict[str, float] | None = None,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Run the full loop → (id, component).
 
@@ -118,7 +119,12 @@ def hgn_communities(
 
     jan = CheckpointJanitor(edges.sparkSession)
     t0 = _time.perf_counter()
-    e, e_ids = jan.checkpoint(canonicalize(edges))
+    # ``edges_canonical``: caller guarantees src < dst distinct rows
+    # (e.g. derived_edges), so canonicalize's dedup exchange is a no-op
+    # and the init checkpoint materializes the input directly.
+    e, e_ids = jan.checkpoint(
+        edges.select("src", "dst") if edges_canonical else canonicalize(edges)
+    )
     _mark("init_canonicalize", t0)
 
     # --- init step (computed once, like main.py:243-258) ---------------
@@ -159,7 +165,11 @@ def hgn_communities(
         # every survivor's condition can flip and the incremental scope
         # becomes unsound — such a change MUST either drop to full
         # per-step scoring or reject delete_rule_impl="pairs_incremental".
-        out = jan.checkpoint(edge_betweenness(e, max_sp_length=p.max_sp_length))
+        out = jan.checkpoint(
+            edge_betweenness(
+                e, max_sp_length=p.max_sp_length, edges_canonical=True
+            )
+        )
         _mark("init_betweenness", t0)
         return out
 
@@ -272,8 +282,11 @@ def hgn_communities(
                 t.setdefault("n_scored_per_step", []).append(
                     n_scope if scope is not None else n_edges
                 )
+            # e is canonical by construction (canonicalize at init;
+            # anti-join deletion preserves it) — every symmetrize in the
+            # scoring path may skip its dedup exchange (r15, guide §2.4).
             scored, _members_all = r_metrics_edges_pairs(
-                e, p.r_lvl1_thres, p.r_lvl2_thres, scope=scope
+                e, p.r_lvl1_thres, p.r_lvl2_thres, scope=scope, edges_canonical=True
             )
             cand, cand_ids = jan.checkpoint(
                 scored.filter(~F.col("keepit")).select("src", "dst")
@@ -286,7 +299,9 @@ def hgn_communities(
             # across generations (see n_edges above).
             restrict = 4 * cand.count() < max(n_edges, 1)
             weights = hybrid_edge_weights_members(
-                candidate_common_members(e, cand, restrict_sources=restrict),
+                candidate_common_members(
+                    e, cand, restrict_sources=restrict, edges_canonical=True
+                ),
                 sims,
                 p.feature_min_avg,
             )
@@ -342,7 +357,7 @@ def hgn_communities(
                 .distinct()
             )
             nb = (
-                symmetrize(e)
+                symmetrize(e, assume_canonical=True)
                 .join(dv.withColumnRenamed("id", "src"), "src", "left_semi")
                 .select(F.col("dst").alias("id"))
             )
@@ -371,8 +386,8 @@ def hgn_communities(
         e_ids = new_e_ids
 
     t0 = _time.perf_counter()
-    survivors = drop_isolated_vertices(vertices.select("id"), e)
-    out = connected_components(e, survivors)
+    survivors = drop_isolated_vertices(vertices.select("id"), e, edges_canonical=True)
+    out = connected_components(e, survivors, edges_canonical=True)
     _mark("final_cc", t0)
     # The returned plan references only the final edge generation (via
     # the survivors join) and CC's fixpoint mapping — the init-step

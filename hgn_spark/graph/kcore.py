@@ -40,7 +40,10 @@ from hgn_spark.graph.core import symmetrize
 
 
 def core_numbers(
-    edges: DataFrame, max_iter: int | None = None, checkpoint_interval: int = 3
+    edges: DataFrame,
+    max_iter: int | None = None,
+    checkpoint_interval: int = 3,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """→ ``(id, core)`` for every vertex with at least one edge.
 
@@ -64,7 +67,7 @@ def core_numbers(
     """
     spark = edges.sparkSession
     jan = CheckpointJanitor(spark)
-    sym, sym_ids = jan.checkpoint(symmetrize(edges))
+    sym, sym_ids = jan.checkpoint(symmetrize(edges, assume_canonical=edges_canonical))
 
     # label_0 = degree. The edge list has no isolated vertices, so
     # every vertex appears on the src side of the symmetrized frame.

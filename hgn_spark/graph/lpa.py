@@ -32,12 +32,15 @@ from hgn_spark.graph.core import symmetrize
 
 
 def label_propagation(
-    edges: DataFrame, n_iter: int = 10, checkpoint_interval: int = 5
+    edges: DataFrame,
+    n_iter: int = 10,
+    checkpoint_interval: int = 5,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """→ ``(id, label)`` after ``n_iter`` synchronous rounds; labels
     start as vertex ids, so a label is always some member's id."""
     jan = CheckpointJanitor(edges.sparkSession)
-    sym, sym_ids = jan.checkpoint(symmetrize(edges))
+    sym, sym_ids = jan.checkpoint(symmetrize(edges, assume_canonical=edges_canonical))
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )

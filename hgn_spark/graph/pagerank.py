@@ -45,7 +45,7 @@ from hgn_spark.graph.core import symmetrize
 
 
 def build_links(
-    edges: DataFrame, jan: CheckpointJanitor
+    edges: DataFrame, jan: CheckpointJanitor, edges_canonical: bool = False
 ) -> tuple[DataFrame, frozenset[int]]:
     """The per-iteration join table both recurrences share:
     (src, dst, out_deg(src)) over the symmetrized graph, materialized
@@ -55,7 +55,7 @@ def build_links(
     graph_pagerank driver row) build this once and pass it to each —
     the graph build is the startup cost, and doubling it was the
     only overhead of the r8 branch merge."""
-    sym, sym_ids = jan.checkpoint(symmetrize(edges))
+    sym, sym_ids = jan.checkpoint(symmetrize(edges, assume_canonical=edges_canonical))
     out_deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )

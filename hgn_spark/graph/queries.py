@@ -151,16 +151,20 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hgn_spark.sources.csv import load_edges_csv
     from hgn_spark.sources.sinks import ephemeral_io_dir
 
+    # derived_edges is canonical (src < dst, distinct) by construction —
+    # every symmetrize below it skips the provably-no-op dedup exchange
+    # (r15, guide §2.4). The CSV round trip writes that same distinct
+    # set, so the read-back is canonical too.
     e = derived_edges(spark, sf_dir)
-    deg = degrees(e)
-    nb = neighbors(e, level=2).select(
+    deg = degrees(e, edges_canonical=True)
+    nb = neighbors(e, level=2, edges_canonical=True).select(
         "id",
         F.col("count").alias("lvl2_count"),
         F.array_join(F.sort_array("neighbors"), ",").alias("lvl2_neighbors"),
     )
     csv_path = os.path.join(ephemeral_io_dir(spark, "edges"), "csv")
     e.write.mode("overwrite").csv(csv_path)
-    csv_deg = degrees(load_edges_csv(spark, csv_path))
+    csv_deg = degrees(load_edges_csv(spark, csv_path), edges_canonical=True)
     lab = lambda df, p: df.select(F.lit(p).alias("path"), "*")  # noqa: E731
     return lab(deg, "derived").unionByName(lab(csv_deg, "edge_csv")).join(nb, "id")
 
@@ -227,7 +231,9 @@ def graph_neighbors_lvl2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_rmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11/r12/r21/r22 + keepit per edge (G4 with UD2-UD5 as native
     expressions, graph_tools/graph_tools.py:372-435)."""
-    scored = r_metrics_edges(derived_edges(spark, sf_dir), R1_THRES, R2_THRES)
+    scored = r_metrics_edges(
+        derived_edges(spark, sf_dir), R1_THRES, R2_THRES, edges_canonical=True
+    )
     return scored.select(
         "src",
         "dst",
@@ -268,7 +274,9 @@ def graph_rmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_betweenness_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated GN edge betweenness, k=2, correct fractional counting
     (G5-G8 collapsed into two self-joins; see betweenness.py header)."""
-    b = edge_betweenness(derived_edges(spark, sf_dir), max_sp_length=2)
+    b = edge_betweenness(
+        derived_edges(spark, sf_dir), max_sp_length=2, edges_canonical=True
+    )
     return b.select("src", "dst", F.round("betweenness", 4).alias("betweenness"))
 
 
@@ -300,7 +308,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked against a DuckDB recursive min-label closure — both
     converge to component = min member id.
     """
-    comps = connected_components(derived_edges(spark, sf_dir))
+    comps = connected_components(derived_edges(spark, sf_dir), edges_canonical=True)
     # r14 (guide §2.6/§3): per-component size as ONE window count
     # instead of component_sizes + join — the join form referenced the
     # CC-output subtree twice (Catalyst shares no subplans: vertex-set
@@ -345,7 +353,7 @@ def graph_shortest_paths_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<struct> path column is exercised in tests/test_graph.py."""
     from hgn_spark.graph.betweenness import shortest_paths
 
-    sp = shortest_paths(derived_edges(spark, sf_dir), max_len=2)
+    sp = shortest_paths(derived_edges(spark, sf_dir), max_len=2, edges_canonical=True)
     return sp.groupBy("src", "dst", "distance").agg(
         F.count(F.lit(1)).alias("n_paths")
     )
@@ -387,8 +395,8 @@ def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hgn_spark.graph.core import degrees, triangles
 
     e = derived_edges(spark, sf_dir)
-    t = triangles(e)
-    deg = degrees(e)
+    t = triangles(e, edges_canonical=True)
+    deg = degrees(e, edges_canonical=True)
     return t.join(deg, "id").select(
         "id",
         "triangles",
@@ -508,7 +516,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # public API; fused==separate parity is pinned in
     # tests/test_graph.py.
     jan = CheckpointJanitor(spark)
-    links, links_ids = build_links(e, jan)
+    links, links_ids = build_links(e, jan, edges_canonical=True)
     seeds = (
         links.select(F.col("src").alias("id")).distinct().orderBy("id").limit(PPR_N_SEEDS)
     )
@@ -616,7 +624,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hgn_spark.graph.lpa import label_propagation
 
     e = derived_edges(spark, sf_dir)
-    lab = label_propagation(e, n_iter=LPA_ITER)
+    lab = label_propagation(e, n_iter=LPA_ITER, edges_canonical=True)
     members = lab.select(
         F.lit("member").alias("branch"),
         "id",
@@ -624,7 +632,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("modularity"),
     )
     q = modularity_score(
-        e, lab.select("id", F.col("label").alias("community"))
+        e, lab.select("id", F.col("label").alias("community")), edges_canonical=True
     ).select(
         F.lit("modularity").alias("branch"),
         F.lit(None).cast("long").alias("id"),
@@ -693,7 +701,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned to exact networkx.core_number parity in tests/test_graph.py."""
     from hgn_spark.graph.kcore import core_numbers
 
-    return core_numbers(derived_edges(spark, sf_dir))
+    return core_numbers(derived_edges(spark, sf_dir), edges_canonical=True)
 
 
 HGN_MAX_STEPS = 3
@@ -868,4 +876,6 @@ def hgn_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_steps=3,
         max_sp_length=2,
     )
-    return hgn_communities(vertices, edges, ["nationkey"], params)
+    return hgn_communities(
+        vertices, edges, ["nationkey"], params, edges_canonical=True
+    )

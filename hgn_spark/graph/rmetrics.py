@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hgn_spark.graph.core import neighbor_pairs, neighbors
+from hgn_spark.graph.core import neighbor_pairs, neighbors, symmetrize
 
 
 def _common_count(nb_src: Column, nb_dst: Column, src: Column, dst: Column) -> Column:
@@ -33,6 +33,7 @@ def r_metrics_edges(
     edges: DataFrame,
     r_lvl1_thres: float,
     r_lvl2_thres: float,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Score every edge with r11/r12/r21/r22 and the keep decision.
 
@@ -47,8 +48,8 @@ def r_metrics_edges(
     smaller than the edge list on dense graphs — AQE broadcasts them
     when they fit; otherwise the joins co-shuffle on the id key.
     """
-    lvl1 = neighbors(edges, level=1)
-    lvl2 = neighbors(edges, level=2)
+    lvl1 = neighbors(edges, level=1, edges_canonical=edges_canonical)
+    lvl2 = neighbors(edges, level=2, edges_canonical=edges_canonical)
     e = edges.select("src", "dst")
 
     def _join_level(frame: DataFrame, lvl: DataFrame, tag: str) -> DataFrame:
@@ -125,11 +126,49 @@ def _common_member_rows(
     )
 
 
+def _tagged_pairs2(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    edges_canonical: bool = False,
+) -> DataFrame:
+    """Level-2 neighbor pairs carrying a level-1 membership tag —
+    (src, dst, is_l1) with is_l1 true iff dst is ADJACENT to src.
+
+    Because the level-2 neighborhood is defined as adjacent ∪ two-hop
+    (neighbor_pairs' contract), p1 ⊆ p2: one tagged frame supports
+    BOTH levels' counts and common-member sets, replacing the two
+    separate neighbor_pairs subtrees (and their downstream
+    aggregations/joins) the r14 shape executed per scoring pass
+    (guide §2.3/§2.4 — one shuffle where two ran). The `distinct` of
+    the untagged form becomes a groupBy+max over the same keys — the
+    identical exchange, now also carrying the 1-byte tag.
+    """
+    sym = symmetrize(edges, assume_canonical=edges_canonical)
+    base = (
+        sym.join(sources.select(F.col("id").alias("src")), "src", "left_semi")
+        if sources is not None
+        else sym
+    )
+    a = base.alias("a")
+    b = sym.alias("b")
+    two = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+    )
+    return (
+        base.withColumn("is_l1", F.lit(True))
+        .unionByName(two.withColumn("is_l1", F.lit(False)))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("is_l1").alias("is_l1"))
+    )
+
+
 def r_metrics_edges_pairs(
     edges: DataFrame,
     r_lvl1_thres: float,
     r_lvl2_thres: float,
     scope: DataFrame | None = None,
+    edges_canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """`r_metrics_edges` in PAIR FORM (VERDICT r12 #3 — the delete-rule
     mitigation dial, now executable): returns
@@ -179,32 +218,57 @@ def r_metrics_edges_pairs(
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    p1 = neighbor_pairs(edges, level=1, sources=srcs)
-    p2 = neighbor_pairs(edges, level=2, sources=srcs)
-    cnt1 = p1.groupBy(F.col("src").alias("id")).agg(F.count("dst").alias("cnt"))
-    cnt2 = p2.groupBy(F.col("src").alias("id")).agg(F.count("dst").alias("cnt"))
-    cc1 = (
-        _common_member_rows(e, p1, "l1")
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("cc1"))
+    # One tagged level-2 pair frame instead of separate p1/p2 subtrees
+    # (r15, guide §2.3/§2.4 — the per-step barrier-fusion VERDICT r14
+    # #1 asks for): counts for BOTH levels come out of ONE aggregation
+    # (cnt1 = the is_l1 rows) and common members for BOTH levels out of
+    # ONE two-join expansion (a member common at level 1 is common at
+    # level 2 — p1 ⊆ p2 — so it appears once, with both side tags
+    # true). Values are the same integer counts as the unfused form,
+    # hence bit-identical ratios (pinned against r_metrics_edges).
+    pt = _tagged_pairs2(edges, sources=srcs, edges_canonical=edges_canonical)
+    cnt = pt.groupBy(F.col("src").alias("id")).agg(
+        F.count("dst").alias("cnt_l2"),
+        F.count(F.when(F.col("is_l1"), 1)).alias("cnt_l1"),
     )
-    members2 = _common_member_rows(e, p2, "l2")
-    cc2 = members2.groupBy("src", "dst").agg(F.count("*").alias("cc2"))
+    s = pt.select(
+        F.col("src").alias("m_sid"),
+        F.col("dst").alias("member"),
+        F.col("is_l1").alias("s_l1"),
+    )
+    d = pt.select(
+        F.col("src").alias("m_did"),
+        F.col("dst").alias("member"),
+        F.col("is_l1").alias("d_l1"),
+    )
+    mm = (
+        e.join(s, e["src"] == s["m_sid"])
+        .filter((F.col("member") != F.col("src")) & (F.col("member") != F.col("dst")))
+        .join(d, (e["dst"] == d["m_did"]) & (s["member"] == d["member"]))
+        .select(
+            "src",
+            "dst",
+            s["member"].alias("member"),
+            (s["s_l1"] & d["d_l1"]).alias("both_l1"),
+        )
+    )
+    cc = mm.groupBy("src", "dst").agg(
+        F.count("*").alias("cc2"),
+        F.count(F.when(F.col("both_l1"), 1)).alias("cc1"),
+    )
+    members2 = mm.select("src", "dst", "member")
 
-    def _cnt(tag: str, side: str) -> DataFrame:
-        frame = cnt1 if tag == "l1" else cnt2
-        return frame.select(
-            F.col("id").alias(f"{tag}_{side}id"),
-            F.col("cnt").alias(f"cnt_{side}_{tag}"),
+    def _cnt(side: str) -> DataFrame:
+        return cnt.select(
+            F.col("id").alias(f"{side}id"),
+            F.col("cnt_l1").alias(f"cnt_{side}_l1"),
+            F.col("cnt_l2").alias(f"cnt_{side}_l2"),
         )
 
     scored = (
-        e.join(_cnt("l1", "src"), e["src"] == F.col("l1_srcid"))
-        .join(_cnt("l1", "dst"), e["dst"] == F.col("l1_dstid"))
-        .join(_cnt("l2", "src"), e["src"] == F.col("l2_srcid"))
-        .join(_cnt("l2", "dst"), e["dst"] == F.col("l2_dstid"))
-        .join(cc1, ["src", "dst"], "left")
-        .join(cc2, ["src", "dst"], "left")
+        e.join(_cnt("src"), e["src"] == F.col("srcid"))
+        .join(_cnt("dst"), e["dst"] == F.col("dstid"))
+        .join(cc, ["src", "dst"], "left")
         .select(
             "src",
             "dst",
@@ -232,7 +296,10 @@ def r_metrics_edges_pairs(
 
 
 def candidate_common_members(
-    edges: DataFrame, cand: DataFrame, restrict_sources: bool = True
+    edges: DataFrame,
+    cand: DataFrame,
+    restrict_sources: bool = True,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Level-2 common-member rows for a (preferably materialized)
     candidate edge subset — the loop-shaped consumer of the pair form
@@ -248,12 +315,18 @@ def candidate_common_members(
     fraction (hgn.py) instead of always paying it."""
     base = cand.select("src", "dst")
     if not restrict_sources:
-        return _common_member_rows(base, neighbor_pairs(edges, level=2), "l2")
+        return _common_member_rows(
+            base,
+            neighbor_pairs(edges, level=2, edges_canonical=edges_canonical),
+            "l2",
+        )
     srcs = (
         cand.select(F.col("src").alias("id"))
         .unionByName(cand.select(F.col("dst").alias("id")))
         .distinct()
     )
     return _common_member_rows(
-        base, neighbor_pairs(edges, level=2, sources=srcs), "l2"
+        base,
+        neighbor_pairs(edges, level=2, sources=srcs, edges_canonical=edges_canonical),
+        "l2",
     )

@@ -801,7 +801,11 @@ def _calibration_queries(emb: DataFrame, n: int, m_target: int) -> DataFrame:
 
 
 def calibration_truth(
-    emb: DataFrame, n: int, m_target: int = CAL_QUERY_TARGET, k: int = TOP_K
+    emb: DataFrame,
+    n: int,
+    m_target: int = CAL_QUERY_TARGET,
+    k: int = TOP_K,
+    calq: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-``k`` truth for the calibration sample → (q_id,
     vec_id): the O(m*n) corpus scan of `ivf_calibrate_nprobe` step 2.
@@ -811,8 +815,15 @@ def calibration_truth(
     registered row's two production branches (guide §2.3: don't
     compute what you can share). Same 6-decimal rounding + id
     tie-breaks as the in-line form, so the DuckDB replay per branch is
-    unchanged."""
-    calq = _calibration_queries(emb, n, m_target)
+    unchanged.
+
+    ``calq`` (r15, guide §2.3): a pre-materialized calibration-query
+    frame — like the truth, the query SAMPLE is a pure function of the
+    corpus, so a caller calibrating several indexes materializes it
+    once instead of paying the salted-md5 corpus filter per consumer
+    (three evaluations at r14: one here, one per branch calibration)."""
+    if calq is None:
+        calq = _calibration_queries(emb, n, m_target)
     pairs = (
         emb.select(
             "vec_id", F.col("embedding").alias("te"), F.col("nrm").alias("tn")
@@ -843,6 +854,7 @@ def ivf_calibrate_nprobe(
     m_target: int = CAL_QUERY_TARGET,
     k: int = TOP_K,
     truth: DataFrame | None = None,
+    calq: DataFrame | None = None,
 ) -> int:
     """Smallest nprobe whose measured recall@k on a calibration sample
     meets ``target_pct`` — sized from THIS index on THIS corpus.
@@ -878,10 +890,11 @@ def ivf_calibrate_nprobe(
     twin (`_sql_calibration_ctes`) derives the identical scalar and
     the driver hash proves the sizing end to end.
     """
-    calq = _calibration_queries(emb, n, m_target)
+    if calq is None:
+        calq = _calibration_queries(emb, n, m_target)
     if truth is None:
         # Exact truth for the sample: corpus scan x broadcast queries.
-        truth = calibration_truth(emb, n, m_target=m_target, k=k)
+        truth = calibration_truth(emb, n, m_target=m_target, k=k, calq=calq)
     home = truth.join(assign.select("vec_id", "cent_id"), "vec_id").select(
         "q_id", "cent_id"
     )
@@ -1507,7 +1520,16 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the O(m*n) scan — now read one materialized (m*k)-row frame.
         # Submitted FIRST so it is running before any chain blocks on
         # it (the pool is sized to hold every task anyway).
-        return loose_local_checkpoint(calibration_truth(load_embeddings(spark, sf_dir), n))
+        # r15 (VERDICT r14 #4, guide §2.3): the calibration QUERY
+        # sample is corpus-pure too — materialize it once (~m rows)
+        # and hand it to the truth and both branch calibrations, so
+        # the salted-md5 corpus filter runs once instead of three
+        # times (each evaluation is a full corpus scan at 100 TB).
+        emb = load_embeddings(spark, sf_dir)
+        calq = loose_local_checkpoint(
+            _calibration_queries(emb, n, CAL_QUERY_TARGET)
+        )
+        return calq, loose_local_checkpoint(calibration_truth(emb, n, calq=calq))
 
     def _chain_seed():
         # Both IVF variants share the seed-assignment frame,
@@ -1532,8 +1554,9 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # from the measured recall curve of THIS index instead of the
         # pinned literal whose recall the r12 sweep showed decaying
         # with n.
+        calq, truth = f_truth.result()
         np_a = ivf_calibrate_nprobe(
-            a_emb, a_cents, a_assign, n, truth=f_truth.result()
+            a_emb, a_cents, a_assign, n, truth=truth, calq=calq
         )
         return a_emb, a_cents, a_assign, np_a
 
@@ -1563,8 +1586,9 @@ def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table, bounded small by construction. Letting the two
         # consumers (calibration + query) recompute that tail costs
         # less than another eager checkpoint barrier.
+        calq, truth = f_truth.result()
         np_l = ivf_calibrate_nprobe(
-            l_emb, l_cents, l_assign, n, truth=f_truth.result()
+            l_emb, l_cents, l_assign, n, truth=truth, calq=calq
         )
         return l_emb, l_cents, l_assign, np_l
 

@@ -52,6 +52,37 @@ def test_symmetrize(edges):
     assert sym.filter("src = dst").count() == 0
 
 
+def test_symmetrize_assume_canonical_same_rows(edges):
+    """The r15 fast path (skip the dedup exchange when the input is
+    guaranteed canonical) must return the identical ROW SET — the
+    fixture IS canonical (src < dst, distinct), so both forms agree."""
+    want = {(r["src"], r["dst"]) for r in symmetrize(edges).collect()}
+    got = {
+        (r["src"], r["dst"])
+        for r in symmetrize(edges, assume_canonical=True).collect()
+    }
+    assert got == want
+
+
+def test_rmetrics_pairs_canonical_flag_identical(edges):
+    """r_metrics_edges_pairs with edges_canonical=True (the HGN loop's
+    call shape since r15) equals the safe default on canonical input —
+    scored values and member rows both."""
+    from hgn_spark.graph.rmetrics import r_metrics_edges_pairs
+
+    s0, m0 = r_metrics_edges_pairs(edges, 0.25, 0.9)
+    s1, m1 = r_metrics_edges_pairs(edges, 0.25, 0.9, edges_canonical=True)
+    key = lambda r: (r["src"], r["dst"])  # noqa: E731
+    assert {key(r): (r["r11"], r["r12"], r["r21"], r["r22"], r["keepit"])
+            for r in s0.collect()} == {
+        key(r): (r["r11"], r["r12"], r["r21"], r["r22"], r["keepit"])
+        for r in s1.collect()
+    }
+    assert {(r["src"], r["dst"], r["member"]) for r in m0.collect()} == {
+        (r["src"], r["dst"], r["member"]) for r in m1.collect()
+    }
+
+
 def test_degrees(edges):
     got = _as_dict(degrees(edges), "id", "degree")
     assert got == {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}
