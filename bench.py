@@ -393,6 +393,18 @@ def main() -> None:
             "to the headline min"
         ),
     }
+    # Low-core runs self-identify (VERDICT r14 #9): at sf0.1 most rows
+    # are orchestration/barrier-bound, so 8-core timings close to the
+    # 32-core ones are EXPECTED, not evidence that $SPARK_GRAFT_CPUS is
+    # ignored — parallel-scaling claims at this SF come from the >=100x
+    # probes instead.
+    _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if _cpus < 16:
+        out["scaling_note"] = (
+            f"run at {_cpus} cores: sf{sf} rows are dominated by fixed "
+            "per-action driver/barrier costs, so near-1x ratios vs a "
+            "32-core run are expected at this scale factor"
+        )
     # Code provenance for the spread protocol (ADVICE r10): a spread
     # envelope only excuses an over-threshold reading if it was
     # measured on the same code — bench_regression.py compares this

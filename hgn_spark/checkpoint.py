@@ -27,9 +27,24 @@ generations their final result still references.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Serializes checkpoint ATTRIBUTION windows (the getPersistentRDDs
+# before/after diff) across threads (ADVICE r14, medium): concurrent
+# chains — the HGN init pair, simsearch's IVF/LSH pool — would
+# otherwise capture each other's freshly-persisted RDD ids, and a later
+# release of one set could unpersist another thread's live
+# localCheckpoint (which has no lineage and cannot be recomputed). Only
+# the diff window is locked; the eager materialization job runs OUTSIDE
+# the lock, so concurrent chains still overlap their cluster work
+# (guide §2.6). This relies on Dataset.localCheckpoint registering the
+# RDD with the context's persistent map synchronously even for
+# eager=False (RDD.localCheckpoint → persist() at call time; the blocks
+# materialize on the first job), which tests pin.
+_ATTRIBUTION_LOCK = threading.Lock()
 
 
 def _persistent_rdd_jmap(spark: SparkSession):
@@ -58,6 +73,20 @@ def release_rdds(
         jrdd = jmap.get(i)
         if jrdd is not None:
             jrdd.unpersist(blocking)
+
+
+def attributed_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Raw (untracked) localCheckpoint that cannot pollute a concurrent
+    janitor attribution window: the persistent-RDD registration happens
+    under the module attribution lock, the materialization (if eager)
+    outside it. Use this instead of DataFrame.localCheckpoint in any
+    code that can run on a pool thread next to a CheckpointJanitor
+    (e.g. betweenness layers inside the HGN init pool)."""
+    with _ATTRIBUTION_LOCK:
+        out = df.localCheckpoint(eager=False)
+    if eager:
+        out.count()
+    return out
 
 
 def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
@@ -147,9 +176,17 @@ class CheckpointJanitor:
         self._spark = spark
 
     def checkpoint(self, df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
-        before = persistent_rdd_ids(self._spark)
-        out = df.localCheckpoint(eager=True)
-        ids = frozenset(persistent_rdd_ids(self._spark) - before)
+        # Attribution under the module lock, materialization outside it
+        # (see _ATTRIBUTION_LOCK): the lazy localCheckpoint registers
+        # its RDD with the persistent map synchronously, so the id diff
+        # is exact per thread, while the expensive job — the count that
+        # materializes every partition into blocks — still overlaps
+        # with other threads' chains.
+        with _ATTRIBUTION_LOCK:
+            before = persistent_rdd_ids(self._spark)
+            out = df.localCheckpoint(eager=False)
+            ids = frozenset(persistent_rdd_ids(self._spark) - before)
+        out.count()
         return out, ids
 
     def release(self, ids: Iterable[int]) -> None:

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from hgn_spark.checkpoint import CheckpointJanitor
+from hgn_spark.checkpoint import CheckpointJanitor, attributed_local_checkpoint
 from hgn_spark.graph.core import symmetrize
 
 
@@ -134,7 +134,7 @@ def shortest_paths(
             .join(known, ["src", "dst"], "left_anti")
         )
         if max_len > 2:
-            ext = ext.localCheckpoint(eager=True)
+            ext = attributed_local_checkpoint(ext)
         out = out.unionByName(ext)
         known = known.union(ext.select("src", "dst").distinct())
         frontier = ext
@@ -187,7 +187,7 @@ def edge_betweenness_brandes(
         layer0 = layer0.join(
             sources.select(F.col("id").alias("s")), "s", "left_semi"
         )
-    layers: list[DataFrame] = [layer0.localCheckpoint(eager=True)]
+    layers: list[DataFrame] = [attributed_local_checkpoint(layer0)]
     known = layers[0].select("s", "v")
     for _d in range(2, max_sp_length + 1):
         a = layers[-1].alias("a")
@@ -203,8 +203,8 @@ def edge_betweenness_brandes(
             .join(known, ["s", "v"], "left_anti")
             .groupBy("s", "v")
             .agg(F.sum("sig").alias("sig"))
-            .localCheckpoint(eager=True)
         )
+        nxt = attributed_local_checkpoint(nxt)
         layers.append(nxt)
         known = known.union(nxt.select("s", "v"))
 
@@ -236,11 +236,10 @@ def edge_betweenness_brandes(
                     "c",
                 )
             )
-            delta = (
+            delta = attributed_local_checkpoint(
                 cred.groupBy("s", "u")
                 .agg(F.sum("c").alias("delta"))
                 .select("s", F.col("u").alias("v"), "delta")
-                .localCheckpoint(eager=True)
             )
         else:
             # Depth-1 pairs: the only DAG parent is the source itself
@@ -291,9 +290,11 @@ def edge_betweenness_sampled(
     if source_fraction >= 1.0:
         return edge_betweenness_brandes(edges, max_sp_length)
     thr = format(min(int(source_fraction * 2**32), 2**32 - 1), "08x")
-    sampled = sym_src.filter(
-        F.substring(F.md5(F.col("id").cast("string")), 1, 8) < thr
-    ).localCheckpoint(eager=True)
+    sampled = attributed_local_checkpoint(
+        sym_src.filter(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8) < thr
+        )
+    )
     n = sym_src.count()
     k = sampled.count()
     if k == 0:

@@ -926,6 +926,124 @@ def join_theta_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta.unionByName(multikey)
 
 
+# approx_percentile sketch accuracy for sketch_accuracy_report; the
+# exact-percentile bracket margin below is sized against its 1/acc
+# rank-error guarantee.
+_PCTL_ACC = 10000
+# Bracket half-width in quantile space: 50x the sketch's guaranteed
+# rank error (1/_PCTL_ACC), so the true neighbors of the target rank
+# provably fall inside [lo, hi] for any n >= ~205; the n < 1000
+# fallback below covers everything smaller by sorting the whole column
+# (trivial at that size).
+_PCTL_BRACKET = 0.005
+_PCTL_SMALL_N = 1000
+
+
+def _agg_with_exact_percentile(
+    df: DataFrame,
+    col: str,
+    p: float,
+    other_aggs: list,
+    exact_name: str,
+    approx_name: str,
+) -> DataFrame:
+    """One-row aggregate of ``other_aggs`` + approx_percentile + EXACT
+    percentile(col, p), the exact value computed by bracket-and-sort
+    instead of `percentile()` (VERDICT r14 #5, guide §5): Spark's exact
+    Percentile is an ObjectHashAggregate that buffers every (value,
+    count) in one in-memory map — the single declared-row aggregation
+    with unbounded per-group state, measured locally as a GC-degenerate
+    2.0-2.9 s drain with 4.8-40 s variance under pressure, and a
+    straight OOM at 100 TB.
+
+    The replacement runs three bounded passes over the (column-pruned)
+    scan:
+      1. the main aggregate, widened with a 3-quantile
+         approx_percentile bracket [p-δ, p, p+δ] from the SAME sketch
+         the approx metric already builds (so the approx value is
+         bit-identical to before) plus count(col);
+      2. k_below = count of values strictly below the bracket floor;
+      3. a global sort of the bracketed SLIVER only (≈2δ·n rows; at
+         n < _PCTL_SMALL_N the bracket widens to everything) ranked by
+         row_number, from which the two neighbor ranks of
+         position = p·(n-1) are picked.
+    The interpolation mirrors Percentile.getPercentile exactly —
+    (higher-position)·lowerKey + (position-lower)·higherKey in double,
+    with the same lower==higher and lowerKey==higherKey short-circuits
+    — so the result is bit-identical to percentile() (pinned by test).
+    Nulls are ignored (count(col)) and an all-null/empty column yields
+    NULL, both matching percentile().
+    """
+    from hgn_spark.checkpoint import loose_local_checkpoint
+
+    v = F.col(col)
+    plo = max(0.0, p - _PCTL_BRACKET)
+    phi = min(1.0, p + _PCTL_BRACKET)
+    agg1 = df.agg(
+        *other_aggs,
+        F.expr(
+            f"approx_percentile({col}, array({plo!r}, {p!r}, {phi!r}), {_PCTL_ACC})"
+        ).alias("_ap3"),
+        F.count(v).alias("_n_v"),
+    )
+    # One row; referenced by the bracket bounds AND the final
+    # projection, and Catalyst shares no subplans — materialize once.
+    agg1 = loose_local_checkpoint(agg1)
+    small = F.col("_n_v") < _PCTL_SMALL_N
+    bounds = agg1.select(
+        F.when(small, F.lit(float("-inf")))
+        .otherwise(F.col("_ap3")[0])
+        .alias("_lo"),
+        F.when(small, F.lit(float("inf")))
+        .otherwise(F.col("_ap3")[2])
+        .alias("_hi"),
+        F.col("_n_v").alias("_n"),
+    )
+    vals = (
+        df.select(v.alias("_v"))
+        .where(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+    )
+    below = vals.where(F.col("_v") < F.col("_lo")).agg(
+        F.count(F.lit(1)).alias("_k_below")
+    )
+    position = F.lit(p) * (F.col("_n") - 1).cast("double")
+    lower = F.floor(position)
+    higher = F.ceil(position)
+    rnk = (
+        F.col("_k_below")
+        + F.row_number().over(W.orderBy("_v"))
+        - 1
+    )
+    sliver = (
+        vals.where((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
+        .crossJoin(F.broadcast(below))
+        .withColumn("_rnk", rnk)
+        .where((F.col("_rnk") == lower) | (F.col("_rnk") == higher))
+        .agg(
+            F.max(F.when(F.col("_rnk") == lower, F.col("_v"))).alias("_lower_key"),
+            F.max(F.when(F.col("_rnk") == higher, F.col("_v"))).alias("_higher_key"),
+        )
+    )
+    exact = (
+        bounds.crossJoin(sliver)
+        .select(
+            F.when(higher == lower, F.col("_lower_key"))
+            .when(F.col("_lower_key") == F.col("_higher_key"), F.col("_lower_key"))
+            .otherwise(
+                (higher.cast("double") - position) * F.col("_lower_key")
+                + (position - lower.cast("double")) * F.col("_higher_key")
+            )
+            .alias(exact_name)
+        )
+    )
+    return agg1.crossJoin(exact).select(
+        *[c for c in agg1.columns if not c.startswith("_")],
+        F.col(exact_name),
+        F.col("_ap3")[1].alias(approx_name),
+    )
+
+
 @register("sketch_accuracy_report", oracle=None, tags=("agg", "sketch", "approx"))
 def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates next to their exact values — the sketches
@@ -948,19 +1066,27 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     — both turn unbounded-state aggregations into constant-state ones.
     """
     e = load_table(spark, sf_dir, "events")
-    ev = e.agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("percentile(value, 0.95)").alias("exact_p95"),
-        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx_p95"),
+    ev = _agg_with_exact_percentile(
+        e,
+        "value",
+        0.95,
+        [
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        ],
+        exact_name="exact_p95",
+        approx_name="approx_p95",
     )
-    li = load_table(spark, sf_dir, "lineitem").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
-            "approx_med"
-        ),
+    li = _agg_with_exact_percentile(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        0.5,
+        [
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        ],
+        exact_name="exact_med",
+        approx_name="approx_med",
     )
 
     def rows(df: DataFrame, pairs: list[tuple[str, str, str]]) -> DataFrame:

@@ -32,6 +32,8 @@ aggregate over double), never per-row Python.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -71,6 +73,9 @@ def ivf_adaptive_stride(n: int) -> int:
 # cuts the lineage, registry.clear_session_caches drops the blocks
 # between bench passes so pass 2 re-pays the real build.
 _EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Build lock for the cache (ADVICE r14): the check-then-set is called
+# from simsearch's concurrent chains; see load_embeddings.
+_EMB_BUILD_LOCK = threading.Lock()
 # Corpus count per (session, sf_dir): every adaptive sizing
 # (ivf_adaptive_stride, lsh/srp widths, calibration sampling) needs n;
 # counting the materialized checkpoint once replaces one count() JOB
@@ -94,15 +99,23 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EMB_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = emb.repartition(max(spark.sparkContext.defaultParallelism, 8))
-    emb = emb.withColumn("nrm", norm(as_double(F.col("embedding"))))
-    from hgn_spark.checkpoint import tracked_local_checkpoint
+    # Double-checked build under a module lock (ADVICE r14): the
+    # simsearch chains call this from a thread pool; two racing threads
+    # would each build AND checkpoint the frame, the loser's blocks
+    # staying persisted until clear_session_caches.
+    with _EMB_BUILD_LOCK:
+        cached = _EMB_CACHE.get(key)
+        if cached is not None:
+            return cached
+        emb = load_table(spark, sf_dir, "embeddings")
+        emb = emb.repartition(max(spark.sparkContext.defaultParallelism, 8))
+        emb = emb.withColumn("nrm", norm(as_double(F.col("embedding"))))
+        from hgn_spark.checkpoint import tracked_local_checkpoint
 
-    out, ids = tracked_local_checkpoint(emb)
-    _EMB_CACHE[key] = out
-    _EMB_BLOCK_IDS.setdefault(key, set()).update(ids)
-    return out
+        out, ids = tracked_local_checkpoint(emb)
+        _EMB_CACHE[key] = out
+        _EMB_BLOCK_IDS.setdefault(key, set()).update(ids)
+        return out
 
 
 def emb_count(spark: SparkSession, sf_dir: str) -> int:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
 from collections.abc import Iterator
 from typing import Any
 
@@ -85,10 +86,13 @@ def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     path = os.path.join(sf_dir, "events.parquet")
     try:
         if os.path.isdir(path):
+            # Data files only (ADVICE r14): a hive-partitioned or nested
+            # layout would otherwise count dirent sizes of subdirectories
+            # and non-parquet sidecars into the state sizing.
             size = sum(
                 os.path.getsize(os.path.join(path, f))
                 for f in os.listdir(path)
-                if not f.startswith(("_", "."))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
             )
         else:
             size = os.path.getsize(path)
@@ -127,18 +131,39 @@ class _stream_partitions:
     input-derived value for the duration of a streaming query's
     start→awaitTermination (the value is captured into the query's
     offset log at start), then restore the session value for batch
-    work, where AQE owns the coalescing decision."""
+    work, where AQE owns the coalescing decision.
+
+    The pin mutates SESSION-GLOBAL conf with a save/restore, so two
+    concurrent or nested pins would capture each other's pinned value
+    as `_old` and restore the session to a stale state (ADVICE r14 /
+    VERDICT r14 #8). A non-blocking module lock enforces the
+    single-pin-at-a-time invariant LOUDLY: a second pin while one is
+    held raises instead of silently corrupting the session conf.
+    (streaming_windowed_aggs' concurrent tumbling/sliding pair holds
+    ONE pin on the main thread around both branch threads — that stays
+    a single acquisition.)"""
+
+    _lock = threading.Lock()
 
     def __init__(self, spark: SparkSession, n: int) -> None:
         self._spark = spark
         self._n = n
 
     def __enter__(self) -> None:
+        if not _stream_partitions._lock.acquire(blocking=False):
+            raise RuntimeError(
+                "_stream_partitions: a shuffle-partition pin is already "
+                "held in this process; nested/concurrent pins would "
+                "restore a stale session value (single-pin invariant)"
+            )
         self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
         self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
 
     def __exit__(self, *exc) -> None:
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        try:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        finally:
+            _stream_partitions._lock.release()
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1097,6 +1097,45 @@ def test_sketch_accuracy_bounds(spark):
     assert rows["events_distinct_users"]["exact"] == float(exact)
 
 
+def test_bracketed_exact_percentile_matches_percentile_builtin(spark):
+    """r15 (VERDICT r14 #5): the bracket-and-sort exact percentile must
+    be BIT-identical to Spark's percentile() — same p·(n-1) position,
+    same neighbor interpolation in double, same null semantics — on the
+    real tables and on adversarial shapes (tiny n under the full-sort
+    fallback, heavy ties, all-equal, single row, all-null/empty)."""
+    from pyspark.sql import functions as F
+
+    from hgn_spark.catalog import load_table
+    from hgn_spark.operators.relational import _agg_with_exact_percentile
+
+    def check(df, col, p):
+        want = df.agg(F.expr(f"percentile({col}, {p!r})")).first()[0]
+        got = _agg_with_exact_percentile(
+            df, col, p, [F.count(F.lit(1)).alias("n_rows")],
+            exact_name="ex", approx_name="ap",
+        ).first()["ex"]
+        assert got == want or (got is None and want is None), (col, p, got, want)
+
+    for p in (0.5, 0.95):
+        check(load_table(spark, SF_SMOKE, "events"), "value", p)
+    check(load_table(spark, SF_SMOKE, "lineitem"), "l_extendedprice", 0.5)
+    # Adversarial shapes (all under the small-n full-sort fallback,
+    # which is itself the exactness claim for n < _PCTL_SMALL_N).
+    ties = spark.range(100).selectExpr("CAST(id % 7 AS DOUBLE) AS v")
+    check(ties, "v", 0.95)
+    check(spark.range(1).selectExpr("CAST(42 AS DOUBLE) AS v"), "v", 0.5)
+    check(spark.range(50).selectExpr("CAST(3.5 AS DOUBLE) AS v"), "v", 0.25)
+    check(
+        spark.range(10).selectExpr("CAST(NULL AS DOUBLE) AS v"), "v", 0.5
+    )
+    # And one above the fallback so the bracket path itself is hit.
+    big = spark.range(5000).selectExpr(
+        "CAST(pmod(hash(id), 977) AS DOUBLE) / 3.0 AS v"
+    )
+    for p in (0.5, 0.95, 0.999):
+        check(big, "v", p)
+
+
 def test_pipeline_curation_end_to_end(spark):
     """Full curation pipeline: stage counts shrink monotonically, the
     curated set carries no exact duplicates, no benchmark-slice docs,

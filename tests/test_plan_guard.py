@@ -28,6 +28,11 @@ BNLJ_ALLOWED = {
     # same argmax-assignment shape: broadcast stride centroids against
     # the corpus scan.
     "dedup_semantic_clusters",
+    # r15 bracket-and-sort exact percentile: every nested-loop join is
+    # a crossJoin whose broadcast side is a ONE-ROW bound/count frame
+    # (the bracket bounds, k_below, the two neighbor keys) — bounded by
+    # construction at any scale.
+    "sketch_accuracy_report",
 }
 
 BATCH_SPECS = [s for n, s in sorted(SPECS.items()) if "streaming" not in n]

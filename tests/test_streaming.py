@@ -658,3 +658,45 @@ def test_stream_events_directory_layout(spark, tmp_path):
     got_dir = drain(d)
     assert got_file == got_dir
     assert len(got_file) > 0
+
+
+def test_stream_partitions_pin_rejects_concurrent_second_pin(spark):
+    """VERDICT r14 #8 / ADVICE r14: the shuffle-partition pin mutates
+    session-global conf with save/restore; a second pin while one is
+    held must fail loudly instead of capturing the pinned value as its
+    `_old` and restoring the session to a stale state."""
+    import pytest as _pytest
+
+    from hgn_spark.streaming.queries import _stream_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with _stream_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        with _pytest.raises(RuntimeError, match="single-pin"):
+            with _stream_partitions(spark, 5):
+                pass
+        # The failed pin must not have touched the conf.
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    # And the lock is free again after a clean exit.
+    with _stream_partitions(spark, 4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_stream_shuffle_partitions_ignores_non_parquet_entries(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: directory sizing must count *.parquet data files
+    only — subdirectories and sidecar files would mis-size the state
+    partition count."""
+    import hgn_spark.streaming.queries as sq
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    (d / "part-0001.parquet").write_bytes(b"x" * 1000)
+    (d / "junk.txt").write_bytes(b"y" * (64 << 20))  # would add 2 partitions
+    (d / "nested").mkdir()
+    (d / "_SUCCESS").write_bytes(b"")
+    monkeypatch.setattr(sq, "_STREAM_STATE_PART_BYTES", 1 << 20)
+    assert sq._stream_shuffle_partitions(spark, str(tmp_path)) == 1
