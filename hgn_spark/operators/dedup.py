@@ -1126,6 +1126,90 @@ def minhash_lsh_pairs(
     return _verified_jaccard(cands, sets_).filter(F.col("jaccard") >= JACCARD_THRES)
 
 
+def minhash_lsh_pairs_nested(
+    spark: SparkSession,
+    sf_dir: str,
+    inner: tuple[int, int] = (NUM_PERM, BANDS),
+    outer: tuple[int, int] | None = None,
+) -> DataFrame:
+    """BOTH MinHash configurations from ONE physical pipeline (VERDICT
+    r14 #3, guide §2.3/§2.4): the pinned (16-perm, 4-band) sketch and
+    the recall-sized (24-perm, 6-band) one share the md5 permutation
+    sequence AND the rows-per-band, so the pinned sketch's 4 bands are
+    bit-identical to the FIRST 4 of the recall sketch's 6. One 24-min
+    signature fold (was 16 + 24), one 6-band explode + self-join +
+    distinct (was 4-band + 6-band, each with its own join), one exact
+    verify (was two) — with the inner membership carried as a
+    ``bool_or(band < inner_bands)`` flag through the one aggregation
+    that replaced ``distinct()`` (same exchange, one extra 1-bit
+    column). Returns (d1, d2, jaccard, in_inner) where rows are
+    exactly `minhash_lsh_pairs(outer)`'s and ``in_inner`` marks
+    exactly `minhash_lsh_pairs(inner)`'s (pinned by test).
+
+    Requires the nesting property and asserts it loudly: same
+    rows-per-band, inner perms a prefix of outer perms (true by
+    construction of _minhash_consts + minhash_recall_perms's fixed
+    r=4; anything else is a sizing-change bug this should catch, not
+    mask).
+    """
+    if outer is None:
+        outer = minhash_recall_perms()
+    in_np, in_b = inner
+    out_np, out_b = outer
+    if (
+        in_np % in_b
+        or out_np % out_b
+        or in_np // in_b != out_np // out_b
+        or in_np > out_np
+        or in_b > out_b
+    ):
+        raise ValueError(
+            f"minhash_lsh_pairs_nested: inner {inner} is not a band-prefix "
+            f"of outer {outer} (rows-per-band must match, inner ⊆ outer)"
+        )
+    consts = _minhash_consts(out_np)
+    sets_ = _doc_shingle_sets(spark, sf_dir)
+    consts_sql = "array(" + ",".join(
+        f"array({a}L,{b}L)" for a, b in consts
+    ) + ")"
+    mh_col = F.expr(
+        f"transform({consts_sql}, c -> array_min(transform(hs, "
+        f"h -> ((h % {_MINHASH_P}) * c[0] + c[1]) % {_MINHASH_P})))"
+    )
+    sig = sets_.filter(F.col("sz") > 0).select("doc_id", mh_col.alias("mh"))
+    rows_per_band = out_np // out_b
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                f"array_join(transform(slice(mh, {b * rows_per_band + 1}, "
+                f"{rows_per_band}), x -> CAST(x AS STRING)), ':')"
+            ).alias("bh"),
+        )
+        for b in range(out_b)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = banded.select(F.col("doc_id").alias("d1"), "band", "bh")
+    right = banded.select(
+        F.col("doc_id").alias("d2"), F.col("band").alias("band2"), F.col("bh").alias("bh2")
+    )
+    cands = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bh") == F.col("bh2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.max(F.col("band") < in_b).alias("in_inner"))
+    )
+    return _verified_jaccard(cands, sets_).filter(
+        F.col("jaccard") >= JACCARD_THRES
+    )
+
+
 SIMHASH_BITS = 48  # = the informative bits of the portable shingle hash
 SIMHASH_CHUNKS = 4  # 12-bit chunks; hamming ≤ 3 ⇒ ≥ 1 chunk untouched
 
@@ -2049,29 +2133,27 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size at 100 TB; they differ in the sketch (set resemblance vs
     bit-space hamming vs embedding angle), so one row exercises all
     three verify statistics."""
-    mh = minhash_lsh_pairs(spark, sf_dir).select(
-        F.lit("minhash").alias("method"),
+    # 'minhash' (pinned 16-perm/4-band evidence baseline) and
+    # 'minhash_recall' (r14, production: minhash_recall_perms solves
+    # the band count for the (J=JACCARD_THRES, R=0.95) operating point
+    # where the pinned 4x4 S-curve tops out at ~0.875) run as ONE
+    # nested pipeline (r15, VERDICT r14 #3): the pinned bands are the
+    # first 4 of the recall sketch's 6 (shared md5 sequence, same
+    # rows-per-band), so one signature fold + one band join + one
+    # verify yields both arms; the label is an explode over the
+    # in_inner flag — no rerun of the candidate subtree per label, no
+    # checkpoint barrier (the trap the rejected simhash fusion hit).
+    mh = minhash_lsh_pairs_nested(spark, sf_dir).select(
+        F.explode(
+            F.when(
+                F.col("in_inner"),
+                F.array(F.lit("minhash"), F.lit("minhash_recall")),
+            ).otherwise(F.array(F.lit("minhash_recall")))
+        ).alias("method"),
         F.col("d1").alias("a"),
         F.col("d2").alias("b"),
         F.col("jaccard").alias("score"),
     )
-    # 'minhash_recall' (r14, production): the recall-sized sketch —
-    # minhash_recall_perms solves the band count for the stated
-    # (J=JACCARD_THRES, R=0.95) operating point, where the pinned 4x4
-    # sketch's own S-curve tops out at ~0.875 (PROBE_text_clustered_r13
-    # measured 0.83-0.86 in the J>=0.8 stratum). Same pipeline, more
-    # bands; the first 16 permutation minima are bit-identical to the
-    # pinned branch's (shared md5 sequence).
-    mhp, mhb = minhash_recall_perms()
-    mh_recall = minhash_lsh_pairs(
-        spark, sf_dir, num_perm=mhp, bands=mhb
-    ).select(
-        F.lit("minhash_recall").alias("method"),
-        F.col("d1").alias("a"),
-        F.col("d2").alias("b"),
-        F.col("jaccard").alias("score"),
-    )
-    mh = mh.unionByName(mh_recall)
     # The three simhash configurations run as standalone pipelines —
     # 'simhash' (chunk-scheme evidence baseline), 'simhash_cap' (the
     # r10 guard; non-vacuous at sf0.01 with 13 pairs vs simhash's 17,

@@ -888,14 +888,50 @@ def join_theta_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored column (no computed floats — the reference's float-equality
     hazard, SURVEY §8.5, doesn't apply).
     """
+    # r15 (VERDICT r14 #7, guide §1.2 step 1 — fix the algorithm, not
+    # the operator): both branches are self-joins whose per-row match
+    # count is pure RANK arithmetic over the equi-key partition, so a
+    # window replaces each join outright. rank() = 1 + |rows strictly
+    # before| (ties share), hence:
+    #   range_same_size: |q in same size with q_price < p_price|
+    #     = rank(price asc) - 1 per size partition;
+    #   multikey_pairs:  |b in same 5-key group with b_orderkey >
+    #     a_orderkey| = rank(orderkey desc) - 1, summed per partkey.
+    # Rows the inner join produced no match for (n = 0) are filtered,
+    # matching the join's absence. One exchange per branch instead of
+    # two sides + the quadratic join output (the size key has a FIXED
+    # ~50 distinct values, so the join blows up as (n/50)² at scale;
+    # the window is n log n per partition). Oracle unchanged — same
+    # counts, hash-checked.
+    # range_same_size additionally avoids shuffling `part` at all: the
+    # count of strictly-cheaper same-size rows is a function of
+    # (p_size, p_retailprice) only, so a (size, price) HISTOGRAM (tiny
+    # — map-side partial agg, then a cumulative sum within each size)
+    # broadcast-joins back onto the scan. `part`'s p_size has ~50 fixed
+    # distinct values, so a rank() window (or the old join) over it
+    # caps at 50-way parallelism; only the histogram rows pass through
+    # that bottleneck here (guide §2.3 "shuffle keys and metadata
+    # instead of payloads").
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
-    q = p.select(
-        F.col("p_size").alias("q_size"), F.col("p_retailprice").alias("q_price")
+    hist = (
+        p.groupBy("p_size", "p_retailprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "n",
+            F.coalesce(
+                F.sum("c").over(
+                    W.partitionBy("p_size")
+                    .orderBy("p_retailprice")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("p_size", "p_retailprice", "n")
     )
     theta = (
-        p.join(q, (p.p_size == q.q_size) & (q.q_price < p.p_retailprice))
-        .groupBy("p_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
+        p.join(F.broadcast(hist), ["p_size", "p_retailprice"])
+        .filter(F.col("n") > 0)
         .select(
             F.lit("range_same_size").alias("op"),
             F.col("p_partkey").cast("long").alias("key"),
@@ -904,19 +940,23 @@ def join_theta_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus", "l_quantity"]
     a = load_table(spark, sf_dir, "lineitem").select(cols)
-    b = a.select([F.col(col).alias(f"r_{col}") for col in cols])
-    cond = (
-        (a.l_partkey == b.r_l_partkey)
-        & (a.l_suppkey == b.r_l_suppkey)
-        & (a.l_returnflag == b.r_l_returnflag)
-        & (a.l_linestatus == b.r_l_linestatus)
-        & (a.l_quantity == b.r_l_quantity)
-        & (a.l_orderkey < b.r_l_orderkey)
-    )
     multikey = (
-        a.join(b, cond)
+        a.withColumn(
+            "m",
+            F.rank().over(
+                W.partitionBy(
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_returnflag",
+                    "l_linestatus",
+                    "l_quantity",
+                ).orderBy(F.col("l_orderkey").desc())
+            )
+            - 1,
+        )
         .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("m").alias("n"))
+        .filter(F.col("n") > 0)
         .select(
             F.lit("multikey_pairs").alias("op"),
             F.col("l_partkey").cast("long").alias("key"),
@@ -1304,29 +1344,49 @@ def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       in the driver's 50-query window).
     """
     o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     null_s = F.lit(None).cast("string")
     null_n = F.lit(None).cast("long")
-    both = a.intersect(b).select(
-        F.lit("intersect").alias("op"), F.col("custkey").cast("string").alias("a"),
-        null_s.alias("b"), null_n.alias("n"),
+    # r15 (VERDICT r14 #7, guide §2.3/§2.4): INTERSECT and
+    # EXCEPT(distinct) over the same two slices are both pure functions
+    # of the per-custkey status-presence bits — ONE scan + ONE
+    # aggregation ('has O', 'has F') replaces the four orders scans and
+    # two join subtrees the set operators planned (Catalyst shares no
+    # subplans, so `a`/`b` re-scanned per operator). intersect =
+    # has_O ∧ has_F; except = has_O ∧ ¬has_F — the same distinct sets
+    # by definition, oracle-checked.
+    st = (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderstatus") == "O").alias("has_o"),
+            F.max(F.col("o_orderstatus") == "F").alias("has_f"),
+        )
     )
-    only = a.subtract(b).select(
-        F.lit("except").alias("op"), F.col("custkey").cast("string").alias("a"),
-        null_s.alias("b"), null_n.alias("n"),
+    setop = st.filter(F.col("has_o")).select(
+        F.when(F.col("has_f"), F.lit("intersect"))
+        .otherwise(F.lit("except"))
+        .alias("op"),
+        F.col("custkey").cast("string").alias("a"),
+        null_s.alias("b"),
+        null_n.alias("n"),
     )
 
     e = load_table(spark, sf_dir, "events")
     pred = "(value < 10.0) OR (value >= 10.0 AND event_type = 'purchase')"
-    lo = e.filter(pred).select(
-        "user_id", "event_type", F.lit("compound").alias("branch")
-    )
-    hi = e.filter(f"NOT ({pred})").select(
-        F.lit("rest").alias("branch"), "event_type", "user_id"  # swapped order
-    )
+    # The two branch predicates are complementary, so the
+    # filter-filter-union is ONE scan with a computed label. Null
+    # semantics preserved exactly: a row where `pred` is NULL passed
+    # NEITHER filter, so the label stays NULL and is dropped — a plain
+    # otherwise() would misfile it under 'rest'.
     ud = (
-        lo.unionByName(hi)
+        e.select(
+            "user_id",
+            "event_type",
+            F.when(F.expr(pred), F.lit("compound"))
+            .when(F.expr(f"NOT ({pred})"), F.lit("rest"))
+            .alias("branch"),
+        )
+        .filter(F.col("branch").isNotNull())
         .distinct()
         .groupBy("event_type", "branch")
         .agg(F.count(F.lit(1)).alias("n_user_types"))
@@ -1338,6 +1398,11 @@ def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Symmetrize stays the two-scan positional union: the one-scan
+    # explode variant was MEASURED SLOWER (0.99 vs 0.71 s noop-drained
+    # at sf0.1 — the Generate breaks the scan's codegen pipeline and
+    # halves effective scan parallelism), so the union keeps the win
+    # the r15 probe attributed to it.
     edges = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
@@ -1353,7 +1418,7 @@ def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("degree").alias("n"),
         )
     )
-    return both.unionByName(only).unionByName(ud).unionByName(sym)
+    return setop.unionByName(ud).unionByName(sym)
 
 
 # ---------------------------------------------------------------------------

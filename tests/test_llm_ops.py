@@ -1903,3 +1903,42 @@ def test_sorted_run_stats_matches_counter(spark):
         dup = sum(v for v in cnt.values() if v > 1)
         nd = len(cnt)
         assert got[i] == (top, dup, nd), (i, c, got[i], (top, dup, nd))
+
+
+def test_minhash_nested_matches_standalone_arms(spark):
+    """r15 (VERDICT r14 #3): the nested one-pipeline form must emit
+    exactly the standalone pinned sketch's pairs under in_inner=true
+    and exactly the standalone recall-sized sketch's pairs overall,
+    with identical jaccard scores."""
+    from hgn_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_nested,
+        minhash_recall_perms,
+    )
+
+    nested = {
+        (r["d1"], r["d2"]): (r["jaccard"], r["in_inner"])
+        for r in minhash_lsh_pairs_nested(spark, SF_SMOKE).collect()
+    }
+    pinned = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(spark, SF_SMOKE).collect()
+    }
+    np_, nb = minhash_recall_perms()
+    recall = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            spark, SF_SMOKE, num_perm=np_, bands=nb
+        ).collect()
+    }
+    assert {k: v for k, (v, _) in nested.items()} == recall
+    assert {k: v for k, (v, f) in nested.items() if f} == pinned
+
+
+def test_minhash_nested_rejects_non_prefix_sizing(spark):
+    import pytest as _pytest
+
+    from hgn_spark.operators.dedup import minhash_lsh_pairs_nested
+
+    with _pytest.raises(ValueError, match="band-prefix"):
+        minhash_lsh_pairs_nested(spark, SF_SMOKE, inner=(16, 4), outer=(24, 8))
