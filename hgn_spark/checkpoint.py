@@ -126,12 +126,15 @@ def _park(spark: SparkSession | None, ids: Iterable[int]) -> None:
     _LOOSE_BLOCK_IDS.setdefault(app, set()).update(ids)
 
 
-def loose_local_checkpoint(df: DataFrame) -> DataFrame:
+def loose_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Checkpoint a frame whose blocks have no owning cache; the ids
     are parked in the registered loose store and released by
     ``registry.clear_session_caches`` (benchmarks call it between
-    passes; long-lived sessions call it on corpus switch)."""
-    out, ids = tracked_local_checkpoint(df)
+    passes; long-lived sessions call it on corpus switch).
+    ``eager=False`` defers materialization to the first consumer (see
+    CheckpointJanitor.checkpoint) — subtree sharing without a driver
+    barrier."""
+    out, ids = CheckpointJanitor(df.sparkSession).checkpoint(df, eager=eager)
     _park(df.sparkSession, ids)
     return out
 
@@ -175,18 +178,27 @@ class CheckpointJanitor:
     def __init__(self, spark: SparkSession) -> None:
         self._spark = spark
 
-    def checkpoint(self, df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
+    def checkpoint(
+        self, df: DataFrame, eager: bool = True
+    ) -> tuple[DataFrame, frozenset[int]]:
         # Attribution under the module lock, materialization outside it
         # (see _ATTRIBUTION_LOCK): the lazy localCheckpoint registers
         # its RDD with the persistent map synchronously, so the id diff
         # is exact per thread, while the expensive job — the count that
         # materializes every partition into blocks — still overlaps
-        # with other threads' chains.
+        # with other threads' chains. ``eager=False`` skips the count
+        # entirely: the FIRST consumer materializes the blocks (block
+        # locks dedupe concurrent computation), which shares a subtree
+        # across consumers without a serial driver barrier — the right
+        # trade for small frames consumed by concurrent union arms.
+        # CAUTION for loops: a lazy generation must be materialized
+        # before its inputs are released.
         with _ATTRIBUTION_LOCK:
             before = persistent_rdd_ids(self._spark)
             out = df.localCheckpoint(eager=False)
             ids = frozenset(persistent_rdd_ids(self._spark) - before)
-        out.count()
+        if eager:
+            out.count()
         return out, ids
 
     def release(self, ids: Iterable[int]) -> None:

@@ -488,6 +488,13 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.sort_array(F.array_distinct(t)), " ")).alias("fp_bag"),
         (F.col("doc_id") % 5 == 4).alias("is_batch"),
     )
+    # r15 (guide §2.3): five consumers of `fp` (the group agg + both
+    # sides of the semi AND anti joins) each re-ran the scan + tokenize
+    # + fingerprint — the expensive text pass, executed 5x in the r14
+    # plan. Materialize the (doc_id, fp, is_batch) frame once.
+    from hgn_spark.checkpoint import loose_local_checkpoint
+
+    fp = loose_local_checkpoint(fp, eager=False)
     null_b = F.lit(None).cast("long")
     grp = (
         fp.groupBy("fp_bag")

@@ -768,10 +768,34 @@ def join_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference J7/J8, graph_tools/graph_tools.py:465-483); left-outer
     with null-aware aggregation (customers with zero orders kept,
     spend coalesced to 0). Common schema (op, key, m1, m2)."""
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_cust"))
+    # r15 (guide §2.3/§7.2): all three branches are functions of ONE
+    # customer⟕orders per-customer aggregate — the right-outer branch
+    # is the same join seen from the other side (a right join keeps
+    # exactly the customer rows the left join keeps), its nation-level
+    # count(o_orderkey) is the sum of per-customer counts and its
+    # countDistinct(c_custkey) the number of per-customer rows; the
+    # full-outer branch's customers-per-nation likewise. Compute the
+    # per-customer frame once (c_custkey is the customer PK, so adding
+    # c_nationkey to its group keys changes nothing), checkpoint the
+    # ~|customer|-row result, and derive every branch from it: customer
+    # and orders are each scanned ONCE (was 3x and 2x).
+    from hgn_spark.checkpoint import loose_local_checkpoint
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = loose_local_checkpoint(
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_ord"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "spend"
+            ),
+        ),
+        eager=False,
+    )
+    cust = per_cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
     )
     supp = (
         load_table(spark, sf_dir, "supplier")
@@ -784,14 +808,11 @@ def join_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cust", F.lit(0)).alias("m1"),
         F.coalesce("n_supp", F.lit(0)).cast("double").alias("m2"),
     )
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
     right = (
-        o.join(c, o.o_custkey == c.c_custkey, "right")
-        .groupBy("c_nationkey")
+        per_cust.groupBy("c_nationkey")
         .agg(
-            F.count("o_orderkey").alias("m1"),
-            F.countDistinct("c_custkey").cast("double").alias("m2"),
+            F.sum("n_ord").alias("m1"),
+            F.count(F.lit(1)).cast("double").alias("m2"),
         )
         .select(
             F.lit("right_outer").alias("op"),
@@ -800,19 +821,11 @@ def join_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m2",
         )
     )
-    left = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("m1"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("m2"),
-        )
-        .select(
-            F.lit("left_outer").alias("op"),
-            F.col("c_custkey").cast("long").alias("key"),
-            "m1",
-            "m2",
-        )
+    left = per_cust.select(
+        F.lit("left_outer").alias("op"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("n_ord").alias("m1"),
+        F.col("spend").alias("m2"),
     )
     return full.unionByName(right).unionByName(left)
 
@@ -1742,27 +1755,33 @@ def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Gap-based sessionization rides as two more labeled branches (r7
     # window consolidation that paid for the text_vocab_top_pairs
-    # oracle row): per-session value and per-session duration.
+    # oracle row): per-session value and per-session duration. r15
+    # (guide §7.2 duplicated subtrees): the two branches used to be
+    # two selects over `sess`, and Catalyst shares no subplans — the
+    # whole sessionize subtree (events scan + two window passes + agg)
+    # executed twice (4 scans in the r14 plan). One inline explode of
+    # a 2-struct array emits both labeled rows from ONE execution —
+    # no rerun, no checkpoint barrier.
     sess = sessionize_events(spark, sf_dir)
-    sess_value = sess.select(
-        F.lit("sess_value").alias("op"),
+    sess_both = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sess_value").alias("op"),
+                    F.col("n_events").cast("long").alias("id_b"),
+                    F.col("session_value").alias("val"),
+                ),
+                F.struct(
+                    F.lit("sess_dur").alias("op"),
+                    F.col("duration_sec").cast("long").alias("id_b"),
+                    F.lit(None).cast("double").alias("val"),
+                ),
+            )
+        ).alias("b"),
         F.col("user_id").alias("part_key"),
         F.col("session_id").alias("id_a"),
-        F.col("n_events").alias("id_b"),
-        F.col("session_value").alias("val"),
-    )
-    sess_dur = sess.select(
-        F.lit("sess_dur").alias("op"),
-        F.col("user_id").alias("part_key"),
-        F.col("session_id").alias("id_a"),
-        F.col("duration_sec").alias("id_b"),
-        F.lit(None).cast("double").alias("val"),
-    )
-    return (
-        running.unionByName(lagged)
-        .unionByName(sess_value)
-        .unionByName(sess_dur)
-    )
+    ).select("b.op", "part_key", "id_a", "b.id_b", "b.val")
+    return running.unionByName(lagged).unionByName(sess_both)
 
 
 # ---------------------------------------------------------------------------

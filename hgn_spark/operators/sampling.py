@@ -199,6 +199,13 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", _u8(F.col("doc_id")).alias("u8")
     )
+    # r15 (guide §2.3): six consumers (five labeled branches + the
+    # mixture-threshold planner) each re-ran the scan + md5 projection
+    # — Catalyst shares no subplans. Materialize the 3-column frame
+    # once; at scale this is 6 corpus scans → 1.
+    from hgn_spark.checkpoint import loose_local_checkpoint
+
+    docs = loose_local_checkpoint(docs, eager=False)
     null_ci = F.lit(None).cast("long").alias("copy_idx")
     thres = F.when(F.col("lang") == "en", F.lit(RATE_HEX["en"])).when(
         F.col("lang") == "zh", F.lit(RATE_HEX["zh"])

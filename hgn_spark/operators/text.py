@@ -944,6 +944,19 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = base.groupBy("doc_id", "n_tok", "term").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # r15 (guide §2.3/§7.2 duplicated subtrees): `tf` feeds BOTH the
+    # df aggregation and the score join, and Catalyst shares no
+    # subplans — unmaterialized, the tokenize + explode + map-side-
+    # combined tf aggregation executed twice (two parquet scans in the
+    # r14 plan). Materialize it once; both consumers read the
+    # checkpointed (doc_id, term)-distinct frame. The alternative
+    # no-join form (df as count() over a term-partitioned window) was
+    # rejected for scale: it trades the map-side-combinable groupBy
+    # for a non-combinable window whose hot-stopword partition is a
+    # one-task straggler on a real corpus.
+    from hgn_spark.checkpoint import loose_local_checkpoint
+
+    tf = loose_local_checkpoint(tf, eager=False)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dft, "term").select(
         "doc_id",
